@@ -1,0 +1,90 @@
+"""BM25 top-k retrieval — slow (oracle) path as pure DataFrame algebra.
+
+Reference analog: CKAN package_search -> Solr standard handler
+(travis/solr/solrconfig.xml:490-500), default field `text`, default
+operator AND (schema.xml:165-166), Lucene TF-IDF scoring — upgraded to
+Okapi BM25 (k1=1.2, b=0.75) per the north rule.
+
+Physical shape (why this survives scale):
+  * `term IN (...)` is a pushed-down predicate on the postings table; with
+    postings stored partitioned by term_bucket the scan prunes to the
+    query's buckets (partition pruning), reading a few MB of a multi-TB
+    index.
+  * The per-term dictionary rows are a broadcast join (a handful of rows).
+  * N and avgdl are a collected singleton — driver-side constants folded
+    into the score expression.
+  * The only exchange is the groupBy(doc_id) partial+final aggregation of
+    per-(term,doc) scores; orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a global sort.
+
+The fast path (block-max WAND over encoded segments) lives in
+operators/wand.py; this module is the semantics oracle it must match
+rank-identically (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ckanext_extractor_spark.analysis.tokenizer import QUERY_CONFIG, analyze_query
+from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
+
+
+def bm25_score_col(
+    tf: Column,
+    df: Column,
+    doc_len: Column,
+    n_docs: float,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> Column:
+    """Okapi BM25 contribution of one (term, doc) posting, closed-form.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfp = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    """
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - df + 0.5) / (df + 0.5))
+    tfp = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * doc_len / float(avgdl)))
+    return idf * tfp
+
+
+def bm25_search(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    k: int = 10,
+    lang: str | None = None,
+    conjunctive: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Analyze `query` (query-mode chain, catenation off) and return the
+    top-k ``(doc_id, score, n_matched)`` ranked score desc, doc_id asc.
+
+    ``conjunctive=True`` = default-AND semantics (schema.xml:166): a doc
+    must match every distinct query term.
+    """
+    terms = list(dict.fromkeys(analyze_query(query, lang, QUERY_CONFIG)))
+    spark = postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double, n_matched int")
+
+    matched = postings.where(F.col("term").isin(terms))
+    dict_rows = dictionary.where(F.col("term").isin(terms)).select("term", "df")
+    scored = matched.join(F.broadcast(dict_rows), "term").select(
+        "doc_id",
+        bm25_score_col(
+            F.col("tf"), F.col("df"), F.col("doc_len"), n_docs, avgdl, k1, b
+        ).alias("term_score"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count("*").alias("n_matched").cast("int").alias("n_matched"),
+    )
+    if conjunctive:
+        per_doc = per_doc.where(F.col("n_matched") == len(terms))
+    return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

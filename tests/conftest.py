@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+from ckanext_extractor_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("ckanext-extractor-spark-tests", cores=4, shuffle_partitions=8)
+    yield s

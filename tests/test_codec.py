@@ -1,0 +1,92 @@
+"""Codec round-trip + property tests (SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ckanext_extractor_spark.operators.codec import (
+    decode_posting_list,
+    encode_posting_list,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    buf = varbyte_encode(arr)
+    out, off = varbyte_decode(buf, 0, len(values))
+    assert off == len(buf)
+    assert np.array_equal(out, arr)
+
+
+def test_varbyte_known_bytes():
+    # 0 -> 0x00; 127 -> 0x7f; 128 -> 0x80 0x01 (LEB128 little-endian)
+    assert varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varbyte_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),  # doc_id (xxhash64-like)
+            st.integers(min_value=1, max_value=500),  # tf
+            st.integers(min_value=1, max_value=10_000),  # doc_len
+        ),
+        min_size=1,
+        max_size=400,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_posting_list_roundtrip(rows):
+    rng = np.random.RandomState(7)
+    doc_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    tfs = np.array([r[1] for r in rows], dtype=np.int64)
+    doc_lens = np.array([r[2] for r in rows], dtype=np.int64)
+    positions = [np.cumsum(rng.randint(1, 50, size=tf)) for tf in tfs]
+    enc = encode_posting_list(doc_ids, tfs, positions, doc_lens, avgdl=100.0)
+    got_ids, got_tfs, got_pos = decode_posting_list(enc["blob"], with_positions=True)
+    order = np.argsort(doc_ids, kind="stable")
+    assert np.array_equal(got_ids, doc_ids[order])
+    assert np.array_equal(got_tfs, tfs[order])
+    for i, oi in enumerate(order):
+        assert np.array_equal(got_pos[i], positions[oi])
+
+
+def test_encoding_is_order_independent():
+    """Segment bytes must not depend on input (shuffle) order."""
+    rng = np.random.RandomState(0)
+    doc_ids = rng.permutation(1000).astype(np.int64) * 7 - 3500
+    tfs = rng.randint(1, 50, size=1000).astype(np.int64)
+    doc_lens = rng.randint(10, 500, size=1000).astype(np.int64)
+    perm = rng.permutation(1000)
+    e1 = encode_posting_list(doc_ids, tfs, None, doc_lens, avgdl=50.0)
+    e2 = encode_posting_list(doc_ids[perm], tfs[perm], None, doc_lens[perm], avgdl=50.0)
+    assert e1["blob"] == e2["blob"]
+    assert np.array_equal(e1["block_last_doc"], e2["block_last_doc"])
+    assert np.allclose(e1["block_max_tfn"], e2["block_max_tfn"])
+
+
+def test_block_max_bounds_scores():
+    rng = np.random.RandomState(3)
+    n = 1000
+    doc_ids = np.cumsum(rng.randint(1, 10**6, size=n)).astype(np.int64)
+    tfs = rng.randint(1, 100, size=n).astype(np.int64)
+    doc_lens = rng.randint(5, 2000, size=n).astype(np.int64)
+    k1, b, avgdl = 1.2, 0.75, 321.5
+    enc = encode_posting_list(doc_ids, tfs, None, doc_lens, avgdl, k1=k1, b=b)
+    tfn = tfs / (tfs + k1 * (1 - b + b * doc_lens / avgdl))
+    from ckanext_extractor_spark.operators.codec import BLOCK_SIZE
+
+    for bi, (last, mx) in enumerate(zip(enc["block_last_doc"], enc["block_max_tfn"])):
+        sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
+        assert doc_ids[sl][-1] == last
+        assert tfn[sl].max() <= mx + 1e-15
