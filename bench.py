@@ -1,0 +1,141 @@
+"""Round benchmark: index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase sec...}, "sf": ..., plus files/sec, bytes/sec,
+   wand QPS}
+
+Phases (all through the real Engine — the product path, not a synthetic
+harness):
+  1. build_documents  — incremental index build over $SPARK_GRAFT_SF_DIR's
+     documents.parquet mapped to the corpus shape.
+  2. build_synthetic  — index build over the deterministic synthetic
+     source-code corpus (SYNTH_DOCS docs) — the workload that actually
+     exercises the code-aware tokenizer, salting, and segment codec at a
+     size where per-task overhead stops dominating.
+  3. query phase      — BM25 top-10: WAND fast path (per-query latency,
+     QPS) + one slow-path DataFrame query for reference.
+
+Parallelism: local[$SPARK_GRAFT_CPUS] (default 32). The two-parallelism
+scaling-efficiency protocol is tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ckanext_extractor_spark.api import ExtractorEngine  # noqa: E402
+from ckanext_extractor_spark.corpus import corpus_df  # noqa: E402
+from ckanext_extractor_spark.session import get_spark  # noqa: E402
+from ckanext_extractor_spark.sources.corpus_source import (  # noqa: E402
+    documents_as_corpus,
+)
+
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "20000"))
+
+DOC_QUERIES = [
+    ("wand_and_2term", "spark join", True),
+    ("wand_and_3term", "merge sort window", True),
+    ("wand_hot_term", "data", True),
+    ("wand_or_3term", "vector stream batch", False),
+    ("wand_selective", "customer window group", True),
+]
+SYNTH_QUERIES = [
+    ("wand_code_camel", "parseBuffer", True),
+    ("wand_code_snake", "hash_byte", True),
+    ("wand_code_and3", "vector cache stream", True),
+    ("wand_code_hot", "data value", True),
+    ("wand_code_rare", "golden000777x", True),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=int(cpus))
+    timings: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="bench_index_")
+    try:
+        # ---- phase 1: documents corpus build -----------------------------
+        corpus_docs = documents_as_corpus(spark, sf_dir).cache()
+        n_docs = corpus_docs.count()
+        total_bytes = corpus_docs.selectExpr(
+            "sum(octet_length(content)) b"
+        ).collect()[0]["b"]
+        eng_docs = ExtractorEngine(
+            spark, os.path.join(root, "docs_idx"), n_buckets=32,
+            salt_threshold=100_000,
+        )
+        t0 = time.time()
+        eng_docs.extract(corpus_docs, build_id="bench-docs")
+        t_docs = time.time() - t0
+        timings["build_documents"] = t_docs
+
+        # ---- phase 2: synthetic code corpus build ------------------------
+        synth = corpus_df(spark, SYNTH_DOCS).cache()
+        n_synth = synth.count()  # materialize so generation cost is excluded
+        synth_bytes = synth.selectExpr("sum(octet_length(content)) b").collect()[0][
+            "b"
+        ]
+        eng_syn = ExtractorEngine(
+            spark, os.path.join(root, "syn_idx"), n_buckets=32,
+            salt_threshold=50_000,
+        )
+        t1 = time.time()
+        eng_syn.extract(synth, build_id="bench-synth")
+        t_syn = time.time() - t1
+        timings["build_synthetic"] = t_syn
+
+        # ---- phase 3: query latency (WAND fast path, warm) ---------------
+        qtimes = []
+        for eng, queries in ((eng_docs, DOC_QUERIES), (eng_syn, SYNTH_QUERIES)):
+            for name, q, conj in queries:
+                tq = time.time()
+                eng.search(q, k=10, conjunctive=conj, mode="wand")
+                dt = time.time() - tq
+                timings[name] = dt
+                qtimes.append(dt)
+        tq = time.time()
+        eng_docs.search("spark join", k=10, mode="slow")
+        timings["slowpath_and_2term"] = time.time() - tq
+
+        total = t_docs + t_syn + sum(qtimes)
+        out = {
+            "metric": "fulltext index build (files/sec, bytes/sec) + BM25 top-k QPS",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+            "cpus": int(cpus),
+            "documents": {
+                "n_docs": int(n_docs),
+                "bytes": int(total_bytes),
+                "files_per_sec": round(n_docs / t_docs, 1),
+                "bytes_per_sec": round(total_bytes / t_docs, 1),
+            },
+            "synthetic": {
+                "n_docs": int(n_synth),
+                "bytes": int(synth_bytes),
+                "files_per_sec": round(n_synth / t_syn, 1),
+                "bytes_per_sec": round(synth_bytes / t_syn, 1),
+            },
+            "wand_qps": round(len(qtimes) / sum(qtimes), 2),
+            "wand_p50_ms": round(
+                sorted(qtimes)[len(qtimes) // 2] * 1000, 1
+            ),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

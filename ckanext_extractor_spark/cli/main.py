@@ -1,0 +1,136 @@
+"""CLI entry points (SURVEY.md B5; reference analog: the paster commands
+extract/delete/list/show/init over explicit IDs or `all`, paster.py:72-194).
+
+Run under spark-submit (cluster) or plain python (local):
+
+    spark-submit --py-files engine.zip -m ckanext_extractor_spark.cli.main \
+        build --source /data/corpus --index /data/index [--force] [--langs ...]
+    python -m ckanext_extractor_spark.cli.main query --index /data/index \
+        --q "parseBuffer camelCase" -k 10 [--mode wand|slow] [--or]
+    python -m ckanext_extractor_spark.cli.main list|show|delete|lineage ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from ckanext_extractor_spark.api import ExtractorEngine
+from ckanext_extractor_spark.session import get_spark
+from ckanext_extractor_spark.sources.corpus_source import read_corpus
+
+
+def _engine(args) -> ExtractorEngine:
+    spark = get_spark("ckanext-extractor-spark-cli")
+    return ExtractorEngine(
+        spark,
+        args.index,
+        indexed_langs=tuple(args.langs) if getattr(args, "langs", None) else ("*",),
+        n_buckets=getattr(args, "buckets", 64),
+    )
+
+
+def cmd_build(args) -> int:
+    eng = _engine(args)
+    corpus = read_corpus(eng.spark, args.source, fmt=args.format)
+    rep = eng.extract(corpus, force=args.force, build_id=args.build_id)
+    print(
+        json.dumps(
+            {
+                "build_id": rep.build_id,
+                "statuses": rep.status_counts,
+                "n_indexed": rep.n_indexed,
+                "wall_sec": round(rep.wall_sec, 2),
+                "resumed": rep.resumed,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_query(args) -> int:
+    eng = _engine(args)
+    hits = eng.search(
+        args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode
+    )
+    for rank, (doc_id, score) in enumerate(hits, 1):
+        print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    return 0
+
+
+def cmd_list(args) -> int:
+    eng = _engine(args)
+    for r in eng.list_indexed().collect():
+        print(r["doc_id"])
+    return 0
+
+
+def cmd_show(args) -> int:
+    eng = _engine(args)
+    print(json.dumps(eng.show(args.doc_id), default=str))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    eng = _engine(args)
+    eng.delete(args.doc_ids)
+    print(json.dumps({"deleted": args.doc_ids}))
+    return 0
+
+
+def cmd_lineage(args) -> int:
+    eng = _engine(args)
+    for r in eng.lineage().orderBy("build_id", "partition_id").collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ckanext-extractor-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="incremental index build")
+    b.add_argument("--source", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--format", default="auto", choices=["auto", "iceberg", "parquet"])
+    b.add_argument("--force", action="store_true")
+    b.add_argument("--build-id", default=None)
+    b.add_argument("--langs", nargs="*", default=None)
+    b.add_argument("--buckets", type=int, default=64)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k search")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", default="auto", choices=["auto", "wand", "slow"])
+    q.add_argument("--or", dest="use_or", action="store_true",
+                   help="disjunctive instead of default AND")
+    q.add_argument("--buckets", type=int, default=64)
+    q.set_defaults(fn=cmd_query)
+
+    l = sub.add_parser("list", help="ids with completed metadata")
+    l.add_argument("--index", required=True)
+    l.set_defaults(fn=cmd_list)
+
+    s = sub.add_parser("show", help="doc stats + provenance")
+    s.add_argument("--index", required=True)
+    s.add_argument("doc_id", type=int)
+    s.set_defaults(fn=cmd_show)
+
+    d = sub.add_parser("delete", help="tombstone docs")
+    d.add_argument("--index", required=True)
+    d.add_argument("doc_ids", type=int, nargs="+")
+    d.set_defaults(fn=cmd_delete)
+
+    g = sub.add_parser("lineage", help="per-partition build metrics")
+    g.add_argument("--index", required=True)
+    g.set_defaults(fn=cmd_lineage)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

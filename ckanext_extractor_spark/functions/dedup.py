@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All JVM-side Catalyst expressions (no Python in the hot path): the
+tokenizer here is the simple SQL-expressible one (lower + split on
+non-alphanumeric) so every operator has a DuckDB-checkable oracle; the
+code-aware analyzer variant is a drop-in (swap the tokens column).
+
+Scale notes:
+  * exact dedup: one hash-aggregate shuffle on the content hash.
+  * minhash: per-doc signatures via explode + groupBy(doc) min() —
+    partial aggregation makes the shuffle carry one row per (doc, hash_i).
+  * LSH: candidate pairs come from an equi-join on band keys — never an
+    all-pairs product; band tuning (rows/band) trades recall vs join
+    fan-out.
+  * simhash: tf-weighted bit votes via explode over a 64-element bit
+    table; the shuffle is (doc, bit) partial sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def _h60(col: Column) -> Column:
+    """Portable 60-bit hash (same value in DuckDB: ('0x'||substr(md5(x),1,15))::bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per content group with keeper id
+    (min doc_id) and group size. Filter group_size > 1 for dups."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min(id_col).alias("keeper_doc_id"),
+            F.collect_list(id_col).alias("member_ids"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "content",
+                       id_col: str = "doc_id", n_hashes: int = 8) -> DataFrame:
+    """Per-doc minhash signature over the distinct-token (1-shingle) set.
+
+    n_hashes independent hash functions h_i(t) = h60('s{i}#' + t); the
+    signature column is an array<long> of per-function minima."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("term")
+    )
+    aggs = [
+        F.min(_h60(F.concat(F.lit(f"s{i}#"), F.col("term")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sig = tok.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh{i}" for i in range(n_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "content",
+                      id_col: str = "doc_id", n_hashes: int = 8,
+                      rows_per_band: int = 2) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band.
+
+    Bands are contiguous slices of the signature; candidates come from a
+    self-equi-join on (band_idx, band_key) — the scalable alternative to
+    an all-pairs similarity join."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    n_bands = n_hashes // rows_per_band
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "#",
+                            *[
+                                F.element_at("minhash", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_candidate_pairs(df: DataFrame, text_col: str = "content",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.5,
+                            candidates: DataFrame | None = None) -> DataFrame:
+    """Exact token-set Jaccard for (candidate) pairs.
+
+    Without `candidates`, verifies ALL pairs sharing >= 1 token via a
+    token-inverted self-join (correct but quadratic in the worst case —
+    pass LSH candidates for scale)."""
+    tok = df.select(
+        F.col(id_col).alias("jid"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("term"),
+    )
+    card = tok.groupBy("jid").agg(F.count("*").alias("n"))
+    if candidates is None:
+        a = tok.alias("a")
+        b = tok.alias("b")
+        inter = (
+            a.join(b, (F.col("a.term") == F.col("b.term"))
+                   & (F.col("a.jid") < F.col("b.jid")))
+            .groupBy(F.col("a.jid").alias("doc_a"), F.col("b.jid").alias("doc_b"))
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        pairs = candidates.select("doc_a", "doc_b")
+        ta = tok.select(F.col("jid").alias("doc_a"), "term")
+        tb = tok.select(F.col("jid").alias("doc_b"), "term")
+        inter = (
+            pairs.join(ta, "doc_a")
+            .join(tb, ["doc_b", "term"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+    ca = card.withColumnRenamed("jid", "doc_a").withColumnRenamed("n", "na")
+    cb = card.withColumnRenamed("jid", "doc_b").withColumnRenamed("n", "nb")
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "content",
+              id_col: str = "doc_id", n_bits: int = 64) -> DataFrame:
+    """tf-weighted simhash fingerprint (n_bits <= 60 uses the portable
+    hash; bit b's vote is +tf if hash bit set else -tf)."""
+    tf = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _h60(F.col("term")))
+    )
+    bits = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit")
+    votes = (
+        tf.select(F.col(id_col), "tf", "h", bits)
+        .withColumn(
+            "w",
+            F.when(
+                F.expr("(h >> bit) & 1") == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf")),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("w").alias("w"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

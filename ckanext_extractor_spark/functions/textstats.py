@@ -1,0 +1,124 @@
+"""Text analysis for training-data pipelines: token stats, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure Catalyst expressions over the simple SQL tokenizer (DuckDB-
+checkable); swap in the code-aware analyzer's postings for the
+identifier-aware variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ckanext_extractor_spark.analysis.stopwords import ENGLISH_STOPWORDS
+
+# tiny per-language function-word lists for the n-gram-free langid
+# heuristic (deterministic, inline-able in SQL oracles)
+LANGID_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with"),
+    "de": ("der", "die", "das", "und", "ist", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "avec"),
+    "es": ("el", "la", "los", "y", "es", "con"),
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token count, distinct-token count, avg token length."""
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_token_chars"),
+    ).withColumn(
+        "avg_token_len",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("total_token_chars") / F.col("n_tokens"),
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1]:
+    length band, stopword ratio (natural-language-ness), alpha ratio,
+    repetition (distinct/total). The composite is a frozen linear blend —
+    a placeholder for a learned quality model, with the same plumbing."""
+    toks = _tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in sorted(ENGLISH_STOPWORDS)])
+    n = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, stop_arr))  # distinct-stop hits
+    stop_ratio = F.when(n > 0, n_stop / F.least(n, F.lit(len(ENGLISH_STOPWORDS)))).otherwise(0.0)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+        / F.greatest(F.length(text_col), F.lit(1))
+    )
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(0.0)
+    len_band = F.when((n >= 20) & (n <= 10_000), 1.0).otherwise(
+        F.when(n > 0, 0.5).otherwise(0.0)
+    )
+    score = (
+        0.3 * len_band
+        + 0.25 * F.least(stop_ratio * 3.0, F.lit(1.0))
+        + 0.25 * alpha_ratio
+        + 0.2 * distinct_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language guess: count hits per language list, argmax
+    (ties broken by language code order). 'und' when nothing matches."""
+    toks = _tokens(F.col(text_col))
+    hits = []
+    for lang in sorted(LANGID_MARKERS):
+        arr = F.array(*[F.lit(w) for w in LANGID_MARKERS[lang]])
+        hits.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).alias(
+                    "hits"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*hits))
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_guess"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-lite fingerprint: min/max portable token hash + distinct
+    count — a compact sketch for shard-level dedup triage."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("term"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+    return tok.groupBy(id_col).agg(
+        F.min(h).alias("fp_min"),
+        F.max(h).alias("fp_max"),
+        F.count("*").alias("n_distinct_terms"),
+    )

@@ -1,0 +1,195 @@
+"""Build manifest: status machine, incremental change detection, lineage
+(SURVEY.md B3/B4; reference analog: ResourceMetadata `last_url`/
+`last_format`/`task_id` provenance columns, model.py:92-111, and the
+new/update/unchanged/inprogress/ignored status machine, logic/action.py:114-150).
+
+Two tables, both plain Parquet under the index root:
+
+* ``doc_manifest`` — one row per known doc:
+    (doc_id, content_sha256, lang, status, build_id)
+  `status` ∈ {indexed, ignored, deleted}; change detection compares the
+  stored sha against the incoming corpus (the Spark-native version of
+  "did last_url/last_format change", action.py:129-133).
+
+* ``lineage`` — one row per (build_id, stage, partition_id):
+    (build_id, stage, partition_id, n_docs, n_postings, bytes_in,
+     wall_sec, files_per_sec, bytes_per_sec)
+  per-partition lineage + throughput metrics required by the north rule,
+  captured inside the tokenize kernel itself (zero extra passes).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATUS_NEW = "new"
+STATUS_UPDATE = "update"
+STATUS_UNCHANGED = "unchanged"
+STATUS_IGNORED = "ignored"
+STATUS_INPROGRESS = "inprogress"
+STATUS_DELETED = "deleted"
+
+DOC_MANIFEST_SCHEMA = (
+    "doc_id long, content_sha256 string, lang string, status string, "
+    "build_id string"
+)
+LINEAGE_SCHEMA = (
+    "build_id string, stage string, partition_id int, n_docs long, "
+    "n_postings long, bytes_in long, wall_sec double, "
+    "files_per_sec double, bytes_per_sec double"
+)
+
+
+def empty_doc_manifest(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], DOC_MANIFEST_SCHEMA)
+
+
+def read_doc_manifest(spark: SparkSession, path: str) -> DataFrame:
+    p = os.path.join(path, "doc_manifest")
+    if not os.path.exists(p):
+        return empty_doc_manifest(spark)
+    return spark.read.parquet(p)
+
+
+def write_doc_manifest(manifest: DataFrame, path: str) -> None:
+    manifest.write.mode("overwrite").parquet(os.path.join(path, "doc_manifest"))
+
+
+def append_lineage(lineage: DataFrame, path: str) -> None:
+    lineage.write.mode("append").parquet(os.path.join(path, "lineage"))
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    p = os.path.join(path, "lineage")
+    if not os.path.exists(p):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.parquet(p)
+
+
+def compute_statuses(
+    prepared: DataFrame,
+    doc_manifest: DataFrame,
+    indexed_langs_pred=None,
+    force: bool = False,
+) -> DataFrame:
+    """Join incoming corpus vs manifest -> per-doc status column.
+
+    Semantics (mirrors action.py:114-150):
+      no manifest row                  -> new
+      sha differs                      -> update
+      sha equal                        -> unchanged (force -> update)
+      lang not indexed                 -> ignored (stored metadata purged by
+                                          the caller, action.py:124-128)
+    The join is doc_id-equi, manifest side is the small/compacted table;
+    broadcast when it fits, else a shuffled join AQE handles.
+    """
+    m = doc_manifest.select(
+        F.col("doc_id"),
+        F.col("content_sha256").alias("_m_sha"),
+        F.col("status").alias("_m_status"),
+    )
+    joined = prepared.join(m, "doc_id", "left")
+    lang_ok = indexed_langs_pred if indexed_langs_pred is not None else F.lit(True)
+    status = (
+        F.when(~lang_ok, F.lit(STATUS_IGNORED))
+        .when(F.col("_m_sha").isNull(), F.lit(STATUS_NEW))
+        .when(F.col("_m_sha") != F.col("content_sha256"), F.lit(STATUS_UPDATE))
+        .otherwise(
+            F.lit(STATUS_UPDATE) if force else F.lit(STATUS_UNCHANGED)
+        )
+    )
+    return joined.withColumn("status", status).drop("_m_sha", "_m_status")
+
+
+def tokenize_with_lineage(
+    corpus: DataFrame,
+    build_id: str,
+    config=None,
+):
+    """tokenize_postings variant that also emits per-partition lineage rows.
+
+    Returns (raw, postings_df, lineage_df); ``raw`` is the single
+    mapInPandas output (postings + marker rows). Callers that consume both
+    branches should checkpoint ``raw`` (write to staging parquet) first so
+    tokenization runs once — that staging write doubles as the build's
+    resume point (B3).  Metrics are measured executor-side, where the work
+    happens, not estimated driver-side.
+    """
+    from ckanext_extractor_spark.analysis.tokenizer import (
+        INDEX_CONFIG,
+        postings_for_batch,
+    )
+
+    config = config or INDEX_CONFIG
+
+    # Marker rows (term IS NULL, one per input partition) reuse the postings
+    # schema so normal rows carry ZERO extra bytes through the shuffle:
+    #   doc_id   = partition_id
+    #   tf       = n_postings emitted by the partition
+    #   doc_len  = n_docs seen
+    #   positions= [wall_ms, bytes_in_lo32, bytes_in_hi32]
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else -1
+        t0 = time.time()
+        n_docs = 0
+        n_postings = 0
+        bytes_in = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            agg = postings_for_batch(pdf["content"], pdf["lang"], config)
+            n_docs += len(pdf)
+            bytes_in += int(pdf["content"].str.len().sum())
+            if agg.empty:
+                continue
+            n_postings += len(agg)
+            agg["doc_id"] = pdf["doc_id"].to_numpy()[agg["idx"].to_numpy()]
+            yield agg[["doc_id", "term", "tf", "positions", "doc_len"]]
+        wall_ms = int((time.time() - t0) * 1000)
+        yield pd.DataFrame(
+            {
+                "doc_id": [pid],
+                "term": [None],
+                "tf": [n_postings],
+                "positions": [[wall_ms, bytes_in & 0x7FFFFFFF, bytes_in >> 31]],
+                "doc_len": [n_docs],
+            }
+        )
+
+    schema = (
+        "doc_id long, term string, tf long, positions array<int>, doc_len long"
+    )
+    raw = corpus.select("doc_id", "content", "lang").mapInPandas(kernel, schema)
+    return (raw,) + split_raw_postings(raw, build_id)
+
+
+def split_raw_postings(raw: DataFrame, build_id: str):
+    """Split a raw tokenize output (possibly re-read from staging parquet)
+    into (postings, lineage)."""
+    postings = raw.where(F.col("term").isNotNull())
+    lineage = raw.where(F.col("term").isNull()).select(
+        F.lit(build_id).alias("build_id"),
+        F.lit("tokenize").alias("stage"),
+        F.col("doc_id").cast("int").alias("partition_id"),
+        F.col("doc_len").alias("n_docs"),
+        F.col("tf").alias("n_postings"),
+        (
+            F.element_at("positions", 2).cast("long")
+            + (F.element_at("positions", 3).cast("long") * F.lit(2147483648))
+        ).alias("bytes_in"),
+        (F.element_at("positions", 1) / 1000.0).alias("wall_sec"),
+    ).withColumn(
+        "files_per_sec", F.col("n_docs") / F.greatest(F.col("wall_sec"), F.lit(1e-3))
+    ).withColumn(
+        "bytes_per_sec", F.col("bytes_in") / F.greatest(F.col("wall_sec"), F.lit(1e-3))
+    )
+    return postings, lineage

@@ -116,9 +116,13 @@ def build_doc_stats(prepared: DataFrame, postings: DataFrame) -> DataFrame:
     of N and avgdl, matching the oracle's definition.
     """
     lens = postings.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+    meta_cols = [
+        c for c in ("doc_id", "repo", "path", "commit", "lang",
+                    "content_sha256", "size_bytes")
+        if c in prepared.columns
+    ]
     return (
-        prepared.select("doc_id", "repo", "path", "commit", "lang",
-                        "content_sha256", "size_bytes")
+        prepared.select(*meta_cols)
         .join(lens, "doc_id", "left")
         .withColumn("doc_len", F.coalesce("doc_len", F.lit(0)))
     )

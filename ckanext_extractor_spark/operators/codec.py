@@ -9,6 +9,10 @@ Layout of one encoded posting list (all little-endian):
     varbyte( n_postings )
     varbyte( doc_id_gap_0 ... doc_id_gap_{n-1} )   # delta vs previous
     varbyte( tf_0 ... tf_{n-1} )
+    varbyte( doc_len_0 ... doc_len_{n-1} )         # per-posting norms, like
+                                                   # Lucene's (freq, norm)
+                                                   # impact pairs — lists are
+                                                   # self-contained for BM25
     varbyte( n_positions_total )
     varbyte( position-gaps, per doc, positions delta-encoded within doc )
 
@@ -120,7 +124,8 @@ def encode_posting_list(
 
     parts = [varbyte_encode(np.array([len(u)], dtype=np.uint64)),
              varbyte_encode(gaps),
-             varbyte_encode(tfs.astype(np.uint64))]
+             varbyte_encode(tfs.astype(np.uint64)),
+             varbyte_encode(doc_lens.astype(np.uint64))]
     if positions is not None and len(positions):
         flat = []
         for p in positions:
@@ -154,7 +159,8 @@ def encode_posting_list(
 
 
 def decode_posting_list(blob: bytes, with_positions: bool = False):
-    """Inverse of encode_posting_list. Returns (doc_ids, tfs[, positions])."""
+    """Inverse of encode_posting_list.
+    Returns (doc_ids, tfs, doc_lens[, positions])."""
     nvals, off = varbyte_decode(blob, 0, 1)
     n = int(nvals[0])
     gaps, off = varbyte_decode(blob, off, n)
@@ -162,8 +168,10 @@ def decode_posting_list(blob: bytes, with_positions: bool = False):
     doc_ids = (u - np.uint64(1 << 63)).view(np.int64)
     tfs, off = varbyte_decode(blob, off, n)
     tfs = tfs.astype(np.int64)
+    doc_lens, off = varbyte_decode(blob, off, n)
+    doc_lens = doc_lens.astype(np.int64)
     if not with_positions:
-        return doc_ids, tfs
+        return doc_ids, tfs, doc_lens
     npos, off = varbyte_decode(blob, off, 1)
     npos = int(npos[0])
     flat, off = varbyte_decode(blob, off, npos)
@@ -174,4 +182,4 @@ def decode_posting_list(blob: bytes, with_positions: bool = False):
         seg = flat[cursor : cursor + tf]
         positions.append(np.cumsum(seg))
         cursor += tf
-    return doc_ids, tfs, positions
+    return doc_ids, tfs, doc_lens, positions

@@ -26,8 +26,6 @@ pruning reads only the buckets of the query's terms.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -80,10 +78,8 @@ def encode_segments(
     posting list into one blob row. Shuffle is ONE exchange keyed by the
     salted grouping key; encoding is a numpy kernel per group."""
 
-    def encode_group(keys, pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
         term, bucket, salt_id = keys
-        chunks = list(pdfs)
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         doc_lens = pdf["doc_len"].to_numpy(dtype=np.int64)
@@ -95,7 +91,7 @@ def encode_segments(
         enc = encode_posting_list(
             doc_ids, tfs, positions, doc_lens, avgdl, k1=k1, b=b
         )
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "term": [term],
                 "term_bucket": np.array([bucket], dtype=np.int32),
@@ -128,39 +124,35 @@ def read_segments(spark, path: str, terms: list[str] | None = None,
     """
     df = spark.read.parquet(path)
     if terms:
-        buckets = sorted(
-            {int(np.uint64(_xxhash64_str(t)) % np.uint64(n_buckets)) for t in terms}
-        )
+        hashes = _xxhash64_strs(list(terms))
+        buckets = sorted({hashes[t] % n_buckets for t in terms})
         df = df.where(F.col("term_bucket").isin(buckets)).where(
             F.col("term").isin(terms)
         )
     return df
 
 
-def _xxhash64_str(s: str) -> int:
+_XXHASH_CACHE: dict[str, int] = {}
+
+
+def _xxhash64_strs(strings: list[str]) -> dict[str, int]:
     """Driver-side xxhash64 matching Spark's `xxhash64(string)` (seed 42).
 
     Used only to compute bucket ids for partition pruning at query time;
     correctness does not depend on it (the residual term filter is exact) —
-    a wrong bucket mapping would only read more data. Implemented lazily:
-    ask the JVM once per process and memoize.
+    a wrong bucket mapping would only read more data. One batched local
+    JVM round-trip for all uncached terms, memoized per process.
     """
-    return _xxhash64_cached(s)
+    missing = [s for s in strings if s not in _XXHASH_CACHE]
+    if missing:
+        from pyspark.sql import SparkSession
 
-
-_XXHASH_CACHE: dict[str, int] = {}
-_XXHASH_SPARK = None
-
-
-def _xxhash64_cached(s: str) -> int:
-    global _XXHASH_SPARK
-    if s in _XXHASH_CACHE:
-        return _XXHASH_CACHE[s]
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    row = spark.createDataFrame([(s,)], "t string").select(
-        F.xxhash64("t").alias("h")
-    ).collect()[0]
-    _XXHASH_CACHE[s] = row["h"]
-    return row["h"]
+        spark = SparkSession.getActiveSession()
+        rows = (
+            spark.createDataFrame([(s,) for s in missing], "t string")
+            .select("t", F.xxhash64("t").alias("h"))
+            .collect()
+        )
+        for r in rows:
+            _XXHASH_CACHE[r["t"]] = r["h"]
+    return {s: _XXHASH_CACHE[s] for s in strings}

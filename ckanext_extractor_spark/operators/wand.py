@@ -1,0 +1,306 @@
+"""Query fast path: block-max WAND top-k over encoded segments
+(SURVEY.md Q2-Q4 fast path; Ding & Suel-style BMW, re-expressed with
+numpy gallops).
+
+Two execution strategies, both rank-identical to the slow path
+(operators/query.py), tie-break score desc then doc_id asc:
+
+* ``wand_topk`` — driver-side: the query's term segments (pruned to their
+  term_buckets at read) are collected and decoded; document-at-a-time WAND
+  with (a) full-list upper bounds for pivoting, (b) per-block block-max
+  refinement to skip non-competitive pivots, (c) vectorized
+  np.searchsorted cursor gallops. Low-latency path for interactive k≪N.
+
+* ``exact_topk`` — vectorized brute merge (concatenate -> unique ->
+  bincount -> argpartition). No pruning, but every op is numpy; the
+  baseline the WAND path is benchmarked against, and the kernel the
+  distributed per-bucket scorer reuses.
+
+At cluster scale the same kernels run inside mapInPandas per term_bucket
+(segments are bucket-partitioned parquet), followed by a global top-k
+merge — see query_segments_distributed.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ckanext_extractor_spark.analysis.tokenizer import QUERY_CONFIG, analyze_query
+from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
+from ckanext_extractor_spark.operators.codec import BLOCK_SIZE, decode_posting_list
+
+
+@dataclass
+class TermPostings:
+    term: str
+    idf: float
+    doc_ids: np.ndarray  # sorted asc
+    tfs: np.ndarray
+    doc_lens: np.ndarray
+    block_last_doc: np.ndarray
+    block_max_tfn: np.ndarray
+
+    @property
+    def upper_bound(self) -> float:
+        if len(self.block_max_tfn) == 0:
+            return 0.0
+        return self.idf * (BM25_K1 + 1.0) * float(self.block_max_tfn.max())
+
+
+def load_term_postings(
+    spark,
+    segments_path: str,
+    terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    n_buckets: int = 64,
+) -> list[TermPostings]:
+    """Read the query terms' segment rows (bucket-pruned), decode, and
+    merge salt shards per term. idf from the decoded df (= n postings)."""
+    from ckanext_extractor_spark.operators.segments import read_segments
+
+    rows = read_segments(spark, segments_path, terms, n_buckets).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    out = []
+    for term, shard_rows in by_term.items():
+        ids, tfs, dls, blast, bmax = [], [], [], [], []
+        for r in shard_rows:
+            i, t, d = decode_posting_list(bytes(r["blob"]))
+            ids.append(i)
+            tfs.append(t)
+            dls.append(d)
+            blast.append(np.array(r["block_last_doc"], dtype=np.int64))
+            bmax.append(np.array(r["block_max_tfn"], dtype=np.float64))
+        doc_ids = np.concatenate(ids)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfv = np.concatenate(tfs)[order]
+        dlv = np.concatenate(dls)[order]
+        # shard block metadata stays valid as per-shard upper bounds; for
+        # the merged list rebuild block-max at BLOCK_SIZE granularity
+        k1, b = BM25_K1, BM25_B
+        df = len(doc_ids)
+        idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+        tfn = tfv / (tfv + k1 * (1.0 - b + b * dlv / avgdl))
+        nb = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+        bl = np.empty(nb, dtype=np.int64)
+        bm = np.empty(nb, dtype=np.float64)
+        for bi in range(nb):
+            sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
+            bl[bi] = doc_ids[sl][-1]
+            bm[bi] = tfn[sl].max()
+        out.append(
+            TermPostings(term, idf, doc_ids, tfv, dlv, bl, bm)
+        )
+    return out
+
+
+def _scores(tp: TermPostings, idx: np.ndarray, avgdl: float,
+            k1: float, b: float) -> np.ndarray:
+    tf = tp.tfs[idx].astype(np.float64)
+    dl = tp.doc_lens[idx].astype(np.float64)
+    return tp.idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def exact_topk(
+    term_lists: list[TermPostings],
+    k: int,
+    avgdl: float,
+    conjunctive: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """Vectorized brute-force merge; exact, the distributed kernel."""
+    if not term_lists:
+        return []
+    if conjunctive:
+        # progressive sorted intersection, smallest list first
+        lists = sorted(term_lists, key=lambda t: len(t.doc_ids))
+        cand = lists[0].doc_ids
+        for tp in lists[1:]:
+            cand = cand[np.isin(cand, tp.doc_ids, assume_unique=True)]
+            if cand.size == 0:
+                return []
+        total = np.zeros(cand.size, dtype=np.float64)
+        for tp in term_lists:
+            idx = np.searchsorted(tp.doc_ids, cand)
+            total += _scores(tp, idx, avgdl, k1, b)
+        docs = cand
+    else:
+        all_ids = np.concatenate([tp.doc_ids for tp in term_lists])
+        all_scores = np.concatenate(
+            [_scores(tp, np.arange(len(tp.doc_ids)), avgdl, k1, b)
+             for tp in term_lists]
+        )
+        docs, inv = np.unique(all_ids, return_inverse=True)
+        total = np.bincount(inv, weights=all_scores)
+    if docs.size == 0:
+        return []
+    kk = min(k, docs.size)
+    # top-k by (-score, doc_id): argpartition then exact sort of the head
+    part = np.argpartition(-total, kk - 1)[:kk * 2 if kk * 2 <= docs.size else docs.size]
+    cand_scores = total[part]
+    cand_docs = docs[part]
+    order = np.lexsort((cand_docs, -cand_scores))[:kk]
+    return [(int(cand_docs[i]), float(cand_scores[i])) for i in order]
+
+
+def wand_topk(
+    term_lists: list[TermPostings],
+    k: int,
+    avgdl: float,
+    conjunctive: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """Document-at-a-time block-max WAND.
+
+    Heap holds (score, -doc_id) so the threshold tie-break matches
+    (score desc, doc_id asc): a new doc replaces an equal-score incumbent
+    only if its doc_id is smaller.
+    """
+    lists = [tp for tp in term_lists if len(tp.doc_ids)]
+    if not lists:
+        return []
+    if conjunctive and len(lists) < len(term_lists):
+        return []  # AND with a zero-df term matches nothing
+    n_req = len(lists) if conjunctive else 1
+    cursors = {tp.term: 0 for tp in lists}
+    ubs = {tp.term: tp.upper_bound for tp in lists}
+    heap: list[tuple[float, int]] = []  # (score, -doc_id), min-heap of top-k
+
+    def theta() -> tuple[float, int]:
+        if len(heap) < k:
+            return (-np.inf, 0)
+        return heap[0]
+
+    live = list(lists)
+    while True:
+        live = [tp for tp in live if cursors[tp.term] < len(tp.doc_ids)]
+        if len(live) < n_req:
+            break
+        order = sorted(live, key=lambda tp: tp.doc_ids[cursors[tp.term]])
+        th, _ = theta()
+        # pivot selection on full-list upper bounds
+        acc = 0.0
+        pivot_i = None
+        if conjunctive:
+            # every term required -> pivot is the max of current cursor docs
+            pivot_i = len(order) - 1
+            acc = sum(ubs[tp.term] for tp in order)
+            if acc <= th and len(heap) >= k:
+                break
+        else:
+            for i, tp in enumerate(order):
+                acc += ubs[tp.term]
+                if acc > th:
+                    pivot_i = i
+                    break
+            if pivot_i is None:
+                break  # no doc can beat threshold
+        pivot_doc = int(order[pivot_i].doc_ids[cursors[order[pivot_i].term]])
+
+        # block-max refinement: tighter bound at pivot's blocks
+        bacc = 0.0
+        for tp in order[: pivot_i + 1]:
+            ci = cursors[tp.term]
+            bi = int(np.searchsorted(tp.block_last_doc, pivot_doc))
+            if bi < len(tp.block_max_tfn):
+                bacc += tp.idf * (k1 + 1.0) * float(tp.block_max_tfn[bi])
+        if bacc <= th and len(heap) >= k:
+            # skip past the earliest block boundary among the pivot terms
+            nxt = pivot_doc + 1
+            bounds = []
+            for tp in order[: pivot_i + 1]:
+                bi = int(np.searchsorted(tp.block_last_doc, pivot_doc))
+                if bi < len(tp.block_last_doc):
+                    bounds.append(int(tp.block_last_doc[bi]))
+            if bounds:
+                nxt = max(nxt, min(bounds) + 1)
+            for tp in order[: pivot_i + 1]:
+                c = cursors[tp.term]
+                cursors[tp.term] = c + int(
+                    np.searchsorted(tp.doc_ids[c:], nxt, side="left")
+                )
+            continue
+
+        if int(order[0].doc_ids[cursors[order[0].term]]) == pivot_doc:
+            # fully aligned prefix -> evaluate pivot_doc exactly
+            score = 0.0
+            n_present = 0
+            for tp in lists:
+                c = cursors[tp.term]
+                if c < len(tp.doc_ids) and int(tp.doc_ids[c]) == pivot_doc:
+                    score += float(_scores(tp, np.array([c]), avgdl, k1, b)[0])
+                    n_present += 1
+            if (not conjunctive or n_present == n_req):
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+            for tp in lists:
+                c = cursors[tp.term]
+                if c < len(tp.doc_ids) and int(tp.doc_ids[c]) == pivot_doc:
+                    cursors[tp.term] = c + 1
+        else:
+            # gallop the earlier cursors up to the pivot
+            for tp in order[:pivot_i]:
+                c = cursors[tp.term]
+                cursors[tp.term] = c + int(
+                    np.searchsorted(tp.doc_ids[c:], pivot_doc, side="left")
+                )
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s) for s, d in out]
+
+
+def query_segments_distributed(
+    spark,
+    segments: DataFrame,
+    terms_idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    conjunctive: bool = True,
+    n_query_terms: int | None = None,
+) -> DataFrame:
+    """Cluster-scale path: decode+score inside each term_bucket partition
+    (mapInPandas, vectorized), aggregate per doc, global TakeOrdered.
+
+    Used when posting lists are too large to collect; the per-bucket
+    kernel is the same vectorized scorer as exact_topk.
+    """
+    import pandas as pd
+
+    k1, b = BM25_K1, BM25_B
+    nq = n_query_terms or len(terms_idf)
+
+    def score_part(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                idf = terms_idf.get(row["term"])
+                if idf is None:
+                    continue
+                ids, tfs, dls = decode_posting_list(bytes(row["blob"]))
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                frames.append(pd.DataFrame({"doc_id": ids, "term_score": s}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = segments.mapInPandas(score_part, "doc_id long, term_score double")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+    )
+    if conjunctive:
+        per_doc = per_doc.where(F.col("n_matched") == nq)
+    return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,1 @@
+from ckanext_extractor_spark.sources.corpus_source import read_corpus  # noqa: F401

@@ -53,10 +53,13 @@ def test_posting_list_roundtrip(rows):
     doc_lens = np.array([r[2] for r in rows], dtype=np.int64)
     positions = [np.cumsum(rng.randint(1, 50, size=tf)) for tf in tfs]
     enc = encode_posting_list(doc_ids, tfs, positions, doc_lens, avgdl=100.0)
-    got_ids, got_tfs, got_pos = decode_posting_list(enc["blob"], with_positions=True)
+    got_ids, got_tfs, got_dls, got_pos = decode_posting_list(
+        enc["blob"], with_positions=True
+    )
     order = np.argsort(doc_ids, kind="stable")
     assert np.array_equal(got_ids, doc_ids[order])
     assert np.array_equal(got_tfs, tfs[order])
+    assert np.array_equal(got_dls, doc_lens[order])
     for i, oi in enumerate(order):
         assert np.array_equal(got_pos[i], positions[oi])
 
