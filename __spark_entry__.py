@@ -363,6 +363,100 @@ _pair("q18_skew_hot_terms", _SKEW.format(tok=SPARK_TOK), _SKEW.format(tok=DUCK_T
 
 
 # ---------------------------------------------------------------------------
+# functions/-library entries: the DataFrame operator implementations checked
+# against independently-written DuckDB SQL
+# ---------------------------------------------------------------------------
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ckanext_extractor_spark.functions.textstats import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(docs, text_col="text").select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "total_token_chars"
+    )
+
+
+_TOKEN_STATS_DUCK = f"""
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+    AS total_token_chars
+FROM t
+"""
+
+
+def _q_simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ckanext_extractor_spark.functions.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumnRenamed(
+        "text", "content"
+    )
+    return simhash64(docs, n_bits=16).select("doc_id", "simhash")
+
+
+_SIMHASH_FN_DUCK = _SIMHASH.format(
+    tok=DUCK_TOK, h60=DUCK_H60.format(x="term"), bit_tbl=_DUCK_BITS
+).replace("AS simhash16", "AS simhash")
+
+
+def _q_minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.dedup import minhash_signatures
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 50 = 0")
+        .withColumnRenamed("text", "content")
+    )
+    sig = minhash_signatures(docs, n_hashes=4)
+    return sig.select(
+        "doc_id",
+        *[F.element_at("minhash", i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+def _q_cosine_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where("vec_id = 0").collect()[0]["embedding"]
+    out = cosine_topk(
+        emb.where("vec_id != 0"), [float(x) for x in qvec], k=10
+    )
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+_PAIRS["q19_token_stats_fn"] = ("", _TOKEN_STATS_DUCK)
+_PAIRS["q20_simhash_fn"] = ("", _SIMHASH_FN_DUCK)
+_PAIRS["q21_minhash_fn"] = ("", _MINHASH.format(tok=DUCK_TOK, **_mh(DUCK_H60)))
+_PAIRS["q22_cosine_fn"] = (
+    "",
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0), "
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0), "
+    "s AS (SELECT vec_id, list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos "
+    "FROM e CROSS JOIN q) "
+    "SELECT vec_id, ROUND(cos, 4) AS cosine FROM s "
+    "ORDER BY ROUND(cos, 6) DESC, vec_id ASC LIMIT 10",
+)
+
+_FN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q19_token_stats_fn": _q_token_stats,
+    "q20_simhash_fn": _q_simhash_fn,
+    "q21_minhash_fn": _q_minhash_fn,
+    "q22_cosine_fn": _q_cosine_fn,
+}
+
+
+# ---------------------------------------------------------------------------
 # engine-native entries (no SQL oracle -> rows-only check)
 # ---------------------------------------------------------------------------
 
@@ -423,8 +517,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: _sql_query(spark_sql) for name, (spark_sql, _) in _PAIRS.items()
+        name: _sql_query(spark_sql)
+        for name, (spark_sql, _) in _PAIRS.items()
+        if spark_sql
     }
+    out.update(_FN_QUERIES)
     out["q30_code_postings"] = _q_code_postings
     out["q31_bm25_engine_pipeline"] = _q_bm25_engine
     return out

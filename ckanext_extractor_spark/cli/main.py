@@ -79,6 +79,13 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_init(args) -> int:
+    eng = _engine(args)
+    eng._write_meta()
+    print(json.dumps({"initialized": args.index, "n_buckets": eng.n_buckets}))
+    return 0
+
+
 def cmd_lineage(args) -> int:
     eng = _engine(args)
     for r in eng.lineage().orderBy("build_id", "partition_id").collect():
@@ -127,6 +134,14 @@ def main(argv=None) -> int:
     g = sub.add_parser("lineage", help="per-partition build metrics")
     g.add_argument("--index", required=True)
     g.set_defaults(fn=cmd_lineage)
+
+    i = sub.add_parser(
+        "init", help="initialize an empty index root (paster init analog)"
+    )
+    i.add_argument("--index", required=True)
+    i.add_argument("--buckets", type=int, default=64)
+    i.add_argument("--langs", nargs="*", default=None)
+    i.set_defaults(fn=cmd_init)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -133,7 +133,7 @@ def tokenize_with_lineage(
     #   doc_id   = partition_id
     #   tf       = n_postings emitted by the partition
     #   doc_len  = n_docs seen
-    #   positions= [wall_ms, bytes_in_lo32, bytes_in_hi32]
+    #   positions= pack('>qq', wall_ms, bytes_in)  (big-endian for SQL hex)
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
@@ -155,19 +155,21 @@ def tokenize_with_lineage(
             agg["doc_id"] = pdf["doc_id"].to_numpy()[agg["idx"].to_numpy()]
             yield agg[["doc_id", "term", "tf", "positions", "doc_len"]]
         wall_ms = int((time.time() - t0) * 1000)
+        import struct
+
         yield pd.DataFrame(
             {
                 "doc_id": [pid],
                 "term": [None],
                 "tf": [n_postings],
-                "positions": [[wall_ms, bytes_in & 0x7FFFFFFF, bytes_in >> 31]],
+                "positions": [struct.pack(">qq", wall_ms, bytes_in)],
                 "doc_len": [n_docs],
             }
         )
 
-    schema = (
-        "doc_id long, term string, tf long, positions array<int>, doc_len long"
-    )
+    from ckanext_extractor_spark.operators.build import POSTINGS_SCHEMA
+
+    schema = POSTINGS_SCHEMA
     raw = corpus.select("doc_id", "content", "lang").mapInPandas(kernel, schema)
     return (raw,) + split_raw_postings(raw, build_id)
 
@@ -182,11 +184,13 @@ def split_raw_postings(raw: DataFrame, build_id: str):
         F.col("doc_id").cast("int").alias("partition_id"),
         F.col("doc_len").alias("n_docs"),
         F.col("tf").alias("n_postings"),
+        F.conv(F.hex(F.expr("substring(positions, 9, 8)")), 16, 10)
+        .cast("long")
+        .alias("bytes_in"),
         (
-            F.element_at("positions", 2).cast("long")
-            + (F.element_at("positions", 3).cast("long") * F.lit(2147483648))
-        ).alias("bytes_in"),
-        (F.element_at("positions", 1) / 1000.0).alias("wall_sec"),
+            F.conv(F.hex(F.expr("substring(positions, 1, 8)")), 16, 10).cast("long")
+            / 1000.0
+        ).alias("wall_sec"),
     ).withColumn(
         "files_per_sec", F.col("n_docs") / F.greatest(F.col("wall_sec"), F.lit(1e-3))
     ).withColumn(

@@ -40,8 +40,10 @@ from ckanext_extractor_spark.analysis.tokenizer import (
     postings_for_batch,
 )
 
+# positions is BINARY: per-(doc, term) gap+varbyte-encoded position list
+# (the segment codec's exact byte layout — see tokenizer.postings_for_batch)
 POSTINGS_SCHEMA = (
-    "doc_id long, term string, tf long, positions array<int>, doc_len long"
+    "doc_id long, term string, tf long, positions binary, doc_len long"
 )
 
 BM25_K1 = 1.2

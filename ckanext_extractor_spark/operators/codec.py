@@ -36,9 +36,15 @@ BLOCK_SIZE = 128
 
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized LEB128-style varbyte encode of a uint64 array."""
+    return varbyte_encode_with_lengths(values)[0]
+
+
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """varbyte encode + per-value byte lengths (for callers that slice the
+    buffer into sub-ranges, e.g. per-group position blobs)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.array([], dtype=np.int64)
     # byte length per value: number of 7-bit groups, at least 1
     lengths = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -61,7 +67,7 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         byte = byte | np.where(is_last, 0, 0x80).astype(np.uint8)
         out[idx] = byte
         shifted[mask] = shifted[mask] >> np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), lengths
 
 
 def varbyte_decode(buf: bytes, offset: int = 0, count: int | None = None):
@@ -103,19 +109,24 @@ def encode_posting_list(
     k1: float = 1.2,
     b: float = 0.75,
     block_size: int = BLOCK_SIZE,
+    positions_blobs: list[bytes] | None = None,
 ):
-    """Encode ONE term's postings (already sorted by doc_id ascending).
+    """Encode ONE term's postings (sorted internally by doc_id ascending).
 
-    doc_ids may be negative int64 (xxhash64) — they are mapped through a
-    zigzag-free trick: reinterpret as uint64 after subtracting int64 min,
-    preserving order. Returns dict with blob + block-max arrays.
+    doc_ids may be negative int64 (xxhash64) — they are mapped through an
+    order-preserving reinterpretation to uint64. Returns dict with blob +
+    block-max arrays.
+
+    Positions come in either as raw arrays (``positions``: re-encoded
+    here) or, on the hot path, as PRE-ENCODED per-posting varbyte gap
+    blobs (``positions_blobs``, produced by the tokenize kernel) — those
+    are pure byte concatenation in doc order, so position data never
+    re-materializes as integers between tokenizer and segment file.
     """
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
     tfs = np.asarray(tfs, dtype=np.int64)[order]
     doc_lens = np.asarray(doc_lens, dtype=np.int64)[order]
-    if positions is not None:
-        positions = [np.asarray(positions[i], dtype=np.int64) for i in order]
 
     u = doc_ids.astype(np.int64).view(np.uint64) + np.uint64(1 << 63)  # order-preserving
     gaps = np.empty_like(u)
@@ -126,7 +137,12 @@ def encode_posting_list(
              varbyte_encode(gaps),
              varbyte_encode(tfs.astype(np.uint64)),
              varbyte_encode(doc_lens.astype(np.uint64))]
-    if positions is not None and len(positions):
+    if positions_blobs is not None:
+        n_pos = int(tfs.sum())
+        parts.append(varbyte_encode(np.array([n_pos], dtype=np.uint64)))
+        parts.extend(positions_blobs[i] for i in order)
+    elif positions is not None and len(positions):
+        positions = [np.asarray(positions[i], dtype=np.int64) for i in order]
         flat = []
         for p in positions:
             d = np.empty_like(p)
@@ -156,6 +172,88 @@ def encode_posting_list(
         "block_last_doc": block_last_doc,
         "block_max_tfn": block_max_tfn,
     }
+
+
+def encode_posting_lists_grouped(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    pos_blobs: np.ndarray | None,
+    g_starts: np.ndarray,
+    g_ends: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+):
+    """Encode MANY terms' posting lists in one vectorized pass.
+
+    Inputs are row arrays sorted by (term, doc_id); term i owns rows
+    [g_starts[i], g_ends[i]) and groups are contiguous+covering. Each
+    varbyte stream (doc-gaps, tfs, doc_lens, counts) is encoded ONCE for
+    the whole task and sliced per term by byte-length prefix sums — the
+    per-term python work is byte concatenation only. Produces blobs
+    byte-identical to encode_posting_list (pinned by tests).
+
+    Why: per-term encode_posting_list costs ~0.8 ms/term in numpy
+    fixed overhead (5 tiny varbyte calls); a segment task owns 10^4..10^5
+    terms, so per-term overhead dominated the entire segment stage.
+    """
+    n_terms = len(g_starts)
+    ns = (g_ends - g_starts).astype(np.uint64)
+    u = doc_ids.astype(np.int64).view(np.uint64) + np.uint64(1 << 63)
+    gaps = np.empty_like(u)
+    gaps[1:] = u[1:] - u[:-1]
+    gaps[g_starts] = u[g_starts]
+
+    buf_ns, len_ns = varbyte_encode_with_lengths(ns)
+    buf_gaps, len_gaps = varbyte_encode_with_lengths(gaps)
+    buf_tfs, len_tfs = varbyte_encode_with_lengths(tfs.astype(np.uint64))
+    buf_dls, len_dls = varbyte_encode_with_lengths(doc_lens.astype(np.uint64))
+    if pos_blobs is not None:
+        npos = np.add.reduceat(tfs, g_starts)
+    else:
+        npos = np.zeros(n_terms, dtype=np.int64)
+    buf_npos, len_npos = varbyte_encode_with_lengths(npos.astype(np.uint64))
+
+    def row_ranges(lengths):
+        cum = np.concatenate(([0], np.cumsum(lengths)))
+        return cum[g_starts], cum[g_ends]
+
+    gs_b, ge_b = row_ranges(len_gaps)
+    ts_b, te_b = row_ranges(len_tfs)
+    ds_b, de_b = row_ranges(len_dls)
+    cum_ns = np.concatenate(([0], np.cumsum(len_ns)))
+    cum_np = np.concatenate(([0], np.cumsum(len_npos)))
+
+    # block-max metadata, vectorized across all terms
+    tfn = tfs / (tfs + k1 * (1.0 - b + b * doc_lens / float(avgdl)))
+    nb = (ns.astype(np.int64) + block_size - 1) // block_size
+    term_of_block = np.repeat(np.arange(n_terms), nb)
+    nb_cum = np.concatenate(([0], np.cumsum(nb)))
+    within = np.arange(nb_cum[-1]) - nb_cum[term_of_block]
+    blk_start = g_starts[term_of_block] + within * block_size
+    blk_end = np.minimum(blk_start + block_size, g_ends[term_of_block])
+    blk_last_doc = doc_ids[blk_end - 1]
+    blk_max = np.maximum.reduceat(tfn, blk_start) if len(blk_start) else np.array([])
+
+    blobs, last_docs, max_tfns = [], [], []
+    for i in range(n_terms):
+        parts = [
+            buf_ns[cum_ns[i] : cum_ns[i + 1]],
+            buf_gaps[gs_b[i] : ge_b[i]],
+            buf_tfs[ts_b[i] : te_b[i]],
+            buf_dls[ds_b[i] : de_b[i]],
+            buf_npos[cum_np[i] : cum_np[i + 1]],
+        ]
+        if pos_blobs is not None:
+            parts.extend(
+                bytes(p) for p in pos_blobs[g_starts[i] : g_ends[i]]
+            )
+        blobs.append(b"".join(parts))
+        last_docs.append(blk_last_doc[nb_cum[i] : nb_cum[i + 1]].tolist())
+        max_tfns.append(blk_max[nb_cum[i] : nb_cum[i + 1]].tolist())
+    return blobs, ns.astype(np.int64), last_docs, max_tfns
 
 
 def decode_posting_list(blob: bytes, with_positions: bool = False):

@@ -88,3 +88,60 @@ def bm25_search(
     if conjunctive:
         per_doc = per_doc.where(F.col("n_matched") == len(terms))
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_search_synonyms(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+    lang: str | None = None,
+    conjunctive: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Query-time synonym expansion (SURVEY.md T6; reference analog:
+    SynonymFilter in the query-only analyzer, schema.xml:61).
+
+    Each analyzed query term becomes an OR-group {term + its synonyms'
+    analyzed tokens}. A doc matches a group if it contains any member;
+    conjunctive retrieval requires every group matched. Group score is the
+    sum of matched members' BM25 contributions (pinned semantics; Lucene's
+    SynonymQuery blends dfs — we keep per-term idf, which the oracle
+    mirrors)."""
+    base_terms = list(dict.fromkeys(analyze_query(query, lang, QUERY_CONFIG)))
+    spark = postings.sparkSession
+    if not base_terms:
+        return spark.createDataFrame([], "doc_id long, score double, n_matched int")
+    pairs: list[tuple[str, int]] = []
+    for gid, t in enumerate(base_terms):
+        members = [t]
+        for syn in synonyms.get(t, []):
+            members.extend(analyze_query(syn, lang, QUERY_CONFIG))
+        for m in dict.fromkeys(members):
+            pairs.append((m, gid))
+    term_gid = spark.createDataFrame(pairs, "term string, gid int")
+    all_terms = [p[0] for p in pairs]
+    matched = postings.where(F.col("term").isin(all_terms))
+    dict_rows = dictionary.where(F.col("term").isin(all_terms)).select("term", "df")
+    scored = (
+        matched.join(F.broadcast(dict_rows), "term")
+        .join(F.broadcast(term_gid), "term")
+        .select(
+            "doc_id",
+            "gid",
+            bm25_score_col(
+                F.col("tf"), F.col("df"), F.col("doc_len"), n_docs, avgdl, k1, b
+            ).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.countDistinct("gid").cast("int").alias("n_matched"),
+    )
+    if conjunctive:
+        per_doc = per_doc.where(F.col("n_matched") == len(base_terms))
+    return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

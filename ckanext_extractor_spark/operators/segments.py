@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
-from ckanext_extractor_spark.operators.codec import encode_posting_list
+from ckanext_extractor_spark.operators.codec import (
+    encode_posting_list,  # noqa: F401 (single-list API, tests/tools)
+    encode_posting_lists_grouped,
+)
 
 SEGMENT_SCHEMA = (
     "term string, term_bucket int, salt_id int, n_postings long, "
@@ -73,39 +76,102 @@ def encode_segments(
     k1: float = BM25_K1,
     b: float = BM25_B,
     with_positions: bool = True,
+    n_tasks: int | None = None,
 ) -> DataFrame:
-    """Group by (term_bucket, term, salt_id) shard and encode each term's
-    posting list into one blob row. Shuffle is ONE exchange keyed by the
-    salted grouping key; encoding is a numpy kernel per group."""
+    """Encode posting blobs: repartition by (term_bucket, salt_id), sort
+    within partitions by (bucket, salt, term, doc_id), then a STREAMING
+    mapInPandas encoder with carry-over stitching at batch boundaries.
 
-    def encode_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, bucket, salt_id = keys
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        doc_lens = pdf["doc_len"].to_numpy(dtype=np.int64)
-        positions = (
-            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-            if with_positions
-            else None
-        )
-        enc = encode_posting_list(
-            doc_ids, tfs, positions, doc_lens, avgdl, k1=k1, b=b
-        )
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "term_bucket": np.array([bucket], dtype=np.int32),
-                "salt_id": np.array([salt_id], dtype=np.int32),
-                "n_postings": np.array([enc["n_postings"]], dtype=np.int64),
-                "blob": [enc["blob"]],
-                "block_last_doc": [enc["block_last_doc"].tolist()],
-                "block_max_tfn": [enc["block_max_tfn"].tolist()],
-            }
-        )
+    Why streaming, not groupBy().applyInPandas: applyInPandas materializes
+    each group as ONE pandas frame — at segment granularity that's
+    10^5..10^6 rows of python bytes objects per task, which (measured)
+    thrashes the allocator and anti-scales with worker count. The
+    streaming encoder sees bounded Arrow batches (session cap 1024 rows),
+    keeps only the current in-progress term as carry, and emits encoded
+    rows batch by batch. A term's rows are contiguous (sorted), so the
+    only stitching needed is the tail term of each batch.
 
-    return salted.groupBy("term", "term_bucket", "salt_id").applyInPandas(
-        encode_group, schema=SEGMENT_SCHEMA
+    Salting still spreads hot terms' rows across salt shards; skew beyond
+    that is bounded by the batch size, not the group size. The shuffle is
+    ONE exchange; determinism comes from the in-kernel (term, doc_id)
+    ordering, not shuffle order."""
+
+    def encode_stream(batches):
+        carry: pd.DataFrame | None = None
+
+        def encode_keys(pdf: pd.DataFrame) -> pd.DataFrame:
+            # pdf rows sorted by (bucket, salt, term, doc_id), all keys
+            # complete. Encode per (bucket, salt) slice via the grouped
+            # vectorized encoder.
+            out = []
+            bs = pdf["term_bucket"].to_numpy()
+            ss = pdf["salt_id"].to_numpy()
+            key_change = np.flatnonzero((bs[1:] != bs[:-1]) | (ss[1:] != ss[:-1])) + 1
+            part_starts = np.concatenate(([0], key_change, [len(pdf)]))
+            for pi in range(len(part_starts) - 1):
+                s, e = part_starts[pi], part_starts[pi + 1]
+                sub = pdf.iloc[s:e]
+                terms = sub["term"].to_numpy()
+                bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+                g_starts = np.concatenate(([0], bounds))
+                g_ends = np.concatenate((bounds, [len(sub)]))
+                blobs, ns, last_docs, max_tfns = encode_posting_lists_grouped(
+                    sub["doc_id"].to_numpy(dtype=np.int64),
+                    sub["tf"].to_numpy(dtype=np.int64),
+                    sub["doc_len"].to_numpy(dtype=np.int64),
+                    sub["positions"].to_numpy() if with_positions else None,
+                    g_starts, g_ends, avgdl, k1=k1, b=b,
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "term": terms[g_starts],
+                            "term_bucket": np.full(
+                                len(ns), sub["term_bucket"].iat[0], dtype=np.int32
+                            ),
+                            "salt_id": np.full(
+                                len(ns), sub["salt_id"].iat[0], dtype=np.int32
+                            ),
+                            "n_postings": ns,
+                            "blob": blobs,
+                            "block_last_doc": last_docs,
+                            "block_max_tfn": max_tfns,
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            # hold back the trailing (bucket, salt, term) key — it may
+            # continue in the next batch
+            last_b = pdf["term_bucket"].iat[-1]
+            last_s = pdf["salt_id"].iat[-1]
+            last_t = pdf["term"].iat[-1]
+            tail_mask = (
+                (pdf["term_bucket"] == last_b)
+                & (pdf["salt_id"] == last_s)
+                & (pdf["term"] == last_t)
+            ).to_numpy()
+            # sorted input -> the matching rows form a contiguous suffix;
+            # worst-case carry is one term's shard (<= salt_threshold rows)
+            n_tail = int(tail_mask.sum())
+            head = pdf.iloc[: len(pdf) - n_tail]
+            carry = pdf.iloc[len(pdf) - n_tail :]
+            if len(head):
+                yield encode_keys(head)
+        if carry is not None and len(carry):
+            yield encode_keys(carry)
+
+    nt = n_tasks or salted.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    arranged = salted.repartition(int(nt), "term_bucket", "salt_id").sortWithinPartitions(
+        "term_bucket", "salt_id", "term", "doc_id"
     )
+    return arranged.mapInPandas(encode_stream, schema=SEGMENT_SCHEMA)
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:

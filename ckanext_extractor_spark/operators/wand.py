@@ -30,7 +30,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ckanext_extractor_spark.analysis.tokenizer import QUERY_CONFIG, analyze_query
 from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
 from ckanext_extractor_spark.operators.codec import BLOCK_SIZE, decode_posting_list
 
@@ -54,52 +53,64 @@ class TermPostings:
 
 def load_term_postings(
     spark,
-    segments_path: str,
+    segments: "str | DataFrame",
     terms: list[str],
     n_docs: int,
     avgdl: float,
     n_buckets: int = 64,
 ) -> list[TermPostings]:
-    """Read the query terms' segment rows (bucket-pruned), decode, and
-    merge salt shards per term. idf from the decoded df (= n postings)."""
+    """Read the query terms' segment rows, decode, and merge salt shards
+    per term. idf from the decoded df (= n postings).
+
+    ``segments`` is a parquet path (cold: bucket-pruned directory read) or
+    an already-cached segments DataFrame (warm: in-memory term filter —
+    the 'warm dictionary' serving mode of BASELINE.md's query protocol)."""
     from ckanext_extractor_spark.operators.segments import read_segments
 
-    rows = read_segments(spark, segments_path, terms, n_buckets).collect()
+    if isinstance(segments, str):
+        seg_df = read_segments(spark, segments, terms, n_buckets)
+    else:
+        seg_df = segments.where(F.col("term").isin(terms))
+    rows = seg_df.collect()
     by_term: dict[str, list] = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
-    out = []
-    for term, shard_rows in by_term.items():
-        ids, tfs, dls, blast, bmax = [], [], [], [], []
-        for r in shard_rows:
-            i, t, d = decode_posting_list(bytes(r["blob"]))
-            ids.append(i)
-            tfs.append(t)
-            dls.append(d)
-            blast.append(np.array(r["block_last_doc"], dtype=np.int64))
-            bmax.append(np.array(r["block_max_tfn"], dtype=np.float64))
-        doc_ids = np.concatenate(ids)
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids = doc_ids[order]
-        tfv = np.concatenate(tfs)[order]
-        dlv = np.concatenate(dls)[order]
-        # shard block metadata stays valid as per-shard upper bounds; for
-        # the merged list rebuild block-max at BLOCK_SIZE granularity
-        k1, b = BM25_K1, BM25_B
-        df = len(doc_ids)
-        idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
-        tfn = tfv / (tfv + k1 * (1.0 - b + b * dlv / avgdl))
-        nb = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
-        bl = np.empty(nb, dtype=np.int64)
-        bm = np.empty(nb, dtype=np.float64)
-        for bi in range(nb):
-            sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
-            bl[bi] = doc_ids[sl][-1]
-            bm[bi] = tfn[sl].max()
-        out.append(
-            TermPostings(term, idf, doc_ids, tfv, dlv, bl, bm)
-        )
-    return out
+    return [
+        term_postings_from_rows(term, shard_rows, n_docs, avgdl)
+        for term, shard_rows in by_term.items()
+    ]
+
+
+def term_postings_from_rows(
+    term: str, shard_rows: list, n_docs: int, avgdl: float
+) -> TermPostings:
+    """Decode one term's segment rows (possibly several salt shards) into
+    a merged TermPostings. Pure driver-side numpy."""
+    ids, tfs, dls = [], [], []
+    for r in shard_rows:
+        i, t, d = decode_posting_list(bytes(r["blob"]))
+        ids.append(i)
+        tfs.append(t)
+        dls.append(d)
+    doc_ids = np.concatenate(ids)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    tfv = np.concatenate(tfs)[order]
+    dlv = np.concatenate(dls)[order]
+    # shard block metadata stays valid as per-shard upper bounds; for the
+    # merged list rebuild block-max at BLOCK_SIZE granularity
+    k1, b = BM25_K1, BM25_B
+    df = len(doc_ids)
+    idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+    tfn = tfv / (tfv + k1 * (1.0 - b + b * dlv / avgdl))
+    nb = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bl = np.empty(nb, dtype=np.int64)
+    bm = np.empty(nb, dtype=np.float64)
+    for bi in range(nb):
+        sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
+        bl[bi] = doc_ids[sl][-1]
+        bm[bi] = tfn[sl].max()
+    return TermPostings(term, idf, doc_ids, tfv, dlv, bl, bm)
 
 
 def _scores(tp: TermPostings, idx: np.ndarray, avgdl: float,
@@ -144,10 +155,13 @@ def exact_topk(
     if docs.size == 0:
         return []
     kk = min(k, docs.size)
-    # top-k by (-score, doc_id): argpartition then exact sort of the head
-    part = np.argpartition(-total, kk - 1)[:kk * 2 if kk * 2 <= docs.size else docs.size]
-    cand_scores = total[part]
-    cand_docs = docs[part]
+    # top-k by (-score, doc_id). Candidates = every doc scoring >= the
+    # k-th score (argpartition alone could keep the wrong member of a
+    # boundary tie — doc_id must break ties, not partition order).
+    kth_score = np.partition(total, docs.size - kk)[docs.size - kk]
+    cand = total >= kth_score
+    cand_scores = total[cand]
+    cand_docs = docs[cand]
     order = np.lexsort((cand_docs, -cand_scores))[:kk]
     return [(int(cand_docs[i]), float(cand_scores[i])) for i in order]
 
@@ -191,20 +205,23 @@ def wand_topk(
         # pivot selection on full-list upper bounds
         acc = 0.0
         pivot_i = None
+        # Pruning uses STRICT < against the threshold score: a candidate
+        # whose bound equals th can still win on the doc_id tiebreak, so
+        # equality must be evaluated, not skipped.
         if conjunctive:
             # every term required -> pivot is the max of current cursor docs
             pivot_i = len(order) - 1
             acc = sum(ubs[tp.term] for tp in order)
-            if acc <= th and len(heap) >= k:
+            if acc < th and len(heap) >= k:
                 break
         else:
             for i, tp in enumerate(order):
                 acc += ubs[tp.term]
-                if acc > th:
+                if acc >= th:
                     pivot_i = i
                     break
             if pivot_i is None:
-                break  # no doc can beat threshold
+                break  # no doc can beat or tie the threshold
         pivot_doc = int(order[pivot_i].doc_ids[cursors[order[pivot_i].term]])
 
         # block-max refinement: tighter bound at pivot's blocks
@@ -214,7 +231,7 @@ def wand_topk(
             bi = int(np.searchsorted(tp.block_last_doc, pivot_doc))
             if bi < len(tp.block_max_tfn):
                 bacc += tp.idf * (k1 + 1.0) * float(tp.block_max_tfn[bi])
-        if bacc <= th and len(heap) >= k:
+        if bacc < th and len(heap) >= k:
             # skip past the earliest block boundary among the pivot terms
             nxt = pivot_doc + 1
             bounds = []

@@ -93,3 +93,54 @@ def test_block_max_bounds_scores():
         sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
         assert doc_ids[sl][-1] == last
         assert tfn[sl].max() <= mx + 1e-15
+
+
+def test_grouped_encoder_matches_single():
+    """encode_posting_lists_grouped must produce byte-identical blobs to
+    per-term encode_posting_list (the format contract)."""
+    from ckanext_extractor_spark.operators.codec import (
+        encode_posting_lists_grouped,
+        varbyte_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    n_terms, avgdl = 50, 77.0
+    rows_ids, rows_tf, rows_dl, rows_pos, gs, ge = [], [], [], [], [], []
+    cursor = 0
+    singles = []
+    for t in range(n_terms):
+        df = rng.randint(1, 300)
+        ids = np.sort(rng.choice(10**6, size=df, replace=False)).astype(np.int64) - 500_000
+        tfs = rng.randint(1, 9, size=df).astype(np.int64)
+        dls = rng.randint(5, 500, size=df).astype(np.int64)
+        positions = [np.cumsum(rng.randint(1, 30, size=tf)) for tf in tfs]
+        pos_blobs = []
+        for p in positions:
+            d = np.empty_like(p)
+            d[0] = p[0]
+            d[1:] = np.diff(p)
+            pos_blobs.append(varbyte_encode(d.astype(np.uint64)))
+        singles.append(
+            encode_posting_list(ids, tfs, None, dls, avgdl, positions_blobs=pos_blobs)
+        )
+        rows_ids.append(ids)
+        rows_tf.append(tfs)
+        rows_dl.append(dls)
+        rows_pos.extend(pos_blobs)
+        gs.append(cursor)
+        ge.append(cursor + df)
+        cursor += df
+    blobs, ns, last_docs, max_tfns = encode_posting_lists_grouped(
+        np.concatenate(rows_ids),
+        np.concatenate(rows_tf),
+        np.concatenate(rows_dl),
+        np.array(rows_pos, dtype=object),
+        np.array(gs),
+        np.array(ge),
+        avgdl,
+    )
+    for t in range(n_terms):
+        assert blobs[t] == singles[t]["blob"], f"term {t} blob mismatch"
+        assert ns[t] == singles[t]["n_postings"]
+        assert last_docs[t] == singles[t]["block_last_doc"].tolist()
+        assert np.allclose(max_tfns[t], singles[t]["block_max_tfn"])

@@ -66,6 +66,15 @@ def test_positions_have_stopword_gaps():
     assert list(zip(out["pos"], out["term"])) == [(1, "alpha"), (3, "beta")]
 
 
+def _decode_positions(blob: bytes, tf: int) -> list[int]:
+    import numpy as np
+
+    from ckanext_extractor_spark.operators.codec import varbyte_decode
+
+    gaps, _ = varbyte_decode(blob, 0, tf)
+    return np.cumsum(gaps.astype(np.int64)).tolist()
+
+
 def test_postings_aggregation_and_doc_len():
     p = postings_for_batch(
         pd.Series(["data data value", "def def def x"]),
@@ -73,7 +82,7 @@ def test_postings_aggregation_and_doc_len():
     )
     d0 = p[p["idx"] == 0].set_index("term")
     assert d0.loc["data", "tf"] == 2
-    assert d0.loc["data", "positions"] == [0, 1]
+    assert _decode_positions(d0.loc["data", "positions"], 2) == [0, 1]
     assert d0.loc["value", "tf"] == 1
     assert (d0["doc_len"] == 3).all()
     d1 = p[p["idx"] == 1].set_index("term")

@@ -1,0 +1,100 @@
+"""Spark-free unit tests for the top-k kernels: boundary ties, pruning
+correctness on adversarial score distributions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ckanext_extractor_spark.operators.codec import BLOCK_SIZE
+from ckanext_extractor_spark.operators.wand import (
+    TermPostings,
+    exact_topk,
+    wand_topk,
+)
+
+K1, B = 1.2, 0.75
+
+
+def make_tp(term, doc_ids, tfs, doc_lens, n_docs, avgdl):
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    order = np.argsort(doc_ids)
+    doc_ids = doc_ids[order]
+    tfs = np.asarray(tfs, dtype=np.int64)[order]
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)[order]
+    df = len(doc_ids)
+    idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+    tfn = tfs / (tfs + K1 * (1.0 - B + B * doc_lens / avgdl))
+    nb = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bl = np.array(
+        [doc_ids[min((i + 1) * BLOCK_SIZE, df) - 1] for i in range(nb)],
+        dtype=np.int64,
+    )
+    bm = np.array(
+        [tfn[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nb)]
+    )
+    return TermPostings(term, idf, doc_ids, tfs, doc_lens, bl, bm)
+
+
+def brute(term_lists, k, avgdl, conjunctive):
+    scores: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    for tp in term_lists:
+        for d, tf, dl in zip(tp.doc_ids, tp.tfs, tp.doc_lens):
+            s = tp.idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+            scores[d] = scores.get(d, 0.0) + s
+            counts[d] = counts.get(d, 0) + 1
+    items = [
+        (d, s)
+        for d, s in scores.items()
+        if not conjunctive or counts[d] == len(term_lists)
+    ]
+    items.sort(key=lambda x: (-x[1], x[0]))
+    return items[:k]
+
+
+@pytest.mark.parametrize("conjunctive", [True, False])
+def test_boundary_ties_resolved_by_doc_id(conjunctive):
+    """Many docs with IDENTICAL (tf, dl) -> identical scores; the k-th
+    boundary must keep the smallest doc_ids."""
+    n_docs, avgdl = 1000, 50.0
+    doc_ids = np.arange(100, 0, -1) * 7  # descending insert order
+    tp = make_tp("t", doc_ids, np.ones(100), np.full(100, 50), n_docs, avgdl)
+    want = brute([tp], 10, avgdl, conjunctive)
+    assert [d for d, _ in exact_topk([tp], 10, avgdl, conjunctive)] == [
+        d for d, _ in want
+    ]
+    assert [d for d, _ in wand_topk([tp], 10, avgdl, conjunctive)] == [
+        d for d, _ in want
+    ]
+
+
+@pytest.mark.parametrize("conjunctive", [True, False])
+@pytest.mark.parametrize("seed", range(8))
+def test_random_lists_match_bruteforce(seed, conjunctive):
+    rng = np.random.RandomState(seed)
+    n_docs, avgdl = 5000, 80.0
+    tls = []
+    for t in range(3):
+        df = rng.randint(50, 800)
+        ids = rng.choice(5000, size=df, replace=False)
+        # quantized tf/dl -> plenty of exact score ties
+        tfs = rng.randint(1, 4, size=df)
+        dls = rng.choice([40, 80, 120], size=df)
+        tls.append(make_tp(f"t{t}", ids, tfs, dls, n_docs, avgdl))
+    want = brute(tls, 10, avgdl, conjunctive)
+    got_e = exact_topk(tls, 10, avgdl, conjunctive)
+    got_w = wand_topk(tls, 10, avgdl, conjunctive)
+    assert [d for d, _ in got_e] == [d for d, _ in want]
+    assert [d for d, _ in got_w] == [d for d, _ in want]
+    assert np.allclose([s for _, s in got_e], [s for _, s in want], rtol=1e-12)
+    assert np.allclose([s for _, s in got_w], [s for _, s in want], rtol=1e-12)
+
+
+def test_zero_and_single_lists():
+    assert exact_topk([], 10, 50.0) == []
+    assert wand_topk([], 10, 50.0) == []
+    tp = make_tp("t", [5], [2], [30], 100, 50.0)
+    e = exact_topk([tp], 10, 50.0)
+    w = wand_topk([tp], 10, 50.0)
+    assert e == w and len(e) == 1 and e[0][0] == 5
