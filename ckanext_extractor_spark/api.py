@@ -266,6 +266,7 @@ class ExtractorEngine:
         doc_stats = spark.read.parquet(self._p("doc_stats"))
         stats = build_corpus_stats(doc_stats)
         _atomic_overwrite(stats, self._p("corpus_stats"), spark)
+        self._stats_cache = None  # N/avgdl changed
 
         # ---- segments ----------------------------------------------------
         st = self.corpus_stats()
@@ -273,7 +274,8 @@ class ExtractorEngine:
             postings, dictionary, self.n_buckets, self.salt_threshold
         )
         segments = encode_segments(
-            salted, st["avgdl"], with_positions=self.with_positions
+            salted, st["avgdl"], with_positions=self.with_positions,
+            n_tasks=self._encode_tasks(st),
         )
         _atomic_overwrite(
             segments, self._p("segments"), spark, partition_by="term_bucket"
@@ -389,12 +391,14 @@ class ExtractorEngine:
             _atomic_overwrite(ds2, self._p("doc_stats"), spark)
             stats = build_corpus_stats(self.spark.read.parquet(self._p("doc_stats")))
             _atomic_overwrite(stats, self._p("corpus_stats"), spark)
+            self._stats_cache = None  # N/avgdl changed
         st = self.corpus_stats()
         salted = salted_postings(
             postings, dictionary, self.n_buckets, self.salt_threshold
         )
         segments = encode_segments(
-            salted, st["avgdl"], with_positions=self.with_positions
+            salted, st["avgdl"], with_positions=self.with_positions,
+            n_tasks=self._encode_tasks(st),
         )
         _atomic_overwrite(
             segments, self._p("segments"), spark, partition_by="term_bucket"
@@ -487,6 +491,21 @@ class ExtractorEngine:
         self._segments_cache = None
         self._decoded_cache = {}
         self._stats_cache = None
+
+    ENCODE_ROWS_PER_TASK = 500_000  # ~64 MB of posting rows per sort/encode task
+
+    def _encode_tasks(self, st: dict) -> int:
+        """Size the segment-encode shuffle by DATA, not cores: oversized
+        partitions make sortWithinPartitions spill and the streaming
+        encoder churn (measured: 33M rows at 8 partitions = 208 s; at 64
+        partitions = 56 s). AQE coalesces small cases back down."""
+        total_tokens = int(st.get("total_tokens") or 0)
+        # postings <= tokens; tokens is a safe upper bound available for free
+        nsp = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        want = max(nsp, total_tokens // self.ENCODE_ROWS_PER_TASK + 1)
+        return min(want, 4096)
 
     def _gc_staging(self, keep: set[str]) -> None:
         """Drop staging dirs from older builds (the live postings pointer

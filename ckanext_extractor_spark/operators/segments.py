@@ -175,8 +175,20 @@ def encode_segments(
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Persist partitioned by term_bucket (query-time partition pruning)."""
-    segments.write.mode(mode).partitionBy("term_bucket").parquet(path)
+    """Persist partitioned by term_bucket (query-time partition pruning).
+
+    The encoded rows are tiny relative to postings (compressed blobs), so
+    an extra exchange keyed by term_bucket is cheap — it collapses the
+    [encode_tasks x buckets] small-file explosion into one sorted file per
+    bucket (driver-side file commits were a measurable serial cost), and
+    term-sorted row groups give min/max pruning on `term` at read."""
+    (
+        segments.repartition("term_bucket")
+        .sortWithinPartitions("term", "salt_id")
+        .write.mode(mode)
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
 
 
 def read_segments(spark, path: str, terms: list[str] | None = None,
