@@ -509,6 +509,50 @@ def _q_bm25_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding cosine near-dup pairs (hyperplanes are a
+    seeded numpy family -> not SQL-expressible; rows-only check). A low
+    threshold guarantees a non-empty candidate set on the synthetic
+    embeddings."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    # threshold 0: emit every bucket-collided candidate with its verified
+    # cosine (the synthetic gaussian embeddings have no true near-dups, so
+    # the check exercises bucketing + verification rather than recall)
+    return embedding_neardup_pairs(
+        emb, dim=dim, threshold=0.0, n_planes=4
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end phrase retrieval over a built index (engine-native,
+    rows-only): builds a tiny index over documents and phrase-matches a
+    2-gram sampled from the corpus itself (deterministic)."""
+    import tempfile
+
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_phrase_")
+    eng = ExtractorEngine(spark, root, n_buckets=8, salt_threshold=100_000)
+    eng.extract(corpus, build_id="entry-phrase")
+    eng.warm()
+    hits = eng.phrase_search("the fast", k=10)
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in hits] or [],
+        "doc_id long, score double",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'spark join' (AND) on sf0.001."""
     _load(spark, SF_DEFAULT)
@@ -524,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(_FN_QUERIES)
     out["q30_code_postings"] = _q_code_postings
     out["q31_bm25_engine_pipeline"] = _q_bm25_engine
+    out["q32_embedding_neardup"] = _q_embedding_neardup
+    out["q33_phrase_search"] = _q_phrase_search
     return out
 
 

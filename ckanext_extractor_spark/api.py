@@ -507,6 +507,24 @@ class ExtractorEngine:
         want = max(nsp, total_tokens // self.ENCODE_ROWS_PER_TASK + 1)
         return min(want, 4096)
 
+    def _segment_rows(self, term: str) -> list:
+        """Raw segment rows (blobs) for one term — warm dict or cold
+        bucket-pruned read. Used by phrase verification."""
+        if self._segments_cache is not None:
+            return self._segments_cache.get(term, [])
+        from ckanext_extractor_spark.operators.segments import read_segments
+
+        return read_segments(
+            self.spark, self._p("segments"), [term], self.n_buckets
+        ).collect()
+
+    def phrase_search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k docs containing the analyzed query as a consecutive
+        phrase (positions-aware AND; see operators/phrase.py)."""
+        from ckanext_extractor_spark.operators.phrase import phrase_search
+
+        return phrase_search(self, query, k)
+
     def _gc_staging(self, keep: set[str]) -> None:
         """Drop staging dirs from older builds (the live postings pointer
         and the current build's checkpoint are kept)."""

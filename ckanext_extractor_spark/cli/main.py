@@ -51,9 +51,12 @@ def cmd_build(args) -> int:
 
 def cmd_query(args) -> int:
     eng = _engine(args)
-    hits = eng.search(
-        args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode
-    )
+    if args.phrase:
+        hits = eng.phrase_search(args.q, k=args.k)
+    else:
+        hits = eng.search(
+            args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode
+        )
     for rank, (doc_id, score) in enumerate(hits, 1):
         print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     return 0
@@ -114,6 +117,8 @@ def main(argv=None) -> int:
     q.add_argument("--mode", default="auto", choices=["auto", "wand", "slow"])
     q.add_argument("--or", dest="use_or", action="store_true",
                    help="disjunctive instead of default AND")
+    q.add_argument("--phrase", action="store_true",
+                   help="consecutive-phrase match (positions-aware)")
     q.add_argument("--buckets", type=int, default=64)
     q.set_defaults(fn=cmd_query)
 

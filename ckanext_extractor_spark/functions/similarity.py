@@ -79,6 +79,49 @@ def add_lsh_buckets(
     return embeddings.withColumn("lsh_bucket", bucket)
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale.
+
+    Candidate generation = self-equi-join on the random-hyperplane
+    bucket (near-identical vectors collide with high probability);
+    verification = exact cosine on candidates only. Returns
+    (id_a, id_b, cosine) with cosine >= threshold, id_a < id_b.
+
+    An all-pairs cosine join is O(n^2) rows; the bucket join's fan-out is
+    sum of squared bucket sizes — tune n_planes so buckets stay small.
+    For higher recall on borderline pairs, union candidates from a few
+    seeds (each seed is an independent hash family)."""
+    b = add_lsh_buckets(embeddings, dim, n_planes, seed, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
+    )
+    a = b.alias("a")
+    c = b.alias("b")
+    va = _to_double(F.col(f"a.{vec_col}"))
+    vb = _to_double(F.col(f"b.{vec_col}"))
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    return (
+        a.join(
+            c,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     embeddings_with_buckets: DataFrame,
     query_vec: list[float],
