@@ -48,47 +48,69 @@ HOT_TERMS = ["data", "value", "return", "size"]
 UNICODE_WORDS = ["Köln", "naïve", "café", "Zürich", "señor"]
 
 
+# pre-built vocab tables for the vectorized generator
+_IDENT = np.array(IDENT_STEMS, dtype=object)
+_CAMEL = np.array(
+    [a + b.capitalize() for a in IDENT_STEMS for b in IDENT_STEMS], dtype=object
+)
+_SNAKE = np.array(
+    [f"{a}_{b}" for a in IDENT_STEMS for b in IDENT_STEMS], dtype=object
+)
+_HOT = np.array(HOT_TERMS, dtype=object)
+_UNI = np.array(UNICODE_WORDS, dtype=object)
+_NUMS = np.array([str(n) for n in range(10_000)], dtype=object)
+_KW = {lg: np.array(ws, dtype=object) for lg, ws in LANG_KEYWORDS.items()}
+
+
 def _doc_row(i: int) -> dict:
-    rng = np.random.RandomState((SEED * 1_000_003 + i) % (2**31 - 1))
-    lang = LANGS[int(np.searchsorted(LANG_CUM, rng.rand()))]
+    """Deterministic per-doc generation, vectorized.
+
+    Philox counter-based RNG keyed by (SEED, doc id): byte-identical
+    regardless of partitioning or generation order, ~20x faster than a
+    per-token python loop (matters when generating 10^5..10^6-doc fixture
+    corpora for scaling runs)."""
+    rng = np.random.Generator(np.random.Philox(key=SEED, counter=i))
+    lang = LANGS[int(np.searchsorted(LANG_CUM, rng.random()))]
     repo = f"org{i % 7}/repo{i % 23}"
     path = f"src/mod{i % 13}/file{i}.{EXT[lang]}"
     h1 = hashlib.md5(f"{repo}/{path}".encode()).hexdigest()
     h2 = hashlib.md5(f"{path}@{repo}".encode()).hexdigest()
     commit = (h1 + h2)[:40]
 
-    kws = LANG_KEYWORDS[lang]
-    n_lines = 5 + int(rng.rand() * 35)
-    words: list[str] = []
-    for _ in range(n_lines):
-        n_tok = 3 + int(rng.rand() * 8)
-        for _ in range(n_tok):
-            r = rng.rand()
-            if r < 0.25:
-                words.append(kws[int(rng.rand() * len(kws))])
-            elif r < 0.50:
-                a = IDENT_STEMS[int(rng.rand() * len(IDENT_STEMS))]
-                b = IDENT_STEMS[int(rng.rand() * len(IDENT_STEMS))]
-                # alternate camelCase / snake_case identifiers
-                words.append(a + b.capitalize() if rng.rand() < 0.5 else f"{a}_{b}")
-            elif r < 0.62:
-                words.append(HOT_TERMS[int(rng.rand() * len(HOT_TERMS))])
-            elif r < 0.70:
-                words.append(str(int(rng.rand() * 10_000)))
-            elif r < 0.74:
-                words.append(UNICODE_WORDS[int(rng.rand() * len(UNICODE_WORDS))])
-            else:
-                words.append(IDENT_STEMS[int(rng.rand() * len(IDENT_STEMS))])
+    n_lines = 5 + int(rng.random() * 35)
+    n_tok = (3 + rng.random(n_lines) * 8).astype(np.int64)
+    total = int(n_tok.sum())
+    r = rng.random(total)
+    pick = rng.random(total)  # secondary selector within each class
+    words = np.empty(total, dtype=object)
+    kws = _KW[lang]
+
+    def fill(mask, table):
+        idx = (pick[mask] * len(table)).astype(np.int64)
+        words[mask] = table[idx]
+
+    fill(r < 0.25, kws)
+    m_ident = (r >= 0.25) & (r < 0.50)
+    # camel vs snake split via a tertiary draw
+    camel_sel = rng.random(total) < 0.5
+    fill(m_ident & camel_sel, _CAMEL)
+    fill(m_ident & ~camel_sel, _SNAKE)
+    fill((r >= 0.50) & (r < 0.62), _HOT)
+    fill((r >= 0.62) & (r < 0.70), _NUMS)
+    fill((r >= 0.70) & (r < 0.74), _UNI)
+    fill(r >= 0.74, _IDENT)
+
     # one golden rare token per doc (analog of 'Foobarium' in the
     # reference's tests/test.pdf, asserted at tests/test_lib.py:43-47)
-    words.insert(int(rng.rand() * len(words)), f"golden{i:06d}x")
-    content = " ".join(words)
+    at = int(rng.random() * (total + 1))
+    wl = words.tolist()
+    wl.insert(at, f"golden{i:06d}x")
     return {
         "repo": repo,
         "path": path,
         "commit": commit,
         "lang": lang,
-        "content": content,
+        "content": " ".join(wl),
     }
 
 
