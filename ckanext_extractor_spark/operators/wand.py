@@ -223,6 +223,15 @@ def wand_topk(
             if pivot_i is None:
                 break  # no doc can beat or tie the threshold
         pivot_doc = int(order[pivot_i].doc_ids[cursors[order[pivot_i].term]])
+        # extend the pivot prefix over post-pivot lists whose current doc
+        # ties pivot_doc: they contribute to pivot_doc's score, so the
+        # block-max bound (and the aligned-prefix test) must include them
+        while (
+            pivot_i + 1 < len(order)
+            and int(order[pivot_i + 1].doc_ids[cursors[order[pivot_i + 1].term]])
+            == pivot_doc
+        ):
+            pivot_i += 1
 
         # block-max refinement: tighter bound at pivot's blocks
         bacc = 0.0
@@ -241,6 +250,14 @@ def wand_topk(
                     bounds.append(int(tp.block_last_doc[bi]))
             if bounds:
                 nxt = max(nxt, min(bounds) + 1)
+            # never skip past the first post-pivot list's current doc —
+            # it could be the true next competitive pivot
+            if pivot_i + 1 < len(order):
+                nxt_list = order[pivot_i + 1]
+                nxt = min(
+                    nxt, int(nxt_list.doc_ids[cursors[nxt_list.term]])
+                )
+                nxt = max(nxt, pivot_doc + 1)
             for tp in order[: pivot_i + 1]:
                 c = cursors[tp.term]
                 cursors[tp.term] = c + int(

@@ -104,6 +104,26 @@ def test_full_lifecycle(spark, engine, base_pdf):
     assert engine.show(victim).get("status") == "deleted"
 
 
+def test_delete_then_reextract_reindexes(spark, tmp_path, base_pdf):
+    """A deleted doc whose content sha is unchanged must be re-extracted on
+    the next build, not silently flipped back to 'indexed' with no postings
+    (r1 resurrection bug; reference re-extracts after delete since metadata
+    is purged, logic/action.py:129-133)."""
+    eng = ExtractorEngine(
+        spark, str(tmp_path / "idxd"), n_buckets=8, salt_threshold=50
+    )
+    corpus = make_corpus(spark, base_pdf.head(10))
+    eng.extract(corpus)
+    victim = eng.search("golden000004x", k=1)[0][0]
+    eng.delete([victim])
+    assert eng.search("golden000004x", k=5) == []
+    rep = eng.extract(corpus)  # same corpus, sha unchanged
+    assert rep.status_counts.get("new", 0) == 1  # the deleted doc re-tokenized
+    hits = eng.search("golden000004x", k=5)
+    assert [d for d, _ in hits] == [victim]
+    assert eng.show(victim)["status"] == "indexed"
+
+
 def test_ignored_lang_purged(spark, tmp_path, base_pdf):
     root = str(tmp_path / "idx2")
     eng = ExtractorEngine(

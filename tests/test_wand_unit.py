@@ -91,6 +91,32 @@ def test_random_lists_match_bruteforce(seed, conjunctive):
     assert np.allclose([s for _, s in got_w], [s for _, s in want], rtol=1e-12)
 
 
+@pytest.mark.parametrize("conjunctive", [True, False])
+@pytest.mark.parametrize("seed", range(20))
+def test_skewed_tf_lists_match_bruteforce(seed, conjunctive):
+    """Spiky tf distributions make block-max bounds vary sharply between
+    blocks — this is the regime that exercises the skip branch (the r1
+    disjunctive bug: skipping past true top-k docs). Heavier fuzz than the
+    uniform-tf cases, which never trigger that branch."""
+    rng = np.random.RandomState(1000 + seed)
+    n_docs, avgdl = 5000, 80.0
+    tls = []
+    for t in range(rng.randint(2, 5)):
+        df = rng.randint(30, 1500)
+        ids = rng.choice(5000, size=df, replace=False)
+        # zipf-ish tf: mostly 1s, occasional huge spikes
+        tfs = np.minimum(rng.zipf(1.3, size=df), 500)
+        dls = rng.choice([20, 80, 300], size=df)
+        tls.append(make_tp(f"t{t}", ids, tfs, dls, n_docs, avgdl))
+    k = rng.choice([1, 5, 10, 50])
+    want = brute(tls, k, avgdl, conjunctive)
+    got_w = wand_topk(tls, k, avgdl, conjunctive)
+    got_e = exact_topk(tls, k, avgdl, conjunctive)
+    assert [d for d, _ in got_w] == [d for d, _ in want]
+    assert [d for d, _ in got_e] == [d for d, _ in want]
+    assert np.allclose([s for _, s in got_w], [s for _, s in want], rtol=1e-12)
+
+
 def test_zero_and_single_lists():
     assert exact_topk([], 10, 50.0) == []
     assert wand_topk([], 10, 50.0) == []
