@@ -457,6 +457,215 @@ _FN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # ---------------------------------------------------------------------------
+# engine-pipeline entries under the FULL oracle gate (mode="simple"):
+# the real kernel -> salted shuffle -> segment codec -> decode -> top-k,
+# hash-checked against ANSI-SQL. The code-aware analyzer stays rows-only
+# below (SQL cannot express camelCase catenation), but every other engine
+# component is now driver-gated, not just pytest-gated.
+# ---------------------------------------------------------------------------
+
+
+def _docs_corpus_ids(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("content"),
+        F.col("lang"),
+    )
+
+
+def _q_engine_postings_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full postings table through the real mapInPandas kernel (simple
+    analyzer) — hash-gates the tokenize kernel + per-batch aggregation
+    against the SQL tokenizer."""
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.operators.build import tokenize_postings
+
+    corpus = _docs_corpus_ids(spark, sf_dir)
+    return tokenize_postings(corpus, SIMPLE_CONFIG).select(
+        "doc_id", "term", "tf", "doc_len"
+    )
+
+
+_ENGINE_POSTINGS_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok
+       GROUP BY doc_id)
+SELECT tf.doc_id, tf.term, tf.tf, dl.doc_len
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+"""
+
+
+def _engine_segment_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: list[str],
+    conjunctive: bool,
+    use_wand: bool,
+    k: int = 10,
+) -> DataFrame:
+    """kernel -> dictionary -> salted repartition -> segment encode ->
+    decode -> top-k, all through the engine's own operators."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.operators.build import (
+        build_dictionary,
+        tokenize_postings,
+    )
+    from ckanext_extractor_spark.operators.segments import encode_segments, salted_postings
+    from ckanext_extractor_spark.operators.wand import (
+        exact_topk,
+        term_postings_from_rows,
+        wand_topk,
+    )
+
+    corpus = _docs_corpus_ids(spark, sf_dir)
+    n_docs = corpus.count()
+    postings = tokenize_postings(corpus, SIMPLE_CONFIG)
+    # stage postings once (kernel runs a single time; segments + stats read it)
+    postings.persist()
+    try:
+        dictionary = build_dictionary(postings)
+        tot = postings.groupBy("doc_id").agg(
+            F.first("doc_len").alias("doc_len")
+        ).agg(F.sum("doc_len").alias("t")).collect()[0]["t"]
+        avgdl = float(tot or 0) / float(n_docs)
+        salted = salted_postings(postings, dictionary, n_buckets=8,
+                                 salt_threshold=500)
+        segments = encode_segments(salted, avgdl)
+        rows = segments.where(F.col("term").isin(query_terms)).collect()
+    finally:
+        postings.unpersist()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    tls = [
+        term_postings_from_rows(t, rs, n_docs, avgdl)
+        for t, rs in by_term.items()
+    ]
+    if conjunctive and len(tls) < len(set(query_terms)):
+        hits = []
+    else:
+        fn = wand_topk if use_wand else exact_topk
+        hits = fn(tls, k, avgdl, conjunctive=conjunctive)
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in hits],
+        "doc_id long, score double",
+    )
+
+
+def _q_bm25_segments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine_segment_topk(
+        spark, sf_dir, ["spark", "join"], conjunctive=True, use_wand=False
+    )
+
+
+def _q_bm25_segments_wand_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine_segment_topk(
+        spark, sf_dir, ["vector", "stream", "batch"], conjunctive=False,
+        use_wand=True,
+    )
+
+
+def _strip_n_matched(bm25_sql: str) -> str:
+    return f"SELECT doc_id, score FROM ({bm25_sql}) stripped"
+
+
+def _q_phrase_segments_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positions end-to-end under the oracle: kernel positions ->
+    varbyte payload -> segment blob -> decode -> consecutive-position
+    verify; ranked by the conjunctive BM25 of the phrase terms."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.operators.build import (
+        build_dictionary,
+        tokenize_postings,
+    )
+    from ckanext_extractor_spark.operators.phrase import phrase_filter_docs
+    from ckanext_extractor_spark.operators.segments import encode_segments, salted_postings
+    from ckanext_extractor_spark.operators.wand import (
+        exact_topk,
+        term_postings_from_rows,
+    )
+
+    terms = ["the", "fast"]
+    corpus = _docs_corpus_ids(spark, sf_dir)
+    n_docs = corpus.count()
+    postings = tokenize_postings(corpus, SIMPLE_CONFIG)
+    postings.persist()
+    try:
+        dictionary = build_dictionary(postings)
+        tot = postings.groupBy("doc_id").agg(
+            F.first("doc_len").alias("doc_len")
+        ).agg(F.sum("doc_len").alias("t")).collect()[0]["t"]
+        avgdl = float(tot or 0) / float(n_docs)
+        salted = salted_postings(postings, dictionary, n_buckets=8,
+                                 salt_threshold=500)
+        segments = encode_segments(salted, avgdl)
+        rows = segments.where(F.col("term").isin(terms)).collect()
+    finally:
+        postings.unpersist()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    tls = [
+        term_postings_from_rows(t, rs, n_docs, avgdl)
+        for t, rs in by_term.items()
+    ]
+    if len(tls) < len(terms):
+        hits = []
+    else:
+        scored = exact_topk(tls, 10**9, avgdl, conjunctive=True)
+        keep = set(
+            phrase_filter_docs([d for d, _ in scored], by_term, terms)
+        )
+        hits = [(d, s) for d, s in scored if d in keep][:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in hits],
+        "doc_id long, score double",
+    )
+
+
+_PHRASE_DUCK = f"""
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+        FROM t),
+ph AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'the' AND b.term = 'fast'),
+ranked AS ({_bm25_sql(DUCK_TOK, ["the", "fast"], True, None)})
+SELECT r.doc_id, r.score FROM ranked r JOIN ph ON r.doc_id = ph.doc_id
+ORDER BY r.score DESC, r.doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q23_engine_postings_simple"] = ("", _ENGINE_POSTINGS_DUCK)
+_PAIRS["q24_bm25_segments_exact"] = (
+    "",
+    _strip_n_matched(_bm25_sql(DUCK_TOK, ["spark", "join"], True, 10)),
+)
+_PAIRS["q25_bm25_segments_wand_or"] = (
+    "",
+    _strip_n_matched(_bm25_sql(DUCK_TOK, ["vector", "stream", "batch"], False, 10)),
+)
+_PAIRS["q26_phrase_segments_simple"] = ("", _PHRASE_DUCK)
+
+_ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q23_engine_postings_simple": _q_engine_postings_simple,
+    "q24_bm25_segments_exact": _q_bm25_segments_exact,
+    "q25_bm25_segments_wand_or": _q_bm25_segments_wand_or,
+    "q26_phrase_segments_simple": _q_phrase_segments_simple,
+}
+
+
+# ---------------------------------------------------------------------------
 # engine-native entries (no SQL oracle -> rows-only check)
 # ---------------------------------------------------------------------------
 
@@ -566,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if spark_sql
     }
     out.update(_FN_QUERIES)
+    out.update(_ENGINE_ORACLE_QUERIES)
     out["q30_code_postings"] = _q_code_postings
     out["q31_bm25_engine_pipeline"] = _q_bm25_engine
     out["q32_embedding_neardup"] = _q_embedding_neardup

@@ -82,11 +82,20 @@ _PART_C = re.compile(PART_RE)
 _DIGITS = set("0123456789")
 
 
+_SIMPLE_C = re.compile(r"[a-z0-9]+")
+
+
 @dataclass(frozen=True)
 class AnalyzerConfig:
-    """Frozen analysis contract. Changing any field re-defines the index."""
+    """Frozen analysis contract. Changing any field re-defines the index.
 
-    mode: str = "index"  # "index" (catenate on) | "query" (catenate off)
+    mode "simple" is the SQL-expressible chain — lower + split on
+    [^a-z0-9]+, no catenation / stopping / folding — identical to the
+    DuckDB oracle tokenizer, so a full engine pipeline (kernel -> salted
+    segments -> codec -> top-k) built with it can be hash-gated against
+    an ANSI-SQL oracle (the driver-gate battery's strong check)."""
+
+    mode: str = "index"  # "index" (catenate on) | "query" (catenate off) | "simple"
     lowercase: bool = True
     ascii_fold: bool = True
     remove_stopwords: bool = True
@@ -103,6 +112,9 @@ class AnalyzerConfig:
 
 INDEX_CONFIG = AnalyzerConfig(mode="index")
 QUERY_CONFIG = AnalyzerConfig(mode="query")
+SIMPLE_CONFIG = AnalyzerConfig(
+    mode="simple", remove_stopwords=False, max_token_len=1 << 30
+)
 
 
 def _fold(t: str) -> str:
@@ -115,6 +127,9 @@ def _fold(t: str) -> str:
 
 def _expand_word(w: str, config: AnalyzerConfig) -> list[str]:
     """T2+T3+T5 for one distinct word -> final emitted tokens, in order."""
+    if config.mode == "simple":
+        # SQL-parity chain: lower + maximal [a-z0-9] runs, nothing else
+        return _SIMPLE_C.findall(w.lower())
     parts = _PART_C.findall(w)
     if not parts:
         return []
