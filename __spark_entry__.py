@@ -646,7 +646,44 @@ SELECT r.doc_id, r.score FROM ranked r JOIN ph ON r.doc_id = ph.doc_id
 ORDER BY r.score DESC, r.doc_id ASC LIMIT 10
 """
 
+def _q_metadata_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV metadata normalization through the REAL Column functions
+    (clean_metadata_keys / collapse_multivalues / filter_metadata_fields,
+    reference lib.py:55-65 + tasks.py:82-95 + config.py:101-105) over a
+    synthesized dirty map<string,array<string>> column; result exploded to
+    (doc_id, key, value) rows for robust cross-engine hashing."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.operators.normalize import (
+        clean_metadata_keys,
+        collapse_multivalues,
+        filter_metadata_fields,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = F.create_map(
+        F.lit("Content_Type"), F.array(F.col("lang")),
+        F.lit("Source_Name"), F.array(F.col("source"), F.col("lang")),
+        F.lit("X_Dropped_Key"), F.array(F.lit("never-seen")),
+    )
+    meta = filter_metadata_fields(
+        clean_metadata_keys(collapse_multivalues(dirty)),
+        ("content-*", "source-*"),
+    )
+    return docs.select(
+        F.col("doc_id"), F.explode(meta).alias("key", "value")
+    )
+
+
+_METADATA_DUCK = """
+SELECT doc_id, 'content-type' AS key, lang AS value FROM documents
+UNION ALL
+SELECT doc_id, 'source-name' AS key, source || ', ' || lang AS value
+FROM documents
+"""
+
 _PAIRS["q23_engine_postings_simple"] = ("", _ENGINE_POSTINGS_DUCK)
+_PAIRS["q27_metadata_normalize"] = ("", _METADATA_DUCK)
 _PAIRS["q24_bm25_segments_exact"] = (
     "",
     _strip_n_matched(_bm25_sql(DUCK_TOK, ["spark", "join"], True, 10)),
@@ -662,6 +699,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
     "q25_bm25_segments_wand_or": _q_bm25_segments_wand_or,
     "q26_phrase_segments_simple": _q_phrase_segments_simple,
+    "q27_metadata_normalize": _q_metadata_normalize,
 }
 
 

@@ -9,14 +9,28 @@ Reference API mapping (logic/action.py, paster.py):
 
 Index layout under ``index_root`` (all plain Parquet; an Iceberg catalog
 slot-in would change only the read/write format strings):
-    staging/raw_postings/<build_id>/   tokenize checkpoint (resume point)
-    postings/                          current postings (term,doc,tf,pos,dl)
-    segments/                          encoded blobs, partitioned term_bucket
-    dictionary/                        (term, df, cf, term_bucket)
+    staging/raw_postings/<build_id>/   tokenize checkpoint (resume point);
+                                       doubles as the generation's postings
+    gens/<gen_id>/postings/            postings of a generation (hook-
+                                       transformed or compacted builds)
+    gens/<gen_id>/segments/            encoded blobs, partitioned term_bucket
+    gens/<gen_id>/docs/                doc_ids the generation covers
+    tombstones/                        (doc_id, seq): postings of doc in any
+                                       generation with gen_seq < seq are dead
     doc_stats/                         per-doc metadata + doc_len
     corpus_stats/                      singleton N/avgdl row
     doc_manifest/                      status machine state
     lineage/                           per-partition build metrics
+    index_meta.json                    structural config + generation list
+    .build_lock                        in-progress marker (B4 concurrency)
+
+LSM-style maintenance (SURVEY.md Q6/B2; Lucene-segment analog — the
+reference delegates this to Solr, tasks.py:110 / plugin.py:117-123):
+an incremental build tokenizes + encodes ONLY the changed docs into a new
+generation; updates/deletes append tombstones consulted at query time; a
+1-doc delete touches zero segment files. Compaction merges generations
+whose tombstone fraction crosses a threshold (or when generations pile
+up), bounding read amplification and the tombstone table.
 
 Lifecycle hooks re-express IExtractorPostprocessor
 (interfaces.py:25-82, called at tasks.py:80-81,103-104,112-113) and
@@ -25,6 +39,12 @@ IExtractorRequest.extractor_before_request (interfaces.py:85-106):
     after_extract(postings_df) -> postings_df    (~ after_extract)
     after_save(manifest_df)    -> manifest_df    (~ after_save)
     after_index(engine)        -> None           (~ after_index)
+
+Filesystem note: publish/lock/GC primitives go through os.rename /
+os.path.exists, so ``index_root`` must be a POSIX path (local or shared
+POSIX mount). Object-store roots would route these through Hadoop
+FileSystem / a commit service; the table reads/writes themselves are
+already location-agnostic Spark IO.
 """
 
 from __future__ import annotations
@@ -34,6 +54,7 @@ import os
 import shutil
 import time
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Callable, Iterable
 
@@ -68,6 +89,12 @@ from ckanext_extractor_spark.operators.segments import (
     encode_segments,
     salted_postings,
 )
+from ckanext_extractor_spark.operators.wand import DeadDocs
+
+
+class BuildInProgressError(RuntimeError):
+    """Another build/delete holds this index's lock (reference analog:
+    'inprogress' task refusal, logic/action.py:121-123)."""
 
 
 @dataclass
@@ -85,9 +112,25 @@ class BuildReport:
     n_indexed: int = 0
     wall_sec: float = 0.0
     resumed: bool = False
+    in_progress: bool = False  # another build held the lock; nothing ran
+    compacted: list[str] = field(default_factory=list)
+
+
+TOMBSTONE_SCHEMA = "doc_id long, seq long"
+LOCK_STALE_SEC = 2 * 3600
 
 
 class ExtractorEngine:
+    # compaction policy: merge generations whose dead fraction crosses
+    # DEAD_FRAC, and keep at most MAX_GENS generations (read amplification
+    # + tombstone-table bound). Both per-index tunable.
+    DEAD_FRAC = 0.25
+    MAX_GENS = 12
+    # decoded-postings serving cache budget (see warm()); raw segment rows
+    # are preloaded only when their on-disk size fits RAW_PRELOAD_BYTES.
+    DECODED_BUDGET_BYTES = 1 << 30
+    RAW_PRELOAD_BYTES = 1 << 30
+
     def __init__(
         self,
         spark: SparkSession,
@@ -99,11 +142,18 @@ class ExtractorEngine:
         hooks: EngineHooks | None = None,
         with_positions: bool = True,
         ignore_where: str | None = None,
+        indexed_fields: Iterable[str] = ("*",),
     ):
         """``ignore_where``: SQL predicate over corpus columns marking docs
         to skip AND purge (reference F3: private datasets skipped at
         extract, stored metadata purged on update — tasks.py:61-68,
-        plugin.py:101-107). E.g. ``"private = true"``."""
+        plugin.py:101-107). E.g. ``"private = true"``.
+
+        ``indexed_fields``: fnmatch patterns selecting which extracted-
+        metadata keys to store when the corpus carries a ``metadata`` map
+        column (reference F2 `indexed_fields`, config.py:101-105; keys are
+        cleaned first — lowercase, '_'->'-', multivalues ', '-joined —
+        lib.py:55-65 / tasks.py:82-95)."""
         self.spark = spark
         self.root = index_root
         self.indexed_langs = tuple(indexed_langs)
@@ -113,10 +163,17 @@ class ExtractorEngine:
         self.hooks = hooks or EngineHooks()
         self.with_positions = with_positions
         self.ignore_where = ignore_where
-        self._segments_cache: dict[str, list] | None = None
-        self._decoded_cache: dict[str, object] = {}
+        self.indexed_fields = tuple(indexed_fields)
+        # serving caches (warm()): raw segment rows + LRU decoded postings
+        self._rows_cache: dict[str, list] | None = None
+        self._decoded_cache: "OrderedDict[str, object]" = OrderedDict()
+        self._decoded_bytes = 0
+        self._decoded_budget = self.DECODED_BUDGET_BYTES
+        self._lazy_serve = False
         self._stats_cache: dict | None = None
-        self._postings_rel = "postings"
+        self._dead_cache: DeadDocs | None = None
+        self._gens: list[dict] = []
+        self._seq = 0
         os.makedirs(index_root, exist_ok=True)
         # structural index properties are INDEX state, not caller options:
         # a query/delete with a different n_buckets than the build would
@@ -127,7 +184,8 @@ class ExtractorEngine:
             self.salt_threshold = int(meta["salt_threshold"])
             self.with_positions = bool(meta["with_positions"])
             self.indexed_langs = tuple(meta["indexed_langs"])
-            self._postings_rel = meta.get("postings_rel", "postings")
+            self._gens = list(meta.get("generations", []))
+            self._seq = int(meta.get("seq", 0))
 
     def _meta_path(self) -> str:
         return os.path.join(self.root, "index_meta.json")
@@ -140,7 +198,8 @@ class ExtractorEngine:
             return json.load(f)
 
     def _write_meta(self) -> None:
-        with open(self._meta_path(), "w") as f:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "n_buckets": self.n_buckets,
@@ -149,14 +208,71 @@ class ExtractorEngine:
                     "indexed_langs": list(self.indexed_langs),
                     "analyzer_mode": self.analyzer.mode,
                     "bm25": {"k1": 1.2, "b": 0.75},
-                    "postings_rel": self._postings_rel,
+                    "seq": self._seq,
+                    "generations": self._gens,
                 },
                 f,
             )
+        os.replace(tmp, self._meta_path())
 
     # -- paths ------------------------------------------------------------
     def _p(self, *parts: str) -> str:
         return os.path.join(self.root, *parts)
+
+    def _gen_postings_path(self, g: dict) -> str:
+        return self._p(g["postings_rel"])
+
+    def _gen_segments_path(self, g: dict) -> str:
+        return self._p("gens", g["gen"], "segments")
+
+    def _gen_docs_path(self, g: dict) -> str:
+        return self._p("gens", g["gen"], "docs")
+
+    # -- concurrency lock (B4: inprogress, action.py:121-123) --------------
+    def _lock_path(self) -> str:
+        return self._p(".build_lock")
+
+    def _acquire_lock(self, build_id: str) -> bool:
+        """O_CREAT|O_EXCL lock file; returns False if a FRESH lock is held
+        by someone else. A stale lock (holder crashed > LOCK_STALE_SEC ago)
+        is broken and re-acquired."""
+        path = self._lock_path()
+        payload = json.dumps(
+            {"build_id": build_id, "pid": os.getpid(), "ts": time.time()}
+        )
+        for attempt in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(payload)
+                return True
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue  # holder released between exists and stat
+                if age > LOCK_STALE_SEC and attempt == 0:
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        pass
+                    continue
+                return False
+        return False
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(self._lock_path())
+        except OSError:
+            pass
+
+    def in_progress(self) -> dict | None:
+        """The current build lock's payload, or None."""
+        try:
+            with open(self._lock_path()) as f:
+                return json.load(f)
+        except OSError:
+            return None
 
     # -- build (extractor_extract analog) ---------------------------------
     def extract(
@@ -167,18 +283,37 @@ class ExtractorEngine:
     ) -> BuildReport:
         """Incremental index build with change detection + resume.
 
-        Only docs whose content sha changed (or new docs) are re-tokenized
-        (F4: the anti-join version of `last_url != url`, action.py:129-133);
-        unchanged docs keep their postings. The tokenize output is staged to
-        parquet keyed by build_id — re-running the same build_id after a
-        crash reuses the completed stage (B3 checkpoint/resume).
+        Only docs whose content sha changed (or new/previously-purged docs)
+        are re-tokenized (F4: the anti-join version of `last_url != url`,
+        action.py:129-133); their postings land in a NEW generation —
+        unchanged docs' generations are not rewritten. The tokenize output
+        is staged to parquet keyed by build_id — re-running the same
+        build_id after a crash reuses the completed stage (B3
+        checkpoint/resume).
+
+        If another build/delete holds this index's lock, returns
+        immediately with ``in_progress=True`` (reference: duplicate task
+        refusal, action.py:121-123).
         """
         t0 = time.time()
-        spark = self.spark
         build_id = build_id or uuid.uuid4().hex[:12]
+        if not self._acquire_lock(build_id):
+            return BuildReport(
+                build_id=build_id, in_progress=True, wall_sec=time.time() - t0
+            )
+        try:
+            return self._extract_locked(corpus, force, build_id, t0)
+        finally:
+            self._release_lock()
+
+    def _extract_locked(
+        self, corpus: DataFrame, force: bool, build_id: str, t0: float
+    ) -> BuildReport:
+        spark = self.spark
         prepared = prepare_corpus(corpus, ("*",))  # keep all; lang gates status
         if self.hooks.before_tokenize:
             prepared = self.hooks.before_tokenize(prepared)
+        prepared = self._normalize_metadata(prepared)
         lang_ok = glob_filter_expr(F.col("lang"), self.indexed_langs)
         if self.ignore_where:
             lang_ok = lang_ok & ~F.expr(self.ignore_where)
@@ -189,11 +324,34 @@ class ExtractorEngine:
         # is scanned exactly twice per build — once here (sha/fidelity) and
         # once inside tokenize — never cached, never carried through joins.
         meta_slim = prepared.drop("content").cache()
+        try:
+            return self._extract_body(
+                spark, prepared, meta_slim, manifest, lang_ok, force,
+                build_id, t0,
+            )
+        finally:
+            meta_slim.unpersist()
+
+    def _extract_body(
+        self, spark, prepared, meta_slim, manifest, lang_ok, force,
+        build_id, t0,
+    ) -> BuildReport:
         statused = compute_statuses(meta_slim, manifest, lang_ok, force=force)
         counts = {
             r["status"]: r["n"]
             for r in statused.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
+        n_changed = counts.get(STATUS_NEW, 0) + counts.get(STATUS_UPDATE, 0)
+        n_ignored = counts.get(STATUS_IGNORED, 0)
+        if n_changed == 0 and n_ignored == 0:
+            # pure no-op rebuild: nothing to tokenize, purge, or record —
+            # zero index mutation (manifest rows already say 'unchanged')
+            return BuildReport(
+                build_id=build_id,
+                status_counts=counts,
+                n_indexed=0,
+                wall_sec=time.time() - t0,
+            )
 
         to_index_ids = statused.where(
             F.col("status").isin(STATUS_NEW, STATUS_UPDATE)
@@ -201,12 +359,18 @@ class ExtractorEngine:
         # second content scan: only changed docs reach the kernel. Selecting
         # just (doc_id, content, lang) lets Catalyst prune the sha/size
         # expressions out of this pass; hook transforms stay applied.
-        to_index = prepared.join(to_index_ids, "doc_id", "left_semi").select(
-            "doc_id", "content", "lang"
-        )
+        if n_changed == sum(counts.values()):
+            # whole batch changed (fresh build / force): skip the semi-join
+            # — it would shuffle the full CONTENT column for a no-op filter
+            to_index = prepared.select("doc_id", "content", "lang")
+        else:
+            to_index = prepared.join(
+                to_index_ids, "doc_id", "left_semi"
+            ).select("doc_id", "content", "lang")
 
-        # ---- tokenize (resume-aware staging checkpoint) ------------------
-        staging = self._p("staging", "raw_postings", build_id)
+        # ---- tokenize delta (resume-aware staging checkpoint) ------------
+        staging_rel = os.path.join("staging", "raw_postings", build_id)
+        staging = self._p(staging_rel)
         resumed = _stage_complete(staging)
         if not resumed:
             raw, _, _ = tokenize_with_lineage(to_index, build_id, self.analyzer)
@@ -217,71 +381,98 @@ class ExtractorEngine:
             os.rename(tmp, staging)  # atomic publish of the stage
         raw = spark.read.parquet(staging)
         delta_postings, lineage = split_raw_postings(raw, build_id)
+        gen_postings_rel = staging_rel
         if self.hooks.after_extract:
             delta_postings = self.hooks.after_extract(delta_postings)
+            gen_postings_rel = os.path.join("gens", build_id, "postings")
+            _atomic_overwrite(
+                delta_postings, self._p(gen_postings_rel), spark
+            )
+            delta_postings = spark.read.parquet(
+                self._p(gen_postings_rel)
+            ).where(F.col("term").isNotNull())
         append_lineage(lineage, self.root)
+        # delta size (posting rows) from the kernel's own marker rows —
+        # free, and the right scaling input for the encode shuffle
+        n_delta_rows = int(
+            raw.where(F.col("term").isNull())
+            .agg(F.sum("tf").alias("n"))
+            .collect()[0]["n"]
+            or 0
+        )
 
-        # ---- merge postings: previous minus (changed ∪ deleted) plus delta
-        prev = self._postings_df()
-        changed_ids = to_index_ids
-        dropped_ids = statused.where(
-            F.col("status") == STATUS_IGNORED
-        ).select("doc_id")
-        if prev is not None:
-            kept = prev.join(
-                changed_ids.union(dropped_ids), "doc_id", "left_anti"
+        next_seq = self._seq + 1
+        gen = {
+            "gen": build_id,
+            "seq": next_seq,
+            "postings_rel": gen_postings_rel,
+            "n_docs": int(n_changed),
+        }
+
+        # ---- tombstones: kill older postings of re-indexed/purged docs ---
+        upd_ids = statused.where(F.col("status") == STATUS_UPDATE).select("doc_id")
+        # ignored docs that WERE indexed (private flip / lang change):
+        # their stored postings + metadata are purged (tasks.py:61-68)
+        re_ignored = statused.where(F.col("status") == STATUS_IGNORED).join(
+            manifest.where(F.col("status") == "indexed").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        n_upd = counts.get(STATUS_UPDATE, 0)
+        if n_upd or n_ignored:
+            tombs = (
+                upd_ids.unionByName(re_ignored.select("doc_id"))
+                .distinct()
+                .select("doc_id", F.lit(next_seq).cast("long").alias("seq"))
             )
-            postings = kept.unionByName(delta_postings)
-            _atomic_overwrite(postings, self._p("postings"), spark)
-            self._postings_rel = "postings"
-        elif self.hooks.after_extract:
-            postings = delta_postings
-            _atomic_overwrite(postings, self._p("postings"), spark)
-            self._postings_rel = "postings"
-        else:
-            # fresh build, no transform: the staged tokenize output IS the
-            # postings table (readers filter the lineage marker rows) —
-            # skipping a full rewrite+reread of the largest intermediate.
-            self._postings_rel = os.path.join(
-                "staging", "raw_postings", build_id
+            tombs.write.mode("append").parquet(self._p("tombstones"))
+            self._dead_cache = None
+
+        if n_changed:
+            # ---- generation doc set (compaction accounting) --------------
+            to_index_ids.write.mode("overwrite").parquet(
+                self._p("gens", build_id, "docs")
             )
-        postings = self._postings_df()
 
-        # ---- derived tables ---------------------------------------------
-        dictionary = build_dictionary(postings, self.n_buckets)
-        _atomic_overwrite(dictionary, self._p("dictionary"), spark)
-        dictionary = spark.read.parquet(self._p("dictionary"))
+            # ---- delta segments ------------------------------------------
+            # salting uses the DELTA dictionary (df within this generation):
+            # per-encode-job skew control; never written — it lives only as
+            # the broadcast side of the salted repartition
+            delta_dict = build_dictionary(delta_postings, self.n_buckets)
+            salted = salted_postings(
+                delta_postings, delta_dict, self.n_buckets, self.salt_threshold
+            )
+            segments = encode_segments(
+                salted,
+                self._avgdl_estimate(meta_slim, lang_ok),
+                with_positions=self.with_positions,
+                n_tasks=self._encode_tasks(n_delta_rows),
+            )
+            _atomic_overwrite(
+                segments,
+                self._p("gens", build_id, "segments"),
+                spark,
+                partition_by="term_bucket",
+            )
 
-        # doc_stats: merge so a partial-corpus batch (streaming/incremental)
-        # doesn't drop state for docs absent from this batch
-        indexed_docs = meta_slim.where(lang_ok)
-        batch_stats = build_doc_stats(indexed_docs, postings)
+        # ---- doc_stats: changed docs re-derived, unchanged rows kept ------
+        changed_meta = meta_slim.join(to_index_ids, "doc_id", "left_semi")
+        batch_stats = build_doc_stats(changed_meta, delta_postings)
         prev_ds = self._read_or_none("doc_stats")
         if prev_ds is not None:
-            kept_ds = prev_ds.join(
-                meta_slim.select("doc_id"), "doc_id", "left_anti"
+            dropped = to_index_ids.unionByName(
+                statused.where(F.col("status") == STATUS_IGNORED).select("doc_id")
             )
-            batch_stats = kept_ds.unionByName(batch_stats)
+            kept_ds = prev_ds.join(dropped, "doc_id", "left_anti")
+            batch_stats = kept_ds.unionByName(
+                batch_stats, allowMissingColumns=True
+            )
         _atomic_overwrite(batch_stats, self._p("doc_stats"), spark)
-        doc_stats = spark.read.parquet(self._p("doc_stats"))
-        stats = build_corpus_stats(doc_stats)
+        stats = build_corpus_stats(spark.read.parquet(self._p("doc_stats")))
         _atomic_overwrite(stats, self._p("corpus_stats"), spark)
         self._stats_cache = None  # N/avgdl changed
 
-        # ---- segments ----------------------------------------------------
-        st = self.corpus_stats()
-        salted = salted_postings(
-            postings, dictionary, self.n_buckets, self.salt_threshold
-        )
-        segments = encode_segments(
-            salted, st["avgdl"], with_positions=self.with_positions,
-            n_tasks=self._encode_tasks(st),
-        )
-        _atomic_overwrite(
-            segments, self._p("segments"), spark, partition_by="term_bucket"
-        )
-
-        # ---- manifest ----------------------------------------------------
+        # ---- manifest ------------------------------------------------------
         new_manifest = statused.select(
             "doc_id",
             "content_sha256",
@@ -298,22 +489,67 @@ class ExtractorEngine:
         if self.hooks.after_save:
             new_manifest = self.hooks.after_save(new_manifest)
         _atomic_overwrite(new_manifest, self._p("doc_manifest"), spark)
-        meta_slim.unpersist()
 
+        # ---- commit generation --------------------------------------------
+        self._seq = next_seq
+        if n_changed:
+            self._gens.append(gen)
         self._write_meta()
         self.cool()  # cached segments are stale after a rebuild
-        self._gc_staging(keep={build_id})
+        compacted = self.maybe_compact()
+        self._gc_staging()
+        self._gc_orphan_gens()
         if self.hooks.after_index:
             self.hooks.after_index(self)
 
-        n_indexed = counts.get(STATUS_NEW, 0) + counts.get(STATUS_UPDATE, 0)
         return BuildReport(
             build_id=build_id,
             status_counts=counts,
-            n_indexed=n_indexed,
+            n_indexed=n_changed,
             wall_sec=time.time() - t0,
             resumed=resumed,
+            compacted=compacted,
         )
+
+    def _normalize_metadata(self, prepared: DataFrame) -> DataFrame:
+        """EAV sidecar (reference ResourceMetadatum, model.py:117-127):
+        when the corpus carries a ``metadata`` map column, collapse
+        array values (tasks.py:89-95), clean keys (lib.py:55-59), and
+        keep only ``indexed_fields``-matching keys (config.py:101-105).
+        The cleaned map flows into doc_stats and out of show()."""
+        if "metadata" not in prepared.columns:
+            return prepared
+        from pyspark.sql import types as T
+
+        from ckanext_extractor_spark.operators.normalize import (
+            clean_metadata_keys,
+            collapse_multivalues,
+            filter_metadata_fields,
+        )
+
+        mcol = F.col("metadata")
+        mtype = prepared.schema["metadata"].dataType
+        if isinstance(mtype, T.MapType) and isinstance(
+            mtype.valueType, T.ArrayType
+        ):
+            mcol = collapse_multivalues(mcol)
+        mcol = filter_metadata_fields(
+            clean_metadata_keys(mcol), self.indexed_fields
+        )
+        return prepared.withColumn("metadata", mcol)
+
+    def _avgdl_estimate(self, meta_slim, lang_ok) -> float:
+        """avgdl for the delta encode's block-max metadata. Query paths
+        rebuild block maxes from decoded (tf, dl) with the CURRENT avgdl
+        (wand.term_postings_from_rows), so this value affects no result —
+        the previous build's avgdl (or 1.0 on a fresh index) is fine and
+        costs zero jobs."""
+        if not os.path.exists(self._p("corpus_stats")):
+            return 1.0
+        try:
+            return float(self.corpus_stats()["avgdl"] or 1.0)
+        except Exception:
+            return 1.0
 
     # -- introspection -----------------------------------------------------
     def _read_or_none(self, name: str) -> DataFrame | None:
@@ -322,13 +558,67 @@ class ExtractorEngine:
             return None
         return self.spark.read.parquet(p)
 
-    def _postings_df(self) -> DataFrame | None:
-        """The current postings table (term IS NULL lineage markers
-        filtered out — present when the table aliases a staging dir)."""
-        p = self._p(self._postings_rel)
-        if not os.path.exists(p):
+    @staticmethod
+    def _has_part_files(path: str) -> bool:
+        """True if a parquet dir has at least one data file (an all-empty
+        partitioned write leaves only _SUCCESS — unreadable schema)."""
+        for dirpath, _, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _live_postings(self) -> DataFrame | None:
+        """Union of all generations' postings (lineage markers filtered),
+        tombstoned docs removed — the logical current postings table.
+        Used by the slow/synonym query paths and compaction; hot query
+        paths read per-term segment blobs instead."""
+        dfs = []
+        for g in self._gens:
+            p = self._gen_postings_path(g)
+            if not os.path.exists(p) or not self._has_part_files(p):
+                continue
+            dfs.append(
+                self.spark.read.parquet(p)
+                .where(F.col("term").isNotNull())
+                .withColumn("gen_seq", F.lit(int(g["seq"])))
+            )
+        if not dfs:
             return None
-        return self.spark.read.parquet(p).where(F.col("term").isNotNull())
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        tomb = self._read_or_none("tombstones")
+        if tomb is not None:
+            kills = tomb.groupBy("doc_id").agg(F.max("seq").alias("_kill_seq"))
+            out = (
+                out.join(F.broadcast(kills), "doc_id", "left")
+                .where(
+                    F.col("_kill_seq").isNull()
+                    | (F.col("_kill_seq") <= F.col("gen_seq"))
+                )
+                .drop("_kill_seq")
+            )
+        return out.drop("gen_seq")
+
+    def _dictionary_df(self) -> DataFrame | None:
+        """Live dictionary, derived on demand (the slow/oracle path's
+        input; the hot paths get df from decoded lists)."""
+        postings = self._live_postings()
+        if postings is None:
+            return None
+        return build_dictionary(postings, self.n_buckets)
+
+    def _dead_docs(self) -> DeadDocs:
+        if self._dead_cache is None:
+            tomb = self._read_or_none("tombstones")
+            pairs: dict[int, int] = {}
+            if tomb is not None:
+                for r in (
+                    tomb.groupBy("doc_id").agg(F.max("seq").alias("seq")).collect()
+                ):
+                    pairs[int(r["doc_id"])] = int(r["seq"])
+            self._dead_cache = DeadDocs(pairs)
+        return self._dead_cache
 
     def corpus_stats(self) -> dict:
         if self._stats_cache is None:
@@ -368,50 +658,233 @@ class ExtractorEngine:
 
     # -- delete (extractor_delete / private-flip purge) --------------------
     def delete(self, doc_ids: list[int]) -> None:
-        """Tombstone docs: postings purged, manifest marked deleted
-        (plugin.py:117-123; search must no longer find them,
-        test_plugin.py:92-106). Implemented as anti-join rewrite of the
-        postings + affected segment buckets only."""
+        """Tombstone docs (plugin.py:117-123; search must no longer find
+        them, test_plugin.py:92-106). Appends tombstone rows consulted at
+        query time — NO postings or segment files are rewritten; compaction
+        reclaims space lazily when a generation's dead fraction crosses
+        DEAD_FRAC."""
+        if not self._acquire_lock(f"delete-{uuid.uuid4().hex[:8]}"):
+            raise BuildInProgressError(
+                f"index {self.root} has a build in progress: {self.in_progress()}"
+            )
+        try:
+            self._delete_locked(doc_ids)
+        finally:
+            self._release_lock()
+
+    def _delete_locked(self, doc_ids: list[int]) -> None:
         spark = self.spark
-        ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
-        postings = self._postings_df()
-        if postings is None:
+        if not self._gens:
             return
-        remaining = postings.join(F.broadcast(ids_df), "doc_id", "left_anti")
-        _atomic_overwrite(remaining, self._p("postings"), spark)
-        self._postings_rel = "postings"
-        self._write_meta()
-        postings = self._postings_df()
-        dictionary = build_dictionary(postings, self.n_buckets)
-        _atomic_overwrite(dictionary, self._p("dictionary"), spark)
-        dictionary = spark.read.parquet(self._p("dictionary"))
+        next_seq = self._seq + 1
+        ids = [int(i) for i in doc_ids]
+        ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        ids_df.select(
+            "doc_id", F.lit(next_seq).cast("long").alias("seq")
+        ).write.mode("append").parquet(self._p("tombstones"))
+        # doc_stats / corpus_stats shrink so N and avgdl stay exact
         ds = self._read_or_none("doc_stats")
         if ds is not None:
             ds2 = ds.join(F.broadcast(ids_df), "doc_id", "left_anti")
             _atomic_overwrite(ds2, self._p("doc_stats"), spark)
-            stats = build_corpus_stats(self.spark.read.parquet(self._p("doc_stats")))
+            stats = build_corpus_stats(spark.read.parquet(self._p("doc_stats")))
             _atomic_overwrite(stats, self._p("corpus_stats"), spark)
-            self._stats_cache = None  # N/avgdl changed
-        st = self.corpus_stats()
-        salted = salted_postings(
-            postings, dictionary, self.n_buckets, self.salt_threshold
-        )
-        segments = encode_segments(
-            salted, st["avgdl"], with_positions=self.with_positions,
-            n_tasks=self._encode_tasks(st),
-        )
-        _atomic_overwrite(
-            segments, self._p("segments"), spark, partition_by="term_bucket"
-        )
+            self._stats_cache = None
         manifest = read_doc_manifest(spark, self.root)
         updated = manifest.withColumn(
             "status",
-            F.when(
-                F.col("doc_id").isin([int(i) for i in doc_ids]), "deleted"
-            ).otherwise(F.col("status")),
+            F.when(F.col("doc_id").isin(ids), "deleted").otherwise(
+                F.col("status")
+            ),
         )
         _atomic_overwrite(updated, self._p("doc_manifest"), spark)
+        self._seq = next_seq
+        self._write_meta()
         self.cool()
+        self.maybe_compact()
+
+    # -- compaction ---------------------------------------------------------
+    def compact(
+        self,
+        dead_frac: float | None = None,
+        max_gens: int | None = None,
+    ) -> list[str]:
+        """Lock-taking wrapper of maybe_compact for external callers (the
+        CLI / a maintenance cron); builds/deletes call maybe_compact while
+        already holding the lock."""
+        if not self._acquire_lock(f"compact-{uuid.uuid4().hex[:8]}"):
+            raise BuildInProgressError(
+                f"index {self.root} has a build in progress: "
+                f"{self.in_progress()}"
+            )
+        try:
+            return self.maybe_compact(dead_frac, max_gens)
+        finally:
+            self._release_lock()
+
+    def maybe_compact(
+        self,
+        dead_frac: float | None = None,
+        max_gens: int | None = None,
+    ) -> list[str]:
+        """Merge generations whose tombstone fraction crosses ``dead_frac``
+        and enforce the ``max_gens`` generation-count bound. Returns merged
+        gen ids. Only victim generations are read/rewritten — the rest of
+        the index is untouched (byte-identical files)."""
+        dead_frac = self.DEAD_FRAC if dead_frac is None else dead_frac
+        max_gens = self.MAX_GENS if max_gens is None else max_gens
+        if not self._gens:
+            return []
+        dead = self._dead_docs()
+        victims: list[dict] = []
+        if len(dead):
+            # per-gen dead fraction from the (small) per-gen doc tables
+            import numpy as _np
+
+            for g in self._gens:
+                p = self._gen_docs_path(g)
+                if not os.path.exists(p) or not self._has_part_files(p):
+                    continue
+                docs = self.spark.read.parquet(p).collect()
+                ids = [int(r["doc_id"]) for r in docs]
+                if not ids:
+                    victims.append(g)
+                    continue
+                mask = dead.live_mask(_np.asarray(ids, dtype=_np.int64),
+                                      int(g["seq"]))
+                frac = 1.0 - float(mask.sum()) / len(ids)
+                if frac >= dead_frac:
+                    victims.append(g)
+        n_after = len(self._gens) - len(victims) + (1 if victims else 0)
+        if n_after > max_gens:
+            # LSM tier-merge: fold the smallest generations in as well
+            rest = sorted(
+                (g for g in self._gens if g not in victims),
+                key=lambda g: g.get("n_docs", 0),
+            )
+            need = n_after - max_gens + (0 if victims else 1)
+            victims.extend(rest[:need])
+        if not victims:
+            return []
+        if len(victims) == 1 and len(self._gens) == 1:
+            # single-generation index: compaction = drop dead rows; only
+            # worth it when there are tombstones at all
+            if not len(dead):
+                return []
+        self._compact(victims)
+        return [g["gen"] for g in victims]
+
+    def _compact(self, victims: list[dict]) -> None:
+        spark = self.spark
+        vset = {g["gen"] for g in victims}
+        new_id = "compact-" + uuid.uuid4().hex[:10]
+        new_seq = max(int(g["seq"]) for g in victims)
+        # live postings of the victim generations only
+        dfs = []
+        for g in victims:
+            p = self._gen_postings_path(g)
+            if not os.path.exists(p) or not self._has_part_files(p):
+                continue
+            dfs.append(
+                spark.read.parquet(p)
+                .where(F.col("term").isNotNull())
+                .withColumn("gen_seq", F.lit(int(g["seq"])))
+            )
+        if not dfs:
+            self._gens = [g for g in self._gens if g["gen"] not in vset]
+            self._write_meta()
+            return
+        merged = dfs[0]
+        for d in dfs[1:]:
+            merged = merged.unionByName(d)
+        tomb = self._read_or_none("tombstones")
+        if tomb is not None:
+            kills = tomb.groupBy("doc_id").agg(F.max("seq").alias("_kill_seq"))
+            merged = (
+                merged.join(F.broadcast(kills), "doc_id", "left")
+                .where(
+                    F.col("_kill_seq").isNull()
+                    | (F.col("_kill_seq") <= F.col("gen_seq"))
+                )
+                .drop("_kill_seq")
+            )
+        merged = merged.drop("gen_seq")
+        new_rel = os.path.join("gens", new_id, "postings")
+        _atomic_overwrite(merged, self._p(new_rel), spark)
+        survivors = [g for g in self._gens if g["gen"] not in vset]
+        if not self._has_part_files(self._p(new_rel)) or not spark.read.parquet(
+            self._p(new_rel)
+        ).take(1):
+            # every victim posting was dead: drop the victims outright
+            shutil.rmtree(self._p("gens", new_id), ignore_errors=True)
+        else:
+            live = spark.read.parquet(self._p(new_rel)).where(
+                F.col("term").isNotNull()
+            )
+            live.select("doc_id").distinct().write.mode("overwrite").parquet(
+                self._p("gens", new_id, "docs")
+            )
+            n_docs = spark.read.parquet(
+                self._p("gens", new_id, "docs")
+            ).count()
+            delta_dict = build_dictionary(live, self.n_buckets)
+            salted = salted_postings(
+                live, delta_dict, self.n_buckets, self.salt_threshold
+            )
+            segments = encode_segments(
+                salted,
+                self._avgdl_estimate(None, None),
+                with_positions=self.with_positions,
+                n_tasks=self._encode_tasks(None),
+            )
+            _atomic_overwrite(
+                segments,
+                self._p("gens", new_id, "segments"),
+                spark,
+                partition_by="term_bucket",
+            )
+            survivors.append(
+                {
+                    "gen": new_id,
+                    "seq": new_seq,
+                    "postings_rel": new_rel,
+                    "n_docs": int(n_docs),
+                }
+            )
+        survivors.sort(key=lambda g: int(g["seq"]))
+        self._gens = survivors
+        # tombstone GC: a row (d, s) still matters only if some remaining
+        # generation older than s contains d
+        if tomb is not None:
+            gen_docs = []
+            for g in survivors:
+                p = self._gen_docs_path(g)
+                if os.path.exists(p) and self._has_part_files(p):
+                    gen_docs.append(
+                        spark.read.parquet(p).withColumn(
+                            "gen_seq", F.lit(int(g["seq"]))
+                        )
+                    )
+            if gen_docs:
+                alldocs = gen_docs[0]
+                for d in gen_docs[1:]:
+                    alldocs = alldocs.unionByName(d)
+                tomb2 = read_parquet_if(spark, self._p("tombstones"))
+                needed = tomb2.alias("t").join(
+                    alldocs.alias("g"),
+                    (F.col("t.doc_id") == F.col("g.doc_id"))
+                    & (F.col("g.gen_seq") < F.col("t.seq")),
+                    "left_semi",
+                )
+                _atomic_overwrite(needed, self._p("tombstones"), spark)
+            else:
+                shutil.rmtree(self._p("tombstones"), ignore_errors=True)
+        self._write_meta()
+        self._dead_cache = None
+        for g in victims:
+            shutil.rmtree(self._p("gens", g["gen"]), ignore_errors=True)
+        self.cool()
+        self._gc_staging()
 
     # -- search ------------------------------------------------------------
     def search(
@@ -440,8 +913,8 @@ class ExtractorEngine:
             )
 
             rows = bm25_search_synonyms(
-                self._postings_df(),
-                self.spark.read.parquet(self._p("dictionary")),
+                self._live_postings(),
+                self._dictionary_df(),
                 st["n_docs"], st["avgdl"], query, synonyms,
                 k=k, conjunctive=conjunctive,
             ).collect()
@@ -456,67 +929,131 @@ class ExtractorEngine:
             if not terms:
                 return []
             tls = self._term_postings(terms, st)
+            tls = [tp for tp in tls if len(tp.doc_ids)]
             if conjunctive and len(tls) < len(terms):
                 return []
             fn = wand_topk if mode == "wand" else exact_topk
             return fn(tls, k, st["avgdl"], conjunctive=conjunctive)
-        postings = self._postings_df()
-        dictionary = self.spark.read.parquet(self._p("dictionary"))
+        postings = self._live_postings()
+        if postings is None:
+            return []
+        dictionary = self._dictionary_df()
         rows = bm25_search(
             postings, dictionary, st["n_docs"], st["avgdl"], query,
             k=k, conjunctive=conjunctive,
         ).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
+    # -- serving caches ------------------------------------------------------
+    def _segments_union(self, terms: list[str] | None = None) -> DataFrame | None:
+        """All generations' segment tables (bucket/term pruned when terms
+        given), each row tagged with its generation seq."""
+        from ckanext_extractor_spark.operators.segments import read_segments
 
-    def warm(self) -> "ExtractorEngine":
-        """Load the segment table into a driver-side term dict for
-        low-latency serving — the analog of Solr's filter/document caches
-        (solrconfig.xml:319-347). Per-query cost becomes a hash lookup +
-        numpy decode (memoized), no Spark job at all.
+        dfs = []
+        for g in self._gens:
+            p = self._gen_segments_path(g)
+            if not os.path.exists(p) or not self._has_part_files(p):
+                continue
+            df = read_segments(self.spark, p, terms, self.n_buckets)
+            dfs.append(df.withColumn("gen_seq", F.lit(int(g["seq"]))))
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
-        This assumes the index fits serving memory (it's a compressed
-        posting store, ~1-5% of corpus size). When it doesn't, skip warm():
-        cold queries do a bucket-pruned parquet read, and truly huge
-        queries use the distributed per-bucket scorer."""
-        rows = self.spark.read.parquet(self._p("segments")).collect()
-        cache: dict[str, list] = {}
-        for r in rows:
-            cache.setdefault(r["term"], []).append(r)
-        self._segments_cache = cache
-        self._decoded_cache: dict[str, object] = {}
+    def warm(self, max_cache_bytes: int | None = None) -> "ExtractorEngine":
+        """Enable low-latency serving — the analog of Solr's filter/document
+        caches (solrconfig.xml:319-347). Per-query cost becomes a hash
+        lookup + numpy decode (memoized), no Spark job at all for cache
+        hits.
+
+        ``max_cache_bytes`` bounds the DECODED postings cache (LRU,
+        evicted by insertion recency). Raw segment rows (compressed blobs,
+        ~1-5% of corpus size) are preloaded only when their on-disk size
+        fits RAW_PRELOAD_BYTES / the given budget; otherwise serving is
+        lazy — a cache miss does a bucket-pruned parquet read of just that
+        term and joins the LRU. Cold and warm paths return identical
+        results (pinned by tests)."""
+        budget = max_cache_bytes or self.DECODED_BUDGET_BYTES
+        self._decoded_budget = budget
+        self._decoded_cache = OrderedDict()
+        self._decoded_bytes = 0
+        disk = self._segments_disk_bytes()
+        preload_cap = min(self.RAW_PRELOAD_BYTES, budget)
+        if disk <= preload_cap:
+            seg = self._segments_union()
+            cache: dict[str, list] = {}
+            if seg is not None:
+                for r in seg.collect():
+                    cache.setdefault(r["term"], []).append(r)
+            self._rows_cache = cache
+            self._lazy_serve = False
+        else:
+            self._rows_cache = {}
+            self._lazy_serve = True
+        self._dead_docs()  # prime the tombstone map
         return self
 
+    def _segments_disk_bytes(self) -> int:
+        total = 0
+        for g in self._gens:
+            p = self._gen_segments_path(g)
+            for dirpath, _, files in os.walk(p):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, fn))
+                    except OSError:
+                        pass
+        return total
+
     def cool(self) -> None:
-        self._segments_cache = None
-        self._decoded_cache = {}
+        self._rows_cache = None
+        self._decoded_cache = OrderedDict()
+        self._decoded_bytes = 0
+        self._lazy_serve = False
         self._stats_cache = None
+        self._dead_cache = None
 
     ENCODE_ROWS_PER_TASK = 500_000  # ~64 MB of posting rows per sort/encode task
 
-    def _encode_tasks(self, st: dict) -> int:
+    def _encode_tasks(self, n_rows: int | None) -> int:
         """Size the segment-encode shuffle by DATA, not cores: oversized
         partitions make sortWithinPartitions spill and the streaming
         encoder churn (measured: 33M rows at 8 partitions = 208 s; at 64
         partitions = 56 s). AQE coalesces small cases back down."""
-        total_tokens = int(st.get("total_tokens") or 0)
-        # postings <= tokens; tokens is a safe upper bound available for free
         nsp = int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        want = max(nsp, total_tokens // self.ENCODE_ROWS_PER_TASK + 1)
+        if not n_rows:
+            return nsp
+        want = max(nsp, int(n_rows) // self.ENCODE_ROWS_PER_TASK + 1)
         return min(want, 4096)
 
-    def _segment_rows(self, term: str) -> list:
-        """Raw segment rows (blobs) for one term — warm dict or cold
-        bucket-pruned read. Used by phrase verification."""
-        if self._segments_cache is not None:
-            return self._segments_cache.get(term, [])
-        from ckanext_extractor_spark.operators.segments import read_segments
+    def _fetch_rows(self, terms: list[str]) -> dict[str, list]:
+        """Cold bucket-pruned segment read for `terms` across generations."""
+        seg = self._segments_union(terms)
+        out: dict[str, list] = {t: [] for t in terms}
+        if seg is None:
+            return out
+        for r in seg.collect():
+            out.setdefault(r["term"], []).append(r)
+        return out
 
-        return read_segments(
-            self.spark, self._p("segments"), [term], self.n_buckets
-        ).collect()
+    def _segment_rows(self, term: str) -> list:
+        """Raw segment rows (blobs) for one term — warm dict, lazy-cached,
+        or cold bucket-pruned read. Used by phrase verification."""
+        if self._rows_cache is not None:
+            if term in self._rows_cache:
+                return self._rows_cache[term]
+            if not self._lazy_serve:
+                return []
+            rows = self._fetch_rows([term])[term]
+            self._rows_cache[term] = rows
+            return rows
+        return self._fetch_rows([term]).get(term, [])
 
     def phrase_search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Top-k docs containing the analyzed query as a consecutive
@@ -525,43 +1062,100 @@ class ExtractorEngine:
 
         return phrase_search(self, query, k)
 
-    def _gc_staging(self, keep: set[str]) -> None:
-        """Drop staging dirs from older builds (the live postings pointer
-        and the current build's checkpoint are kept)."""
+    def _gc_staging(self) -> None:
+        """Drop staging dirs not referenced by any live generation."""
         st_root = self._p("staging", "raw_postings")
         if not os.path.isdir(st_root):
             return
-        live = set(keep)
-        if self._postings_rel.startswith("staging"):
-            live.add(os.path.basename(self._postings_rel))
+        live = {
+            os.path.basename(g["postings_rel"])
+            for g in self._gens
+            if g["postings_rel"].startswith("staging")
+        }
         for d in os.listdir(st_root):
             if d not in live:
                 shutil.rmtree(os.path.join(st_root, d), ignore_errors=True)
 
+    def _gc_orphan_gens(self) -> None:
+        """Drop gens/ dirs not in the committed generation list (crashed
+        builds/compactions that staged data but never committed meta)."""
+        groot = self._p("gens")
+        if not os.path.isdir(groot):
+            return
+        live = {g["gen"] for g in self._gens}
+        for d in os.listdir(groot):
+            if d not in live:
+                shutil.rmtree(os.path.join(groot, d), ignore_errors=True)
+
     def _term_postings(self, terms: list[str], st: dict) -> list:
-        """TermPostings for `terms` — from the warm dict (memoized decode)
-        or a cold bucket-pruned segment read."""
+        """TermPostings for `terms` — decoded-LRU, raw-rows cache, or a
+        cold bucket-pruned segment read. Tombstoned postings are filtered
+        at decode."""
         from ckanext_extractor_spark.operators.wand import (
-            load_term_postings,
             term_postings_from_rows,
         )
 
-        if self._segments_cache is None:
-            return load_term_postings(
-                self.spark, self._p("segments"), terms,
-                st["n_docs"], st["avgdl"], self.n_buckets,
-            )
+        dead = self._dead_docs()
         out = []
+        missing = []
         for t in terms:
-            if t in self._decoded_cache:
-                out.append(self._decoded_cache[t])
-            elif t in self._segments_cache:
-                tp = term_postings_from_rows(
-                    t, self._segments_cache[t], st["n_docs"], st["avgdl"]
-                )
-                self._decoded_cache[t] = tp
+            tp = self._decoded_cache.get(t)
+            if tp is not None:
+                self._decoded_cache.move_to_end(t)
                 out.append(tp)
+            else:
+                missing.append(t)
+        if not missing:
+            return out
+        if self._rows_cache is not None and not self._lazy_serve:
+            rows_by_term = {
+                t: self._rows_cache.get(t, []) for t in missing
+            }
+        else:
+            cached = {}
+            to_fetch = []
+            for t in missing:
+                if self._rows_cache is not None and t in self._rows_cache:
+                    cached[t] = self._rows_cache[t]
+                else:
+                    to_fetch.append(t)
+            rows_by_term = dict(cached)
+            if to_fetch:
+                fetched = self._fetch_rows(to_fetch)
+                rows_by_term.update(fetched)
+                if self._rows_cache is not None:
+                    self._rows_cache.update(fetched)
+        for t in missing:
+            rows = rows_by_term.get(t) or []
+            if not rows:
+                continue
+            tp = term_postings_from_rows(
+                t, rows, st["n_docs"], st["avgdl"], dead=dead
+            )
+            self._lru_put(t, tp)
+            out.append(tp)
         return out
+
+    def _lru_put(self, term: str, tp) -> None:
+        size = (
+            tp.doc_ids.nbytes + tp.tfs.nbytes + tp.doc_lens.nbytes
+            + tp.block_last_doc.nbytes + tp.block_max_tfn.nbytes + 128
+        )
+        self._decoded_cache[term] = tp
+        self._decoded_bytes += size
+        self._decoded_cache.move_to_end(term)
+        while self._decoded_bytes > self._decoded_budget and len(
+            self._decoded_cache
+        ) > 1:
+            _, old = self._decoded_cache.popitem(last=False)
+            self._decoded_bytes -= (
+                old.doc_ids.nbytes + old.tfs.nbytes + old.doc_lens.nbytes
+                + old.block_last_doc.nbytes + old.block_max_tfn.nbytes + 128
+            )
+
+
+def read_parquet_if(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
 
 
 def _stage_complete(path: str) -> bool:
@@ -572,13 +1166,15 @@ def _atomic_overwrite(
     df: DataFrame, path: str, spark: SparkSession, partition_by: str | None = None
 ) -> None:
     """Write to a temp dir, then atomically swap into place (hard part #3:
-    exactly-once publish — readers never observe a half-written table)."""
+    exactly-once publish — readers never observe a half-written table).
+    POSIX-rename based; see the module docstring's filesystem note."""
     tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(tmp)
     old = path + ".old-" + uuid.uuid4().hex[:8]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)

@@ -43,7 +43,32 @@ def cmd_build(args) -> int:
                 "n_indexed": rep.n_indexed,
                 "wall_sec": round(rep.wall_sec, 2),
                 "resumed": rep.resumed,
+                "in_progress": rep.in_progress,
+                "compacted": rep.compacted,
             }
+        )
+    )
+    return 3 if rep.in_progress else 0
+
+
+def cmd_compact(args) -> int:
+    eng = _engine(args)
+    merged = eng.compact(dead_frac=args.dead_frac, max_gens=args.max_gens)
+    print(json.dumps({"compacted": merged, "generations": len(eng._gens)}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    eng = _engine(args)
+    print(
+        json.dumps(
+            {
+                "in_progress": eng.in_progress(),
+                "generations": eng._gens,
+                "seq": eng._seq,
+                "tombstones": len(eng._dead_docs()),
+            },
+            default=str,
         )
     )
     return 0
@@ -139,6 +164,20 @@ def main(argv=None) -> int:
     g = sub.add_parser("lineage", help="per-partition build metrics")
     g.add_argument("--index", required=True)
     g.set_defaults(fn=cmd_lineage)
+
+    c = sub.add_parser(
+        "compact", help="merge tombstone-heavy / excess generations"
+    )
+    c.add_argument("--index", required=True)
+    c.add_argument("--dead-frac", type=float, default=None)
+    c.add_argument("--max-gens", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser(
+        "status", help="lock holder, generation list, tombstone count"
+    )
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_status)
 
     i = sub.add_parser(
         "init", help="initialize an empty index root (paster init analog)"

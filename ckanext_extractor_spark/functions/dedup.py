@@ -12,8 +12,14 @@ Scale notes:
   * LSH: candidate pairs come from an equi-join on band keys — never an
     all-pairs product; band tuning (rows/band) trades recall vs join
     fan-out.
-  * simhash: tf-weighted bit votes via explode over a 64-element bit
-    table; the shuffle is (doc, bit) partial sums.
+  * simhash: tf-weighted bit votes as n_bits SUM aggregates over the
+    (doc, term) rows — NO bit explosion: the shuffle carries n_bits
+    map-side-combined partial sums per doc, never (doc, term) x n_bits
+    intermediate rows (the r1 64x amplification of the largest
+    intermediate).
+  * degenerate-bucket guard: LSH band buckets above `max_bucket_size`
+    (boilerplate-heavy corpora) are dropped before the self-join — one
+    mega-bucket would otherwise make the join quadratic.
 """
 
 from __future__ import annotations
@@ -34,17 +40,24 @@ def _h60(col: Column) -> Column:
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "content",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     include_members: bool = False) -> DataFrame:
     """Hash-groupBy exact dedup: one row per content group with keeper id
-    (min doc_id) and group size. Filter group_size > 1 for dups."""
+    (min doc_id) and group size. Filter group_size > 1 for dups.
+
+    ``include_members`` adds a member_ids list — OFF by default because
+    collect_list is unbounded for a pathological mega-group; at scale get
+    membership by semi-joining the corpus back on content_hash instead."""
+    aggs = [
+        F.count("*").alias("group_size"),
+        F.min(id_col).alias("keeper_doc_id"),
+    ]
+    if include_members:
+        aggs.append(F.sort_array(F.collect_list(id_col)).alias("member_ids"))
     return (
         df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
-        .agg(
-            F.count("*").alias("group_size"),
-            F.min(id_col).alias("keeper_doc_id"),
-            F.collect_list(id_col).alias("member_ids"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -69,12 +82,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "content",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "content",
                       id_col: str = "doc_id", n_hashes: int = 8,
-                      rows_per_band: int = 2) -> DataFrame:
+                      rows_per_band: int = 2,
+                      max_bucket_size: int | None = 10_000) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band.
 
     Bands are contiguous slices of the signature; candidates come from a
     self-equi-join on (band_idx, band_key) — the scalable alternative to
-    an all-pairs similarity join."""
+    an all-pairs similarity join. Band buckets larger than
+    ``max_bucket_size`` are dropped before the join (a single degenerate
+    band key — e.g. shared boilerplate — would otherwise contribute
+    O(bucket^2) join rows); docs in a dropped bucket can still pair via
+    their other bands."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
     n_bands = n_hashes // rows_per_band
     bands = sig.select(
@@ -97,6 +115,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "content",
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band_idx", "band_key")
+        )
+        bands = bands.join(ok, ["band_idx", "band_key"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -160,29 +186,31 @@ def jaccard_candidate_pairs(df: DataFrame, text_col: str = "content",
 def simhash64(df: DataFrame, text_col: str = "content",
               id_col: str = "doc_id", n_bits: int = 64) -> DataFrame:
     """tf-weighted simhash fingerprint (n_bits <= 60 uses the portable
-    hash; bit b's vote is +tf if hash bit set else -tf)."""
+    hash; bit b's vote is +tf if hash bit set else -tf).
+
+    Bit-sliced aggregation: each bit's vote is its own SUM over the
+    (doc, term) rows, so Catalyst runs ONE partial+final hash aggregate
+    with n_bits accumulator slots per doc — no per-bit row explosion and a
+    single shuffle whose rows are (doc, n_bits partial sums)."""
     tf = (
         df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", _h60(F.col("term")))
     )
-    bits = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit")
-    votes = (
-        tf.select(F.col(id_col), "tf", "h", bits)
-        .withColumn(
-            "w",
-            F.when(
-                F.expr("(h >> bit) & 1") == 1,
-                F.col("tf"),
-            ).otherwise(-F.col("tf")),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("w").alias("w"))
-    )
-    return votes.groupBy(id_col).agg(
+    votes = [
         F.sum(
-            F.when(F.col("w") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"_w{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = tf.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sim = sim + F.when(
+            F.col(f"_w{b}") > 0,
+            F.expr(f"shiftleft(cast(1 as bigint), {b})"),
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))

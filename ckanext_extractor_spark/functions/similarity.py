@@ -69,14 +69,18 @@ def add_lsh_buckets(
     `lsh_bucket` so queries prune to one bucket."""
     planes = hyperplanes(dim, n_planes, seed)
     v = _to_double(F.col(vec_col))
+    return embeddings.withColumn("lsh_bucket", _bucket_expr(v, planes))
+
+
+def _bucket_expr(v: Column, planes: np.ndarray) -> Column:
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
+    for p in range(len(planes)):
         h = F.array(*[F.lit(float(x)) for x in planes[p]])
         bit = F.when(_dot(v, h) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket + F.shiftleft(bit, p)
-    return embeddings.withColumn("lsh_bucket", bucket)
+    return bucket
 
 
 def embedding_neardup_pairs(
@@ -87,37 +91,77 @@ def embedding_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 4,
+    max_bucket_size: int | None = 2_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale.
 
-    Candidate generation = self-equi-join on the random-hyperplane
-    bucket (near-identical vectors collide with high probability);
-    verification = exact cosine on candidates only. Returns
-    (id_a, id_b, cosine) with cosine >= threshold, id_a < id_b.
+    Candidate generation = self-equi-join on random-hyperplane buckets
+    from ``n_tables`` independent hash families (near-identical vectors
+    collide in at least one table with high probability — multi-band
+    recall a single table can't reach); verification = exact cosine on the
+    distinct candidate id pairs only. Returns (id_a, id_b, cosine) with
+    cosine >= threshold, id_a < id_b.
 
-    An all-pairs cosine join is O(n^2) rows; the bucket join's fan-out is
-    sum of squared bucket sizes — tune n_planes so buckets stay small.
-    For higher recall on borderline pairs, union candidates from a few
-    seeds (each seed is an independent hash family)."""
-    b = add_lsh_buckets(embeddings, dim, n_planes, seed, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
+    Scale controls:
+      * only (id, table, bucket) rows are exploded n_tables-fold — the
+        vectors themselves are joined back once per verified pair;
+      * buckets above ``max_bucket_size`` are dropped before the
+        self-join (with 2^n_planes buckets per table, a skewed family
+        would otherwise make the join O(sum bucket^2) ~ all-pairs);
+      * recall/cost knobs: n_planes (bucket granularity) x n_tables
+        (independent chances)."""
+    v = _to_double(F.col(vec_col))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _bucket_expr(v, hyperplanes(dim, n_planes, seed + t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
     )
-    a = b.alias("a")
-    c = b.alias("b")
-    va = _to_double(F.col(f"a.{vec_col}"))
-    vb = _to_double(F.col(f"b.{vec_col}"))
-    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
-    return (
+    ids = (
+        embeddings.select(F.col(id_col), F.explode(entries).alias("e"))
+        .select(id_col, "e.table_id", "e.bucket")
+    )
+    if max_bucket_size is not None:
+        ok = (
+            ids.groupBy("table_id", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("table_id", "bucket")
+        )
+        ids = ids.join(ok, ["table_id", "bucket"], "left_semi")
+    a = ids.alias("a")
+    c = ids.alias("b")
+    pairs = (
         a.join(
             c,
-            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
         )
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"), _to_double(F.col(vec_col)).alias("_va")
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"), _to_double(F.col(vec_col)).alias("_vb")
+    )
+    va, vb = F.col("_va"), F.col("_vb")
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

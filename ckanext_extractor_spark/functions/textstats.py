@@ -87,16 +87,20 @@ def quality_score(df: DataFrame, text_col: str = "text",
 def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Marker-word language guess: count hits per language list, argmax
-    (ties broken by language code order). 'und' when nothing matches."""
+    (ties broken by FIRST language code alphabetically — the struct
+    carries a negated rank so array_max's lexicographic order resolves a
+    de/en tie to 'de', not reverse-alphabetically). 'und' when nothing
+    matches."""
     toks = _tokens(F.col(text_col))
     hits = []
-    for lang in sorted(LANGID_MARKERS):
+    for rank, lang in enumerate(sorted(LANGID_MARKERS)):
         arr = F.array(*[F.lit(w) for w in LANGID_MARKERS[lang]])
         hits.append(
             F.struct(
                 F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).alias(
                     "hits"
                 ),
+                F.lit(-rank).alias("nrank"),
                 F.lit(lang).alias("lang"),
             )
         )

@@ -99,10 +99,14 @@ def compute_statuses(
     status = (
         F.when(~lang_ok, F.lit(STATUS_IGNORED))
         .when(F.col("_m_sha").isNull(), F.lit(STATUS_NEW))
-        # a previously deleted doc has no postings/metadata left — it must
-        # be re-extracted even if the stored sha still matches (reference
-        # re-extracts after delete since metadata is purged, action.py:162)
-        .when(F.col("_m_status") == STATUS_DELETED, F.lit(STATUS_NEW))
+        # a previously deleted/ignored doc has no postings/metadata left —
+        # it must be re-extracted even if the stored sha still matches
+        # (reference re-extracts after delete/private-flip since metadata
+        # is purged, action.py:124-133)
+        .when(
+            F.col("_m_status").isin(STATUS_DELETED, STATUS_IGNORED),
+            F.lit(STATUS_NEW),
+        )
         .when(F.col("_m_sha") != F.col("content_sha256"), F.lit(STATUS_UPDATE))
         .otherwise(
             F.lit(STATUS_UPDATE) if force else F.lit(STATUS_UNCHANGED)

@@ -120,7 +120,7 @@ def build_doc_stats(prepared: DataFrame, postings: DataFrame) -> DataFrame:
     lens = postings.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
     meta_cols = [
         c for c in ("doc_id", "repo", "path", "commit", "lang",
-                    "content_sha256", "size_bytes")
+                    "content_sha256", "size_bytes", "metadata")
         if c in prepared.columns
     ]
     return (

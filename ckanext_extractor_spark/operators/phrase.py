@@ -23,8 +23,15 @@ from ckanext_extractor_spark.analysis.tokenizer import QUERY_CONFIG, analyze_que
 from ckanext_extractor_spark.operators.codec import decode_posting_list
 
 
-def _positions_by_doc(blob: bytes) -> dict[int, np.ndarray]:
-    ids, tfs, dls, pos = decode_posting_list(blob, with_positions=True)
+def _positions_by_doc(row, dead) -> dict[int, np.ndarray]:
+    from ckanext_extractor_spark.operators.wand import _row_gen_seq
+
+    ids, tfs, dls, pos = decode_posting_list(
+        bytes(row["blob"]), with_positions=True
+    )
+    if dead is not None and len(dead):
+        keep = dead.live_mask(ids, _row_gen_seq(row))
+        return {int(d): p for d, p, k in zip(ids, pos, keep) if k}
     return {int(d): p for d, p in zip(ids, pos)}
 
 
@@ -32,18 +39,21 @@ def phrase_filter_docs(
     candidate_docs: list[int],
     term_shard_rows: dict[str, list],
     ordered_terms: list[str],
+    dead=None,
 ) -> list[int]:
     """Keep candidate docs where `ordered_terms` occur consecutively.
 
     term_shard_rows: term -> list of segment rows (blobs include
     positions). Decodes only the query's terms (already fetched for
     scoring); per-doc verification is numpy intersection of
-    position-offset sets."""
+    position-offset sets. ``dead`` (a wand.DeadDocs) drops tombstoned
+    postings so a stale generation can't shadow an updated doc's
+    positions."""
     per_term_pos: list[dict[int, np.ndarray]] = []
     for t in ordered_terms:
         merged: dict[int, np.ndarray] = {}
         for row in term_shard_rows.get(t, []):
-            merged.update(_positions_by_doc(bytes(row["blob"])))
+            merged.update(_positions_by_doc(row, dead))
         per_term_pos.append(merged)
     out = []
     for d in candidate_docs:
@@ -89,15 +99,16 @@ def phrase_search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     if not scored:
         return []
     rows_by_term = {t: engine._segment_rows(t) for t in uniq}
+    dead = engine._dead_docs()
     keep = set(
-        phrase_filter_docs([d for d, _ in scored], rows_by_term, terms)
+        phrase_filter_docs([d for d, _ in scored], rows_by_term, terms, dead)
     )
     out = [(d, s) for d, s in scored if d in keep][:k]
     if len(out) < k and len(scored) == overfetch:
         # rare: phrase matches beyond the over-fetch window -> full pass
         scored = exact_topk(tls, 10**9, st["avgdl"], conjunctive=True)
         keep = set(
-            phrase_filter_docs([d for d, _ in scored], rows_by_term, terms)
+            phrase_filter_docs([d for d, _ in scored], rows_by_term, terms, dead)
         )
         out = [(d, s) for d, s in scored if d in keep][:k]
     return out

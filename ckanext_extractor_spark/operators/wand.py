@@ -34,6 +34,52 @@ from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
 from ckanext_extractor_spark.operators.codec import BLOCK_SIZE, decode_posting_list
 
 
+class DeadDocs:
+    """Tombstone lookup: doc_id -> kill_seq (the seq of the build/delete
+    that invalidated the doc's older postings). A posting row from a
+    generation with seq g is dead iff kill_seq > g. Vectorized lookup via
+    sorted arrays + searchsorted — no per-posting python.
+
+    Reference analog: Lucene per-segment liveDocs; the reference itself
+    delegates deletes to Solr (plugin.py:117-123), here owned natively so a
+    1-doc delete touches zero segment files (SURVEY.md Q6 tombstone plan).
+    """
+
+    __slots__ = ("doc_ids", "kill_seqs")
+
+    def __init__(self, pairs: "dict[int, int] | None" = None):
+        items = sorted((pairs or {}).items())
+        self.doc_ids = np.fromiter(
+            (d for d, _ in items), dtype=np.int64, count=len(items)
+        )
+        self.kill_seqs = np.fromiter(
+            (s for _, s in items), dtype=np.int64, count=len(items)
+        )
+
+    def __len__(self) -> int:
+        return len(self.doc_ids)
+
+    def live_mask(self, ids: np.ndarray, gen_seq: int) -> np.ndarray:
+        """Boolean mask of `ids` (sorted or not) still live at gen_seq."""
+        if len(self.doc_ids) == 0:
+            return np.ones(len(ids), dtype=bool)
+        idx = np.searchsorted(self.doc_ids, ids)
+        idx = np.minimum(idx, len(self.doc_ids) - 1)
+        found = self.doc_ids[idx] == ids
+        killed = found & (self.kill_seqs[idx] > gen_seq)
+        return ~killed
+
+
+def _row_gen_seq(row) -> int:
+    """Generation seq of a segment row; 0 for rows without one (single-
+    generation / standalone use)."""
+    try:
+        v = row["gen_seq"]
+        return int(v) if v is not None else 0
+    except (KeyError, ValueError, IndexError, TypeError):
+        return 0
+
+
 @dataclass
 class TermPostings:
     term: str
@@ -58,9 +104,10 @@ def load_term_postings(
     n_docs: int,
     avgdl: float,
     n_buckets: int = 64,
+    dead: "DeadDocs | None" = None,
 ) -> list[TermPostings]:
     """Read the query terms' segment rows, decode, and merge salt shards
-    per term. idf from the decoded df (= n postings).
+    per term. idf from the decoded df (= n live postings).
 
     ``segments`` is a parquet path (cold: bucket-pruned directory read) or
     an already-cached segments DataFrame (warm: in-memory term filter —
@@ -76,19 +123,27 @@ def load_term_postings(
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
     return [
-        term_postings_from_rows(term, shard_rows, n_docs, avgdl)
+        term_postings_from_rows(term, shard_rows, n_docs, avgdl, dead=dead)
         for term, shard_rows in by_term.items()
     ]
 
 
 def term_postings_from_rows(
-    term: str, shard_rows: list, n_docs: int, avgdl: float
+    term: str,
+    shard_rows: list,
+    n_docs: int,
+    avgdl: float,
+    dead: "DeadDocs | None" = None,
 ) -> TermPostings:
-    """Decode one term's segment rows (possibly several salt shards) into
-    a merged TermPostings. Pure driver-side numpy."""
+    """Decode one term's segment rows (salt shards and/or generation
+    shards) into a merged TermPostings, dropping tombstoned postings.
+    Pure driver-side numpy."""
     ids, tfs, dls = [], [], []
     for r in shard_rows:
         i, t, d = decode_posting_list(bytes(r["blob"]))
+        if dead is not None and len(dead):
+            keep = dead.live_mask(i, _row_gen_seq(r))
+            i, t, d = i[keep], t[keep], d[keep]
         ids.append(i)
         tfs.append(t)
         dls.append(d)
@@ -303,26 +358,37 @@ def query_segments_distributed(
     k: int,
     conjunctive: bool = True,
     n_query_terms: int | None = None,
+    dead_pairs: dict | None = None,
 ) -> DataFrame:
     """Cluster-scale path: decode+score inside each term_bucket partition
     (mapInPandas, vectorized), aggregate per doc, global TakeOrdered.
 
     Used when posting lists are too large to collect; the per-bucket
-    kernel is the same vectorized scorer as exact_topk.
+    kernel is the same vectorized scorer as exact_topk. ``dead_pairs``
+    (doc_id -> kill_seq) ships in the task closure — compaction bounds its
+    size; an index with a pathological tombstone backlog should compact
+    before serving distributed queries.
     """
     import pandas as pd
 
     k1, b = BM25_K1, BM25_B
     nq = n_query_terms or len(terms_idf)
+    dead_local = dict(dead_pairs or {})
 
     def score_part(batches):
+        dead = DeadDocs(dead_local) if dead_local else None
         for pdf in batches:
             frames = []
+            has_gen = "gen_seq" in pdf.columns
             for _, row in pdf.iterrows():
                 idf = terms_idf.get(row["term"])
                 if idf is None:
                     continue
                 ids, tfs, dls = decode_posting_list(bytes(row["blob"]))
+                if dead is not None:
+                    gseq = int(row["gen_seq"]) if has_gen else 0
+                    keep = dead.live_mask(ids, gseq)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                 tf = tfs.astype(np.float64)
                 dl = dls.astype(np.float64)
                 s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))

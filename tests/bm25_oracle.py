@@ -1,9 +1,13 @@
 """Pure pandas/numpy BM25 oracle (SURVEY.md §5.2 item 2).
 
-Uses the SAME analysis kernel as the engine (that's the point: the oracle
-independently re-derives tf/df/doc_len/scoring/ranking with numpy, while
-the engine derives them through Spark dataflow — agreement validates the
-dataflow, not the tokenizer twice).
+Shares ONLY the token stream with the engine (analyze_batch — pinned
+separately by the tokenizer goldens); everything downstream —
+tf/df/doc_len aggregation, idf, scoring, ranking — is re-derived here
+with plain pandas groupbys, independently of the engine's
+factorize/argsort/reduceat kernel and Spark dataflow. Agreement therefore
+validates the engine's aggregation AND scoring, not just its scoring
+(the r1 oracle reused postings_for_batch, pinning tf/doc_len against
+itself — de-circularized per VERDICT r1 #8).
 """
 
 from __future__ import annotations
@@ -14,8 +18,8 @@ import pandas as pd
 from ckanext_extractor_spark.analysis.tokenizer import (
     INDEX_CONFIG,
     QUERY_CONFIG,
+    analyze_batch,
     analyze_query,
-    postings_for_batch,
 )
 from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
 
@@ -25,17 +29,34 @@ class OracleIndex:
         """prepared_pdf: columns (doc_id, lang, content) — doc_id already
         assigned (engine's prepare_corpus does the hashing)."""
         pdf = prepared_pdf.reset_index(drop=True)
-        post = postings_for_batch(pdf["content"], pdf["lang"], config)
-        post["doc_id"] = pdf["doc_id"].to_numpy()[post["idx"].to_numpy()]
-        self.postings = post[["doc_id", "term", "tf", "positions", "doc_len"]]
-        lens = post.groupby("doc_id")["doc_len"].first()
-        self.doc_len = (
-            pdf.set_index("doc_id").assign(doc_len=lens)["doc_len"].fillna(0).astype(int)
+        toks = analyze_batch(pdf["content"], pdf["lang"], config)
+        toks = toks.assign(
+            doc_id=pdf["doc_id"].to_numpy()[toks["idx"].to_numpy()]
         )
+        # independent aggregation: plain pandas groupbys, no engine kernels
+        tf = (
+            toks.groupby(["doc_id", "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        dl = toks.groupby("doc_id").size()
+        self.doc_len = (
+            pd.Series(0, index=pdf["doc_id"].to_numpy())
+            .add(dl, fill_value=0)
+            .astype(int)
+        )
+        tf["doc_len"] = self.doc_len.reindex(tf["doc_id"]).to_numpy()
+        # per-(doc, term) ascending position lists (phrase oracle input)
+        self.positions = {
+            (int(d), t): g["pos"].to_numpy()
+            for (d, t), g in toks.groupby(["doc_id", "term"], sort=False)
+        }
+        self.postings = tf[["doc_id", "term", "tf", "doc_len"]]
         self.n_docs = len(pdf)
         self.avgdl = float(self.doc_len.mean()) if self.n_docs else 0.0
-        self.df = post.groupby("term")["doc_id"].size()  # (term, doc) unique
-        self.cf = post.groupby("term")["tf"].sum()
+        self.df = self.postings.groupby("term")["doc_id"].size()
+        self.cf = self.postings.groupby("term")["tf"].sum()
 
     def bm25_topk(
         self,

@@ -36,11 +36,8 @@ def base_pdf():
 
 
 def seg_digest(engine):
-    rows = (
-        engine.spark.read.parquet(engine._p("segments"))
-        .select("term", "salt_id", "blob")
-        .collect()
-    )
+    seg = engine._segments_union()
+    rows = seg.select("term", "salt_id", "blob").collect() if seg is not None else []
     items = sorted((r["term"], r["salt_id"], bytes(r["blob"])) for r in rows)
     h = hashlib.sha256()
     for term, salt, blob in items:

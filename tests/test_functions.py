@@ -48,12 +48,14 @@ def docs(spark):
 
 
 def test_exact_duplicates(docs):
-    out = exact_duplicates(docs).toPandas()
+    out = exact_duplicates(docs, include_members=True).toPandas()
     dups = out[out.group_size > 1]
     assert len(dups) == 1
     assert dups.iloc[0]["group_size"] == 2
     assert dups.iloc[0]["keeper_doc_id"] == 0
     assert sorted(dups.iloc[0]["member_ids"]) == [0, 1]
+    # default path omits the unbounded member list (100 TB safety)
+    assert "member_ids" not in exact_duplicates(docs).columns
 
 
 def test_minhash_identical_docs_same_signature(docs):

@@ -95,6 +95,24 @@ def emb(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
 
 
+def test_neardup_multitable_and_bucket_cap(emb):
+    df, base = emb
+    # coarse buckets (n_planes=2 -> 4/table) but 6 independent tables:
+    # planted pairs must still collide in at least one family
+    pairs = embedding_neardup_pairs(
+        df, dim=12, threshold=0.98, n_planes=2, n_tables=6,
+        max_bucket_size=40,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (3, 11) in got and (7, 22) in got
+    # cap pinning: max_bucket_size=1 drops every >=2-vector bucket, so no
+    # candidate pair can survive — the join is provably bounded by the cap
+    none = embedding_neardup_pairs(
+        df, dim=12, threshold=0.0, n_planes=2, n_tables=6, max_bucket_size=1
+    )
+    assert none.count() == 0
+
+
 def test_embedding_neardup_pairs(emb):
     df, base = emb
     pairs = embedding_neardup_pairs(df, dim=12, threshold=0.98, n_planes=6)
