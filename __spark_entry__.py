@@ -682,8 +682,41 @@ SELECT doc_id, 'source-name' AS key, source || ', ' || lang AS value
 FROM documents
 """
 
+def _q_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 per-field search through the REAL operators: metadata sidecar
+    normalization -> build_field_postings -> search_field (boolean AND
+    within one key, reference dynamic-field fq, plugin.py:40,140)."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.operators.fields import (
+        build_field_postings,
+        search_field,
+    )
+    from ckanext_extractor_spark.operators.normalize import (
+        clean_metadata_keys,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prepared = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        clean_metadata_keys(
+            F.create_map(
+                F.lit("Source_Name"),
+                F.concat(F.col("source"), F.lit(" "), F.col("lang")),
+            )
+        ).alias("metadata"),
+    )
+    fp = build_field_postings(prepared)
+    return search_field(fp, "source-name", "src13 en")
+
+
+_FIELD_SEARCH_DUCK = """
+SELECT doc_id FROM documents WHERE source = 'src13' AND lang = 'en'
+"""
+
 _PAIRS["q23_engine_postings_simple"] = ("", _ENGINE_POSTINGS_DUCK)
 _PAIRS["q27_metadata_normalize"] = ("", _METADATA_DUCK)
+_PAIRS["q28_field_search"] = ("", _FIELD_SEARCH_DUCK)
 _PAIRS["q24_bm25_segments_exact"] = (
     "",
     _strip_n_matched(_bm25_sql(DUCK_TOK, ["spark", "join"], True, 10)),
@@ -700,6 +733,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_bm25_segments_wand_or": _q_bm25_segments_wand_or,
     "q26_phrase_segments_simple": _q_phrase_segments_simple,
     "q27_metadata_normalize": _q_metadata_normalize,
+    "q28_field_search": _q_field_search,
 }
 
 

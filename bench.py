@@ -120,6 +120,25 @@ def main() -> None:
         eng_docs.search("spark join", k=10, mode="slow")
         timings["slowpath_and_2term"] = time.time() - tq
 
+        # ---- phase 4: capped warm serving (LRU, no full preload) ----------
+        # budget below the on-disk segment size -> lazy per-term fetch; a
+        # first pass pays the cache misses, steady state is LRU hits.
+        eng_syn.RAW_PRELOAD_BYTES = 1
+        eng_syn.warm(max_cache_bytes=32 << 20)
+        t_miss = time.time()
+        for _, q, conj in SYNTH_QUERIES:
+            eng_syn.search(q, k=10, conjunctive=conj)
+        miss_sec = time.time() - t_miss
+        capped_times = []
+        for _ in range(3):
+            for _, q, conj in SYNTH_QUERIES:
+                tq = time.time()
+                eng_syn.search(q, k=10, conjunctive=conj)
+                capped_times.append(time.time() - tq)
+        capped_qps = len(capped_times) / sum(capped_times)
+        timings["warm_capped_first_pass"] = miss_sec
+        timings["warm_capped_steady_qps"] = capped_qps
+
         total = t_docs + t_syn + sum(qtimes)
         out = {
             "metric": "fulltext index build (files/sec, bytes/sec) + BM25 top-k QPS",
@@ -141,6 +160,7 @@ def main() -> None:
                 "bytes_per_sec": round(synth_bytes / t_syn, 1),
             },
             "query_qps": round(len(qtimes) / sum(qtimes), 2),
+            "warm_capped_qps": round(timings["warm_capped_steady_qps"], 2),
             "query_p50_ms": round(
                 sorted(qtimes)[len(qtimes) // 2] * 1000, 1
             ),

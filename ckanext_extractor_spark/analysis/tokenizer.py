@@ -99,6 +99,11 @@ class AnalyzerConfig:
     lowercase: bool = True
     ascii_fold: bool = True
     remove_stopwords: bool = True
+    # Optional T4 Porter stemming (reference schema.xml:56) for natural-
+    # language content; OFF by default — the code-corpus contract keeps
+    # identifiers verbatim. Applied to the post-stopword token stream,
+    # memoized per distinct token (analysis/stem.py).
+    stem: bool = False
     stopwords: dict[str, frozenset[str]] = field(
         default_factory=lambda: dict(CODE_STOPWORDS)
     )
@@ -243,6 +248,15 @@ def _analyze_batch_impl(
                 keep[lmask] &= ~tok_series[lmask].isin(stops).to_numpy()
         tok, tok_doc, pos = tok[keep], tok_doc[keep], pos[keep]
 
+    # optional T4: Porter stem, memoized over distinct surviving tokens
+    # (stopwords were removed first, matching the Lucene filter order)
+    if config.stem and len(tok):
+        from ckanext_extractor_spark.analysis.stem import porter_stem
+
+        sinv, suniq = pd.factorize(pd.Series(tok, dtype=object), sort=False)
+        stemmed = np.array([porter_stem(w) for w in suniq], dtype=object)
+        tok = stemmed[sinv]
+
     return pd.DataFrame({"idx": tok_doc, "pos": pos, "term": tok})
 
 
@@ -326,6 +340,18 @@ def _postings_agg(toks: pd.DataFrame) -> pd.DataFrame:
             "doc_len": doc_len_by_doc[g_doc].astype(np.int64),
         }
     )
+
+
+def query_config_for(index_config: AnalyzerConfig) -> AnalyzerConfig:
+    """The query-side analyzer matching an index contract: catenation off
+    (schema.xml:59-66), every other stage — stopping, folding, stemming,
+    simple-mode — identical, or query terms would miss the index's
+    vocabulary."""
+    if index_config.mode == "simple":
+        return index_config
+    from dataclasses import replace
+
+    return replace(index_config, mode="query")
 
 
 def analyze_query(query: str, lang: str | None = None,

@@ -63,8 +63,10 @@ from pyspark.sql import functions as F
 
 from ckanext_extractor_spark.analysis.tokenizer import (
     INDEX_CONFIG,
+    SIMPLE_CONFIG,
     AnalyzerConfig,
     analyze_query,
+    query_config_for,
 )
 from ckanext_extractor_spark.manifest import (
     STATUS_IGNORED,
@@ -87,7 +89,7 @@ from ckanext_extractor_spark.operators.build import (
 from ckanext_extractor_spark.operators.query import bm25_search
 from ckanext_extractor_spark.operators.segments import (
     encode_segments,
-    salted_postings,
+    salted_postings_auto,
 )
 from ckanext_extractor_spark.operators.wand import DeadDocs
 
@@ -114,6 +116,7 @@ class BuildReport:
     resumed: bool = False
     in_progress: bool = False  # another build held the lock; nothing ran
     compacted: list[str] = field(default_factory=list)
+    stage_sec: dict[str, float] = field(default_factory=dict)  # telemetry
 
 
 TOMBSTONE_SCHEMA = "doc_id long, seq long"
@@ -186,6 +189,18 @@ class ExtractorEngine:
             self.indexed_langs = tuple(meta["indexed_langs"])
             self._gens = list(meta.get("generations", []))
             self._seq = int(meta.get("seq", 0))
+            # the analyzer contract is INDEX state too (custom stopword
+            # sets are not persisted — pass the same analyzer explicitly
+            # for those); a reopened engine must analyze queries with the
+            # chain the index was built with
+            mode = meta.get("analyzer_mode", self.analyzer.mode)
+            stem = bool(meta.get("analyzer_stem", False))
+            if mode == "simple":
+                from dataclasses import replace as _dc_replace
+
+                self.analyzer = _dc_replace(SIMPLE_CONFIG, stem=stem)
+            elif (mode, stem) != (self.analyzer.mode, self.analyzer.stem):
+                self.analyzer = AnalyzerConfig(mode=mode, stem=stem)
 
     def _meta_path(self) -> str:
         return os.path.join(self.root, "index_meta.json")
@@ -207,6 +222,7 @@ class ExtractorEngine:
                     "with_positions": self.with_positions,
                     "indexed_langs": list(self.indexed_langs),
                     "analyzer_mode": self.analyzer.mode,
+                    "analyzer_stem": self.analyzer.stem,
                     "bm25": {"k1": 1.2, "b": 0.75},
                     "seq": self._seq,
                     "generations": self._gens,
@@ -336,11 +352,14 @@ class ExtractorEngine:
         self, spark, prepared, meta_slim, manifest, lang_ok, force,
         build_id, t0,
     ) -> BuildReport:
+        stage_sec: dict[str, float] = {}
+        _t = time.time()
         statused = compute_statuses(meta_slim, manifest, lang_ok, force=force)
         counts = {
             r["status"]: r["n"]
             for r in statused.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
+        stage_sec["status"] = time.time() - _t
         n_changed = counts.get(STATUS_NEW, 0) + counts.get(STATUS_UPDATE, 0)
         n_ignored = counts.get(STATUS_IGNORED, 0)
         if n_changed == 0 and n_ignored == 0:
@@ -359,6 +378,7 @@ class ExtractorEngine:
         # second content scan: only changed docs reach the kernel. Selecting
         # just (doc_id, content, lang) lets Catalyst prune the sha/size
         # expressions out of this pass; hook transforms stay applied.
+        _t = time.time()
         if n_changed == sum(counts.values()):
             # whole batch changed (fresh build / force): skip the semi-join
             # — it would shuffle the full CONTENT column for a no-op filter
@@ -379,6 +399,7 @@ class ExtractorEngine:
             if os.path.exists(staging):
                 shutil.rmtree(staging)
             os.rename(tmp, staging)  # atomic publish of the stage
+        stage_sec["tokenize_stage"] = time.time() - _t; _t = time.time()
         raw = spark.read.parquet(staging)
         delta_postings, lineage = split_raw_postings(raw, build_id)
         gen_postings_rel = staging_rel
@@ -400,6 +421,7 @@ class ExtractorEngine:
             .collect()[0]["n"]
             or 0
         )
+        stage_sec["lineage_markers"] = time.time() - _t; _t = time.time()
 
         next_seq = self._seq + 1
         gen = {
@@ -427,20 +449,20 @@ class ExtractorEngine:
             )
             tombs.write.mode("append").parquet(self._p("tombstones"))
             self._dead_cache = None
+        stage_sec["tombstones"] = time.time() - _t; _t = time.time()
 
         if n_changed:
             # ---- generation doc set (compaction accounting) --------------
             to_index_ids.write.mode("overwrite").parquet(
                 self._p("gens", build_id, "docs")
             )
+            stage_sec["gen_docs"] = time.time() - _t; _t = time.time()
 
             # ---- delta segments ------------------------------------------
-            # salting uses the DELTA dictionary (df within this generation):
-            # per-encode-job skew control; never written — it lives only as
-            # the broadcast side of the salted repartition
-            delta_dict = build_dictionary(delta_postings, self.n_buckets)
-            salted = salted_postings(
-                delta_postings, delta_dict, self.n_buckets, self.salt_threshold
+            # df-driven salting within this generation: hot terms split by
+            # doc-hash so no single encode task owns a whole hot list
+            salted = salted_postings_auto(
+                delta_postings, self.n_buckets, self.salt_threshold
             )
             segments = encode_segments(
                 salted,
@@ -448,12 +470,20 @@ class ExtractorEngine:
                 with_positions=self.with_positions,
                 n_tasks=self._encode_tasks(n_delta_rows),
             )
+            # coalesce to one term-sorted file per bucket BEFORE the
+            # partitioned write: encoded rows are tiny next to postings, so
+            # this extra exchange is cheap, while the alternative —
+            # encode_tasks x buckets small files — costs a driver-serial
+            # commit of thousands of files (and slow bucket-pruned reads)
             _atomic_overwrite(
-                segments,
+                segments.repartition("term_bucket").sortWithinPartitions(
+                    "term", "salt_id"
+                ),
                 self._p("gens", build_id, "segments"),
                 spark,
                 partition_by="term_bucket",
             )
+            stage_sec["encode_segments"] = time.time() - _t; _t = time.time()
 
         # ---- doc_stats: changed docs re-derived, unchanged rows kept ------
         changed_meta = meta_slim.join(to_index_ids, "doc_id", "left_semi")
@@ -468,8 +498,27 @@ class ExtractorEngine:
                 batch_stats, allowMissingColumns=True
             )
         _atomic_overwrite(batch_stats, self._p("doc_stats"), spark)
+        stage_sec["doc_stats"] = time.time() - _t; _t = time.time()
+        if "metadata" in meta_slim.columns:
+            from ckanext_extractor_spark.operators.fields import (
+                build_field_postings,
+            )
+
+            batch_fp = build_field_postings(changed_meta)
+            prev_fp = self._read_or_none("field_postings")
+            if prev_fp is not None:
+                dropped_fp = to_index_ids.unionByName(
+                    statused.where(
+                        F.col("status") == STATUS_IGNORED
+                    ).select("doc_id")
+                )
+                batch_fp = prev_fp.join(
+                    dropped_fp, "doc_id", "left_anti"
+                ).unionByName(batch_fp)
+            _atomic_overwrite(batch_fp, self._p("field_postings"), spark)
         stats = build_corpus_stats(spark.read.parquet(self._p("doc_stats")))
         _atomic_overwrite(stats, self._p("corpus_stats"), spark)
+        stage_sec["corpus_stats"] = time.time() - _t; _t = time.time()
         self._stats_cache = None  # N/avgdl changed
 
         # ---- manifest ------------------------------------------------------
@@ -489,6 +538,7 @@ class ExtractorEngine:
         if self.hooks.after_save:
             new_manifest = self.hooks.after_save(new_manifest)
         _atomic_overwrite(new_manifest, self._p("doc_manifest"), spark)
+        stage_sec["manifest"] = time.time() - _t; _t = time.time()
 
         # ---- commit generation --------------------------------------------
         self._seq = next_seq
@@ -497,6 +547,7 @@ class ExtractorEngine:
         self._write_meta()
         self.cool()  # cached segments are stale after a rebuild
         compacted = self.maybe_compact()
+        stage_sec["compact_gc"] = time.time() - _t
         self._gc_staging()
         self._gc_orphan_gens()
         if self.hooks.after_index:
@@ -509,6 +560,7 @@ class ExtractorEngine:
             wall_sec=time.time() - t0,
             resumed=resumed,
             compacted=compacted,
+            stage_sec={k: round(v, 3) for k, v in stage_sec.items()},
         )
 
     def _normalize_metadata(self, prepared: DataFrame) -> DataFrame:
@@ -690,6 +742,10 @@ class ExtractorEngine:
             stats = build_corpus_stats(spark.read.parquet(self._p("doc_stats")))
             _atomic_overwrite(stats, self._p("corpus_stats"), spark)
             self._stats_cache = None
+        fp = self._read_or_none("field_postings")
+        if fp is not None:
+            fp2 = fp.join(F.broadcast(ids_df), "doc_id", "left_anti")
+            _atomic_overwrite(fp2, self._p("field_postings"), spark)
         manifest = read_doc_manifest(spark, self.root)
         updated = manifest.withColumn(
             "status",
@@ -827,9 +883,8 @@ class ExtractorEngine:
             n_docs = spark.read.parquet(
                 self._p("gens", new_id, "docs")
             ).count()
-            delta_dict = build_dictionary(live, self.n_buckets)
-            salted = salted_postings(
-                live, delta_dict, self.n_buckets, self.salt_threshold
+            salted = salted_postings_auto(
+                live, self.n_buckets, self.salt_threshold
             )
             segments = encode_segments(
                 salted,
@@ -925,7 +980,11 @@ class ExtractorEngine:
                 wand_topk,
             )
 
-            terms = list(dict.fromkeys(analyze_query(query)))
+            terms = list(
+                dict.fromkeys(
+                    analyze_query(query, config=query_config_for(self.analyzer))
+                )
+            )
             if not terms:
                 return []
             tls = self._term_postings(terms, st)
@@ -941,6 +1000,7 @@ class ExtractorEngine:
         rows = bm25_search(
             postings, dictionary, st["n_docs"], st["avgdl"], query,
             k=k, conjunctive=conjunctive,
+            config=query_config_for(self.analyzer),
         ).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
@@ -1054,6 +1114,19 @@ class ExtractorEngine:
             self._rows_cache[term] = rows
             return rows
         return self._fetch_rows([term]).get(term, [])
+
+    def search_field(self, field: str, query: str) -> list[int]:
+        """Docs whose metadata `field` contains ALL query tokens (Q5 —
+        the reference's per-key dynamic-field filter query,
+        plugin.py:40,140; boolean AND, unscored like Solr fq). Sorted
+        doc_id list."""
+        from ckanext_extractor_spark.operators.fields import search_field
+
+        fp = self._read_or_none("field_postings")
+        if fp is None:
+            return []
+        rows = search_field(fp, field, query).collect()
+        return sorted(int(r["doc_id"]) for r in rows)
 
     def phrase_search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Top-k docs containing the analyzed query as a consecutive

@@ -9,6 +9,14 @@ leaves position gaps at index time, so phrases spanning removed stopwords
 do NOT match — pinned by tests, consistent with how the analyzer defines
 positions.
 
+Known divergence from Lucene (pinned, ADVICE r1): catenated tokens take
+their OWN positions (camelCase -> camel@0, case@1, camelcase@2) instead of
+Lucene WDF's posInc=0, so a phrase spanning a split identifier ('sort
+data' against 'mergeSort data') does NOT match — the catenated token
+shifts subsequent positions by one per catenation. The whole-identifier
+query ('mergesort data'... as separate tokens) still conjunctive-matches;
+only strict adjacency across the split is affected.
+
 Execution: conjunctive BM25 candidate retrieval first (cheap, bounded),
 then positions of the candidate docs are decoded from the already-loaded
 term blobs and verified vectorized (numpy set intersection on offset
@@ -19,7 +27,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from ckanext_extractor_spark.analysis.tokenizer import QUERY_CONFIG, analyze_query
+from ckanext_extractor_spark.analysis.tokenizer import (
+    QUERY_CONFIG,
+    analyze_query,
+    query_config_for,
+)
 from ckanext_extractor_spark.operators.codec import decode_posting_list
 
 
@@ -83,7 +95,7 @@ def phrase_search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     if not engine.with_positions:
         raise ValueError("index was built without positions; phrase search "
                          "needs with_positions=True")
-    terms = analyze_query(query, config=QUERY_CONFIG)
+    terms = analyze_query(query, config=query_config_for(engine.analyzer))
     if not terms:
         return []
     uniq = list(dict.fromkeys(terms))

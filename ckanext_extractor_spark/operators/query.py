@@ -61,14 +61,16 @@ def bm25_search(
     conjunctive: bool = True,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    config=QUERY_CONFIG,
 ) -> DataFrame:
     """Analyze `query` (query-mode chain, catenation off) and return the
     top-k ``(doc_id, score, n_matched)`` ranked score desc, doc_id asc.
 
     ``conjunctive=True`` = default-AND semantics (schema.xml:166): a doc
-    must match every distinct query term.
+    must match every distinct query term. ``config`` must be the query
+    analyzer matching the index contract (tokenizer.query_config_for).
     """
-    terms = list(dict.fromkeys(analyze_query(query, lang, QUERY_CONFIG)))
+    terms = list(dict.fromkeys(analyze_query(query, lang, config)))
     spark = postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double, n_matched int")

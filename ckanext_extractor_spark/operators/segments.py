@@ -70,6 +70,43 @@ def salted_postings(
     )
 
 
+def salted_postings_auto(
+    postings: DataFrame,
+    n_buckets: int = 64,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+) -> DataFrame:
+    """salted_postings without a precomputed dictionary: the broadcast
+    side is ONLY the hot terms (df > salt_threshold — usually a handful),
+    cold terms default to salt_factor 1 via the left join, and the
+    salt_factor column is dropped before the big exchange (it would ride
+    every posting row through the shuffle otherwise)."""
+    hot = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > salt_threshold)
+        .select(
+            "term",
+            F.ceil(F.col("df") / F.lit(salt_threshold)).cast("int").alias(
+                "_salt_factor"
+            ),
+        )
+    )
+    return (
+        postings.join(F.broadcast(hot), "term", "left")
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+        .withColumn(
+            "salt_id",
+            F.pmod(
+                F.xxhash64("doc_id"),
+                F.coalesce(F.col("_salt_factor"), F.lit(1)),
+            ).cast("int"),
+        )
+        .drop("_salt_factor")
+    )
+
+
 def encode_segments(
     salted: DataFrame,
     avgdl: float,
@@ -78,100 +115,122 @@ def encode_segments(
     with_positions: bool = True,
     n_tasks: int | None = None,
 ) -> DataFrame:
-    """Encode posting blobs: repartition by (term_bucket, salt_id), sort
-    within partitions by (bucket, salt, term, doc_id), then a STREAMING
-    mapInPandas encoder with carry-over stitching at batch boundaries.
+    """Encode posting blobs: repartition by (term_bucket, salt_id), then a
+    mapInArrow kernel that sorts and encodes each partition in one
+    vectorized pass.
 
-    Why streaming, not groupBy().applyInPandas: applyInPandas materializes
-    each group as ONE pandas frame — at segment granularity that's
-    10^5..10^6 rows of python bytes objects per task, which (measured)
-    thrashes the allocator and anti-scales with worker count. The
-    streaming encoder sees bounded Arrow batches (session cap 1024 rows),
-    keeps only the current in-progress term as carry, and emits encoded
-    rows batch by batch. A term's rows are contiguous (sorted), so the
-    only stitching needed is the tail term of each batch.
+    Why not groupBy().applyInPandas: it materializes each group as ONE
+    pandas frame of python objects — measured to thrash the allocator and
+    anti-scale with workers.
 
-    Salting still spreads hot terms' rows across salt shards; skew beyond
-    that is bounded by the batch size, not the group size. The shuffle is
-    ONE exchange; determinism comes from the in-kernel (term, doc_id)
-    ordering, not shuffle order."""
+    Why the kernel sorts (numpy lexsort over int key columns + one Arrow
+    take), not sortWithinPartitions: Spark's UnsafeRow sort copies every
+    row into sort buffers and back, then re-serializes to Arrow — measured
+    as the dominant, memory-bandwidth-bound, WORST-scaling stage of the
+    whole build (core-seconds inflate ~1.65x from 1->4 threads on this
+    host). The term column is dictionary-encoded (C) so the sort keys are
+    four int arrays; doc order within a term follows doc_id exactly as
+    before — blob bytes are identical (pinned by checksum tests), only the
+    row order of the output table changes (readers filter by term value;
+    write_segments / the engine's bucket-coalesced write re-sort rows for
+    parquet min/max pruning).
+
+    Why Arrow, not pandas: positions stay ONE contiguous buffer sliced per
+    term by offsets (codec pos_data/pos_offsets path); only the ~#terms
+    group heads ever become python strings. No per-row python objects
+    exist anywhere in the kernel.
+
+    Partition memory is bounded by construction: _encode_tasks sizes the
+    exchange to ~ENCODE_ROWS_PER_TASK rows/task and df-driven salting
+    caps any single (bucket, salt) key, so "the whole partition" is tens
+    of MB, same order as one sort buffer."""
 
     def encode_stream(batches):
-        carry: pd.DataFrame | None = None
+        import pyarrow as pa
 
-        def encode_keys(pdf: pd.DataFrame) -> pd.DataFrame:
-            # pdf rows sorted by (bucket, salt, term, doc_id), all keys
-            # complete. Encode per (bucket, salt) slice via the grouped
-            # vectorized encoder.
-            out = []
-            bs = pdf["term_bucket"].to_numpy()
-            ss = pdf["salt_id"].to_numpy()
-            key_change = np.flatnonzero((bs[1:] != bs[:-1]) | (ss[1:] != ss[:-1])) + 1
-            part_starts = np.concatenate(([0], key_change, [len(pdf)]))
-            for pi in range(len(part_starts) - 1):
-                s, e = part_starts[pi], part_starts[pi + 1]
-                sub = pdf.iloc[s:e]
-                terms = sub["term"].to_numpy()
-                bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1
-                g_starts = np.concatenate(([0], bounds))
-                g_ends = np.concatenate((bounds, [len(sub)]))
-                blobs, ns, last_docs, max_tfns = encode_posting_lists_grouped(
-                    sub["doc_id"].to_numpy(dtype=np.int64),
-                    sub["tf"].to_numpy(dtype=np.int64),
-                    sub["doc_len"].to_numpy(dtype=np.int64),
-                    sub["positions"].to_numpy() if with_positions else None,
-                    g_starts, g_ends, avgdl, k1=k1, b=b,
-                )
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "term": terms[g_starts],
-                            "term_bucket": np.full(
-                                len(ns), sub["term_bucket"].iat[0], dtype=np.int32
-                            ),
-                            "salt_id": np.full(
-                                len(ns), sub["salt_id"].iat[0], dtype=np.int32
-                            ),
-                            "n_postings": ns,
-                            "blob": blobs,
-                            "block_last_doc": last_docs,
-                            "block_max_tfn": max_tfns,
-                        }
-                    )
-                )
-            return pd.concat(out, ignore_index=True)
+        out_schema = pa.schema(
+            [
+                ("term", pa.string()),
+                ("term_bucket", pa.int32()),
+                ("salt_id", pa.int32()),
+                ("n_postings", pa.int64()),
+                ("blob", pa.binary()),
+                ("block_last_doc", pa.list_(pa.int64())),
+                ("block_max_tfn", pa.list_(pa.float64())),
+            ]
+        )
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            # hold back the trailing (bucket, salt, term) key — it may
-            # continue in the next batch
-            last_b = pdf["term_bucket"].iat[-1]
-            last_s = pdf["salt_id"].iat[-1]
-            last_t = pdf["term"].iat[-1]
-            tail_mask = (
-                (pdf["term_bucket"] == last_b)
-                & (pdf["salt_id"] == last_s)
-                & (pdf["term"] == last_t)
-            ).to_numpy()
-            # sorted input -> the matching rows form a contiguous suffix;
-            # worst-case carry is one term's shard (<= salt_threshold rows)
-            n_tail = int(tail_mask.sum())
-            head = pdf.iloc[: len(pdf) - n_tail]
-            carry = pdf.iloc[len(pdf) - n_tail :]
-            if len(head):
-                yield encode_keys(head)
-        if carry is not None and len(carry):
-            yield encode_keys(carry)
+        def binary_buffer(arr: "pa.Array"):
+            """(data memoryview, absolute per-row offsets) of a
+            Binary/LargeBinary chunk, honoring the chunk's slice offset."""
+            odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            off = arr.offset
+            offsets = np.frombuffer(arr.buffers()[1], dtype=odt)[
+                off : off + len(arr) + 1
+            ].astype(np.int64)
+            data = memoryview(arr.buffers()[2])
+            return data, offsets
+
+        acc = []
+        for rb in batches:
+            if rb.num_rows:
+                acc.append(rb)
+        if not acc:
+            return
+        tbl = pa.Table.from_batches(acc).combine_chunks()
+        acc = None
+        bs = tbl.column("term_bucket").chunk(0).to_numpy()
+        ss = tbl.column("salt_id").chunk(0).to_numpy()
+        codes = (
+            tbl.column("term").chunk(0).dictionary_encode().indices.to_numpy()
+        )
+        docs = tbl.column("doc_id").chunk(0).to_numpy()
+        # grouped sort: primary (bucket, salt, term-code), doc_id within —
+        # term-code order is arbitrary but CONSISTENT, which is all the
+        # grouped encoder needs (codec output per term is order-invariant)
+        order = np.lexsort((docs, codes, ss, bs))
+        tbl = tbl.take(pa.array(order, type=pa.int64()))
+        bs, ss, codes = bs[order], ss[order], codes[order]
+        change = (
+            (bs[1:] != bs[:-1]) | (ss[1:] != ss[:-1]) | (codes[1:] != codes[:-1])
+        )
+        bounds = np.flatnonzero(change) + 1
+        g_starts = np.concatenate(([0], bounds))
+        g_ends = np.concatenate((bounds, [len(tbl)]))
+        if with_positions:
+            pos_data, pos_offsets = binary_buffer(
+                tbl.column("positions").chunk(0)
+            )
+        else:
+            pos_data, pos_offsets = None, None
+        blobs, ns, last_docs, max_tfns = encode_posting_lists_grouped(
+            tbl.column("doc_id").chunk(0).to_numpy(),
+            tbl.column("tf").chunk(0).to_numpy(),
+            tbl.column("doc_len").chunk(0).to_numpy(),
+            None,
+            g_starts, g_ends, avgdl, k1=k1, b=b,
+            pos_data=pos_data, pos_offsets=pos_offsets,
+        )
+        heads = pa.array(g_starts, type=pa.int64())
+        yield pa.record_batch(
+            [
+                tbl.column("term").chunk(0).take(heads),
+                pa.array(bs[g_starts], type=pa.int32()),
+                pa.array(ss[g_starts], type=pa.int32()),
+                pa.array(ns, type=pa.int64()),
+                pa.array(blobs, type=pa.binary()),
+                pa.array(last_docs, type=pa.list_(pa.int64())),
+                pa.array(max_tfns, type=pa.list_(pa.float64())),
+            ],
+            schema=out_schema,
+        )
 
     nt = n_tasks or salted.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    arranged = salted.repartition(int(nt), "term_bucket", "salt_id").sortWithinPartitions(
-        "term_bucket", "salt_id", "term", "doc_id"
-    )
-    return arranged.mapInPandas(encode_stream, schema=SEGMENT_SCHEMA)
+    cols = ["term_bucket", "salt_id", "term", "doc_id", "tf", "doc_len"]
+    if with_positions:
+        cols.append("positions")
+    arranged = salted.select(*cols).repartition(int(nt), "term_bucket", "salt_id")
+    return arranged.mapInArrow(encode_stream, schema=SEGMENT_SCHEMA)
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:

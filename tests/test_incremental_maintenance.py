@@ -239,6 +239,17 @@ def test_metadata_sidecar_end_to_end(spark, tmp_path):
     }  # keys lowercased + '_'->'-'; x-secret filtered by indexed_fields
     assert info["status"] == "indexed"
     assert eng.show(by_path["p1"]["doc_id"])["metadata"] == {}
+    # Q5 per-field search: boolean AND within one metadata key
+    d0 = by_path["p0"]["doc_id"]
+    assert eng.search_field("author-name", "ada") == [d0]
+    assert eng.search_field("author-name", "Ada Grace") == [d0]  # AND
+    assert eng.search_field("author-name", "missing") == []
+    assert eng.search_field("content-type", "plain text") == [d0]
+    # filtered-out key is not searchable (purged like the reference)
+    assert eng.search_field("x-secret", "drop") == []
+    # field search survives delete purge
+    eng.delete([d0])
+    assert eng.search_field("author-name", "ada") == []
 
 
 def test_deleted_docs_filtered_in_slow_and_distributed_paths(

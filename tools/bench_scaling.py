@@ -33,7 +33,7 @@ root = tempfile.mkdtemp(prefix=f"scal{cores}_")
 try:
     eng = ExtractorEngine(spark, root, n_buckets=128, salt_threshold=50_000)
     t0 = time.time()
-    eng.extract(synth, build_id="scaling")
+    rep = eng.extract(synth, build_id="scaling")
     wall = time.time() - t0
     # kernel-level core-seconds from executor-measured lineage: the
     # orchestration-noise-free scaling signal
@@ -49,6 +49,7 @@ print(json.dumps({
     "bytes_per_sec": round(nbytes / wall, 1),
     "tokenize_core_sec": round(lin["s"], 2),
     "tokenize_files_per_core_sec": round(lin["d"] / lin["s"], 1),
+    "stage_sec": rep.stage_sec,
 }))
 """
 
