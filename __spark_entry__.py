@@ -505,7 +505,7 @@ def _engine_segment_topk(
     sf_dir: str,
     query_terms: list[str],
     conjunctive: bool,
-    use_wand: bool,
+    mode: str = "exact",
     k: int = 10,
 ) -> DataFrame:
     """kernel -> dictionary -> salted repartition -> segment encode ->
@@ -520,6 +520,7 @@ def _engine_segment_topk(
     from ckanext_extractor_spark.operators.segments import encode_segments, salted_postings
     from ckanext_extractor_spark.operators.wand import (
         exact_topk,
+        maxscore_topk,
         term_postings_from_rows,
         wand_topk,
     )
@@ -551,7 +552,9 @@ def _engine_segment_topk(
     if conjunctive and len(tls) < len(set(query_terms)):
         hits = []
     else:
-        fn = wand_topk if use_wand else exact_topk
+        fn = {"wand": wand_topk, "maxscore": maxscore_topk}.get(
+            mode, exact_topk
+        )
         hits = fn(tls, k, avgdl, conjunctive=conjunctive)
     return spark.createDataFrame(
         [(int(d), float(round(s, 4))) for d, s in hits],
@@ -561,14 +564,26 @@ def _engine_segment_topk(
 
 def _q_bm25_segments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_segment_topk(
-        spark, sf_dir, ["spark", "join"], conjunctive=True, use_wand=False
+        spark, sf_dir, ["spark", "join"], conjunctive=True
     )
 
 
 def _q_bm25_segments_wand_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_segment_topk(
         spark, sf_dir, ["vector", "stream", "batch"], conjunctive=False,
-        use_wand=True,
+        mode="wand",
+    )
+
+
+def _q_bm25_segments_maxscore_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MaxScore (vectorized essential-list skipping,
+    operators/wand.py) through the REAL pipeline: kernel -> salted
+    repartition -> segment codec -> decode -> maxscore_topk; oracle =
+    the same disjunctive BM25 ANSI SQL as the exact/WAND entries
+    (rank-identity of the skipping path is the claim under test)."""
+    return _engine_segment_topk(
+        spark, sf_dir, ["vector", "stream", "batch"], conjunctive=False,
+        mode="maxscore",
     )
 
 
@@ -726,6 +741,52 @@ _PAIRS["q25_bm25_segments_wand_or"] = (
     _strip_n_matched(_bm25_sql(DUCK_TOK, ["vector", "stream", "batch"], False, 10)),
 )
 _PAIRS["q26_phrase_segments_simple"] = ("", _PHRASE_DUCK)
+def _q_phrase_distributed_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scale phrase plan through the REAL engine: build an index
+    (simple SQL-parity analyzer), then phrase_search(distributed=True) —
+    bucket-pruned segment scan -> decode kernel -> one doc_id exchange ->
+    vectorized consecutive-position verify -> global top-k. Engine doc_ids
+    (xxhash64 of identity) are mapped back to the documents ids via the
+    stored path so the DuckDB oracle can compare. Selection uses true
+    scores with original-id tiebreaks (matching the oracle's ORDER BY),
+    rounding only for the emitted values."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_dphrase_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+    )
+    eng.extract(corpus, build_id="entry-dphrase")
+    hits = eng.phrase_search("the fast", k=10**9, distributed=True)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_PAIRS["q35_phrase_distributed_engine"] = ("", _PHRASE_DUCK)
+_PAIRS["q34_bm25_segments_maxscore_or"] = (
+    "",
+    _strip_n_matched(_bm25_sql(DUCK_TOK, ["vector", "stream", "batch"], False, 10)),
+)
 
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
@@ -734,6 +795,8 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_phrase_segments_simple": _q_phrase_segments_simple,
     "q27_metadata_normalize": _q_metadata_normalize,
     "q28_field_search": _q_field_search,
+    "q34_bm25_segments_maxscore_or": _q_bm25_segments_maxscore_or,
+    "q35_phrase_distributed_engine": _q_phrase_distributed_engine,
 }
 
 

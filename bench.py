@@ -107,15 +107,28 @@ def main() -> None:
                 eng.search(q, k=10, conjunctive=conj)
         qtimes = []
         for eng, queries in ((eng_docs, DOC_QUERIES), (eng_syn, SYNTH_QUERIES)):
+            eng._query_cache.clear()  # measure the scoring path, not memo hits
             for name, q, conj in queries:
                 tq = time.time()
                 eng.search(q, k=10, conjunctive=conj)
                 dt = time.time() - tq
                 timings[name] = dt
                 qtimes.append(dt)
+        # query-result-cache steady state (the end-user repeat-query path)
+        ctimes = []
+        for eng, queries in ((eng_docs, DOC_QUERIES), (eng_syn, SYNTH_QUERIES)):
+            for _, q, conj in queries:
+                tq = time.time()
+                eng.search(q, k=10, conjunctive=conj)
+                ctimes.append(time.time() - tq)
+        timings["query_cache_hit_qps"] = len(ctimes) / max(sum(ctimes), 1e-9)
         tq = time.time()
         eng_docs.search("spark join", k=10, mode="wand")
         timings["blockmax_wand_and_2term"] = time.time() - tq
+        tq = time.time()
+        eng_docs.search("vector stream batch", k=10, conjunctive=False,
+                        mode="maxscore")
+        timings["maxscore_or_3term"] = time.time() - tq
         tq = time.time()
         eng_docs.search("spark join", k=10, mode="slow")
         timings["slowpath_and_2term"] = time.time() - tq
@@ -125,12 +138,14 @@ def main() -> None:
         # first pass pays the cache misses, steady state is LRU hits.
         eng_syn.RAW_PRELOAD_BYTES = 1
         eng_syn.warm(max_cache_bytes=32 << 20)
+        eng_syn._query_cache.clear()
         t_miss = time.time()
         for _, q, conj in SYNTH_QUERIES:
             eng_syn.search(q, k=10, conjunctive=conj)
         miss_sec = time.time() - t_miss
         capped_times = []
         for _ in range(3):
+            eng_syn._query_cache.clear()  # pin the decoded-LRU path
             for _, q, conj in SYNTH_QUERIES:
                 tq = time.time()
                 eng_syn.search(q, k=10, conjunctive=conj)

@@ -40,18 +40,19 @@ IExtractorRequest.extractor_before_request (interfaces.py:85-106):
     after_save(manifest_df)    -> manifest_df    (~ after_save)
     after_index(engine)        -> None           (~ after_index)
 
-Filesystem note: publish/lock/GC primitives go through os.rename /
-os.path.exists, so ``index_root`` must be a POSIX path (local or shared
-POSIX mount). Object-store roots would route these through Hadoop
-FileSystem / a commit service; the table reads/writes themselves are
-already location-agnostic Spark IO.
+Filesystem note: publish/lock/GC primitives route through
+:mod:`ckanext_extractor_spark.fsio` — plain paths use POSIX os/shutil,
+URI roots (hdfs://, s3a://, ...) use the JVM Hadoop FileSystem already on
+Spark's classpath. Rename-based publish is atomic on POSIX and HDFS;
+object stores without atomic rename copy (correct under the single-writer
+build lock, but see fsio's module docstring for the reader-visible
+window). Table reads/writes themselves are location-agnostic Spark IO.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from collections import OrderedDict
@@ -68,6 +69,7 @@ from ckanext_extractor_spark.analysis.tokenizer import (
     analyze_query,
     query_config_for,
 )
+from ckanext_extractor_spark.fsio import FsIO
 from ckanext_extractor_spark.manifest import (
     STATUS_IGNORED,
     STATUS_NEW,
@@ -146,6 +148,7 @@ class ExtractorEngine:
         with_positions: bool = True,
         ignore_where: str | None = None,
         indexed_fields: Iterable[str] = ("*",),
+        store_content: bool = False,
     ):
         """``ignore_where``: SQL predicate over corpus columns marking docs
         to skip AND purge (reference F3: private datasets skipped at
@@ -156,7 +159,14 @@ class ExtractorEngine:
         metadata keys to store when the corpus carries a ``metadata`` map
         column (reference F2 `indexed_fields`, config.py:101-105; keys are
         cleaned first — lowercase, '_'->'-', multivalues ', '-joined —
-        lib.py:55-65 / tasks.py:82-95)."""
+        lib.py:55-65 / tasks.py:82-95).
+
+        ``store_content``: keep a ``doc_store`` table (doc_id -> fulltext)
+        merged incrementally like doc_stats. Reference parity: the
+        extracted fulltext is STORED, not just indexed (ResourceMetadatum
+        'fulltext' row, model.py:117-127 / tasks.py:99-104;
+        extractor_show returns it) — enables show()['fulltext'] and
+        snippets()."""
         self.spark = spark
         self.root = index_root
         self.indexed_langs = tuple(indexed_langs)
@@ -167,6 +177,7 @@ class ExtractorEngine:
         self.with_positions = with_positions
         self.ignore_where = ignore_where
         self.indexed_fields = tuple(indexed_fields)
+        self.store_content = store_content
         # serving caches (warm()): raw segment rows + LRU decoded postings
         self._rows_cache: dict[str, list] | None = None
         self._decoded_cache: "OrderedDict[str, object]" = OrderedDict()
@@ -175,9 +186,14 @@ class ExtractorEngine:
         self._lazy_serve = False
         self._stats_cache: dict | None = None
         self._dead_cache: DeadDocs | None = None
+        # memoized top-k results keyed (query, k, conjunctive, mode) —
+        # Solr queryResultCache analog (solrconfig.xml queryResultCache);
+        # cleared by cool() on every index mutation
+        self._query_cache: "OrderedDict[tuple, list]" = OrderedDict()
         self._gens: list[dict] = []
         self._seq = 0
-        os.makedirs(index_root, exist_ok=True)
+        self.fs = FsIO(spark, index_root)
+        self.fs.makedirs(index_root)
         # structural index properties are INDEX state, not caller options:
         # a query/delete with a different n_buckets than the build would
         # prune the wrong partitions. Persisted at build, loaded on open.
@@ -189,6 +205,9 @@ class ExtractorEngine:
             self.indexed_langs = tuple(meta["indexed_langs"])
             self._gens = list(meta.get("generations", []))
             self._seq = int(meta.get("seq", 0))
+            self.store_content = bool(
+                meta.get("store_content", self.store_content)
+            )
             # the analyzer contract is INDEX state too (custom stopword
             # sets are not persisted — pass the same analyzer explicitly
             # for those); a reopened engine must analyze queries with the
@@ -206,16 +225,12 @@ class ExtractorEngine:
         return os.path.join(self.root, "index_meta.json")
 
     def _read_meta(self) -> dict | None:
-        p = self._meta_path()
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        return self.fs.read_json(self._meta_path())
 
     def _write_meta(self) -> None:
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        self.fs.write_text_atomic(
+            self._meta_path(),
+            json.dumps(
                 {
                     "n_buckets": self.n_buckets,
                     "salt_threshold": self.salt_threshold,
@@ -224,12 +239,12 @@ class ExtractorEngine:
                     "analyzer_mode": self.analyzer.mode,
                     "analyzer_stem": self.analyzer.stem,
                     "bm25": {"k1": 1.2, "b": 0.75},
+                    "store_content": self.store_content,
                     "seq": self._seq,
                     "generations": self._gens,
-                },
-                f,
-            )
-        os.replace(tmp, self._meta_path())
+                }
+            ),
+        )
 
     # -- paths ------------------------------------------------------------
     def _p(self, *parts: str) -> str:
@@ -257,38 +272,23 @@ class ExtractorEngine:
             {"build_id": build_id, "pid": os.getpid(), "ts": time.time()}
         )
         for attempt in range(2):
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    f.write(payload)
+            if self.fs.create_excl(path, payload):
                 return True
-            except FileExistsError:
-                try:
-                    age = time.time() - os.path.getmtime(path)
-                except OSError:
-                    continue  # holder released between exists and stat
-                if age > LOCK_STALE_SEC and attempt == 0:
-                    try:
-                        os.unlink(path)
-                    except OSError:
-                        pass
-                    continue
-                return False
+            age = self.fs.age_sec(path)
+            if age is None:
+                continue  # holder released between exists and stat
+            if age > LOCK_STALE_SEC and attempt == 0:
+                self.fs.unlink(path)
+                continue
+            return False
         return False
 
     def _release_lock(self) -> None:
-        try:
-            os.unlink(self._lock_path())
-        except OSError:
-            pass
+        self.fs.unlink(self._lock_path())
 
     def in_progress(self) -> dict | None:
         """The current build lock's payload, or None."""
-        try:
-            with open(self._lock_path()) as f:
-                return json.load(f)
-        except OSError:
-            return None
+        return self.fs.read_json(self._lock_path())
 
     # -- build (extractor_extract analog) ---------------------------------
     def extract(
@@ -391,14 +391,14 @@ class ExtractorEngine:
         # ---- tokenize delta (resume-aware staging checkpoint) ------------
         staging_rel = os.path.join("staging", "raw_postings", build_id)
         staging = self._p(staging_rel)
-        resumed = _stage_complete(staging)
+        resumed = self.fs.exists(os.path.join(staging, "_SUCCESS"))
         if not resumed:
             raw, _, _ = tokenize_with_lineage(to_index, build_id, self.analyzer)
             tmp = staging + ".inprogress"
             raw.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(staging):
-                shutil.rmtree(staging)
-            os.rename(tmp, staging)  # atomic publish of the stage
+            if self.fs.exists(staging):
+                self.fs.rmtree(staging)
+            self.fs.rename(tmp, staging)  # atomic publish of the stage
         stage_sec["tokenize_stage"] = time.time() - _t; _t = time.time()
         raw = spark.read.parquet(staging)
         delta_postings, lineage = split_raw_postings(raw, build_id)
@@ -416,7 +416,7 @@ class ExtractorEngine:
         # delta size (posting rows) from the kernel's own marker rows —
         # free, and the right scaling input for the encode shuffle
         n_delta_rows = int(
-            raw.where(F.col("term").isNull())
+            raw.where(F.col("term").isNull() & (F.col("tf") >= 0))
             .agg(F.sum("tf").alias("n"))
             .collect()[0]["n"]
             or 0
@@ -470,24 +470,31 @@ class ExtractorEngine:
                 with_positions=self.with_positions,
                 n_tasks=self._encode_tasks(n_delta_rows),
             )
-            # coalesce to one term-sorted file per bucket BEFORE the
-            # partitioned write: encoded rows are tiny next to postings, so
-            # this extra exchange is cheap, while the alternative —
-            # encode_tasks x buckets small files — costs a driver-serial
-            # commit of thousands of files (and slow bucket-pruned reads)
-            _atomic_overwrite(
-                segments.repartition("term_bucket").sortWithinPartitions(
-                    "term", "salt_id"
-                ),
-                self._p("gens", build_id, "segments"),
-                spark,
-                partition_by="term_bucket",
-            )
+            # direct partitioned write from the encode tasks — NO second
+            # exchange: the encode shuffle is keyed by (term_bucket,
+            # salt_id), so every key lives wholly in one task and the file
+            # count is ~#distinct (bucket, salt) keys, not tasks x buckets.
+            # Rows leave the kernel already term-lexical within each task,
+            # so parquet min/max row-group pruning on `term` still works.
+            with _arrow_batch(spark, self.ENCODE_ARROW_BATCH):
+                _atomic_overwrite(
+                    segments,
+                    self._p("gens", build_id, "segments"),
+                    spark,
+                    partition_by="term_bucket",
+                )
             stage_sec["encode_segments"] = time.time() - _t; _t = time.time()
 
         # ---- doc_stats: changed docs re-derived, unchanged rows kept ------
+        # doc_len comes from the kernel's per-doc marker rows (tiny scan);
+        # the posting-table groupBy only runs when resuming a staging dir
+        # written before per-doc markers existed
+        from ckanext_extractor_spark.manifest import doc_lens_from_raw
+
         changed_meta = meta_slim.join(to_index_ids, "doc_id", "left_semi")
-        batch_stats = build_doc_stats(changed_meta, delta_postings)
+        batch_stats = build_doc_stats(
+            changed_meta, delta_postings, doc_lens=doc_lens_from_raw(raw)
+        )
         prev_ds = self._read_or_none("doc_stats")
         if prev_ds is not None:
             dropped = to_index_ids.unionByName(
@@ -516,6 +523,23 @@ class ExtractorEngine:
                     dropped_fp, "doc_id", "left_anti"
                 ).unionByName(batch_fp)
             _atomic_overwrite(batch_fp, self._p("field_postings"), spark)
+        if self.store_content:
+            # doc-store (fulltext kept, reference tasks.py:99-104): one
+            # more pruned content scan, only when opted in
+            batch_store = prepared.join(
+                to_index_ids, "doc_id", "left_semi"
+            ).select("doc_id", "content")
+            prev_store = self._read_or_none("doc_store")
+            if prev_store is not None:
+                dropped_st = to_index_ids.unionByName(
+                    statused.where(
+                        F.col("status") == STATUS_IGNORED
+                    ).select("doc_id")
+                )
+                batch_store = prev_store.join(
+                    dropped_st, "doc_id", "left_anti"
+                ).unionByName(batch_store)
+            _atomic_overwrite(batch_store, self._p("doc_store"), spark)
         stats = build_corpus_stats(spark.read.parquet(self._p("doc_stats")))
         _atomic_overwrite(stats, self._p("corpus_stats"), spark)
         stage_sec["corpus_stats"] = time.time() - _t; _t = time.time()
@@ -596,7 +620,7 @@ class ExtractorEngine:
         (wand.term_postings_from_rows), so this value affects no result —
         the previous build's avgdl (or 1.0 on a fresh index) is fine and
         costs zero jobs."""
-        if not os.path.exists(self._p("corpus_stats")):
+        if not self.fs.exists(self._p("corpus_stats")):
             return 1.0
         try:
             return float(self.corpus_stats()["avgdl"] or 1.0)
@@ -606,18 +630,14 @@ class ExtractorEngine:
     # -- introspection -----------------------------------------------------
     def _read_or_none(self, name: str) -> DataFrame | None:
         p = self._p(name)
-        if not os.path.exists(p):
+        if not self.fs.exists(p):
             return None
         return self.spark.read.parquet(p)
 
-    @staticmethod
-    def _has_part_files(path: str) -> bool:
+    def _has_part_files(self, path: str) -> bool:
         """True if a parquet dir has at least one data file (an all-empty
         partitioned write leaves only _SUCCESS — unreadable schema)."""
-        for dirpath, _, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return self.fs.has_part_files(path)
 
     def _live_postings(self) -> DataFrame | None:
         """Union of all generations' postings (lineage markers filtered),
@@ -627,7 +647,7 @@ class ExtractorEngine:
         dfs = []
         for g in self._gens:
             p = self._gen_postings_path(g)
-            if not os.path.exists(p) or not self._has_part_files(p):
+            if not self.fs.exists(p) or not self._has_part_files(p):
                 continue
             dfs.append(
                 self.spark.read.parquet(p)
@@ -703,6 +723,64 @@ class ExtractorEngine:
         if m:
             out["status"] = m[0]["status"]
             out["build_id"] = m[0]["build_id"]
+        if self.store_content:
+            rows = self._doc_store_rows([doc_id])
+            if rows:
+                out["fulltext"] = rows[0]["content"]
+        return out
+
+    def _doc_store_rows(self, doc_ids: list[int]) -> list:
+        """Point lookups into doc_store (doc_id IN -> pushed filter)."""
+        store = self._read_or_none("doc_store")
+        if store is None:
+            return []
+        return store.where(
+            F.col("doc_id").isin([int(d) for d in doc_ids])
+        ).collect()
+
+    def snippets(
+        self, query: str, k: int = 10, width: int = 60
+    ) -> list[tuple[int, float, str]]:
+        """Top-k search + a highlight window per hit (the CKAN/Solr
+        search-result snippet analog — the reference gets this for free
+        from Solr's highlighter over the indexed fulltext).
+
+        Returns (doc_id, score, snippet): ±``width`` chars around the
+        first case-insensitive occurrence of any analyzed query term in
+        the stored fulltext (head of the doc when no raw substring match,
+        e.g. after stemming). Requires store_content=True."""
+        if not self.store_content:
+            raise ValueError(
+                "snippets() needs an index built with store_content=True"
+            )
+        hits = self.search(query, k=k)
+        if not hits:
+            return []
+        texts = {
+            int(r["doc_id"]): r["content"]
+            for r in self._doc_store_rows([d for d, _ in hits])
+        }
+        # window anchor: the raw query first (most specific), then analyzed
+        # terms longest-first — a short split token ('x' from an
+        # identifier) would otherwise substring-match unrelated text
+        probes = [query.lower()] + sorted(
+            analyze_query(query, config=query_config_for(self.analyzer)),
+            key=len,
+            reverse=True,
+        )
+        out = []
+        for d, s in hits:
+            text = texts.get(int(d), "")
+            low = text.lower()
+            at = next(
+                (p for p in (low.find(t) for t in probes) if p >= 0), 0
+            )
+            lo = max(0, at - width)
+            hi = min(len(text), at + width)
+            snippet = ("…" if lo else "") + text[lo:hi] + (
+                "…" if hi < len(text) else ""
+            )
+            out.append((d, s, snippet))
         return out
 
     def lineage(self) -> DataFrame:
@@ -746,6 +824,10 @@ class ExtractorEngine:
         if fp is not None:
             fp2 = fp.join(F.broadcast(ids_df), "doc_id", "left_anti")
             _atomic_overwrite(fp2, self._p("field_postings"), spark)
+        store = self._read_or_none("doc_store")
+        if store is not None:
+            st2 = store.join(F.broadcast(ids_df), "doc_id", "left_anti")
+            _atomic_overwrite(st2, self._p("doc_store"), spark)
         manifest = read_doc_manifest(spark, self.root)
         updated = manifest.withColumn(
             "status",
@@ -799,7 +881,7 @@ class ExtractorEngine:
 
             for g in self._gens:
                 p = self._gen_docs_path(g)
-                if not os.path.exists(p) or not self._has_part_files(p):
+                if not self.fs.exists(p) or not self._has_part_files(p):
                     continue
                 docs = self.spark.read.parquet(p).collect()
                 ids = [int(r["doc_id"]) for r in docs]
@@ -839,7 +921,7 @@ class ExtractorEngine:
         dfs = []
         for g in victims:
             p = self._gen_postings_path(g)
-            if not os.path.exists(p) or not self._has_part_files(p):
+            if not self.fs.exists(p) or not self._has_part_files(p):
                 continue
             dfs.append(
                 spark.read.parquet(p)
@@ -872,7 +954,7 @@ class ExtractorEngine:
             self._p(new_rel)
         ).take(1):
             # every victim posting was dead: drop the victims outright
-            shutil.rmtree(self._p("gens", new_id), ignore_errors=True)
+            self.fs.rmtree(self._p("gens", new_id))
         else:
             live = spark.read.parquet(self._p(new_rel)).where(
                 F.col("term").isNotNull()
@@ -892,12 +974,13 @@ class ExtractorEngine:
                 with_positions=self.with_positions,
                 n_tasks=self._encode_tasks(None),
             )
-            _atomic_overwrite(
-                segments,
-                self._p("gens", new_id, "segments"),
-                spark,
-                partition_by="term_bucket",
-            )
+            with _arrow_batch(spark, self.ENCODE_ARROW_BATCH):
+                _atomic_overwrite(
+                    segments,
+                    self._p("gens", new_id, "segments"),
+                    spark,
+                    partition_by="term_bucket",
+                )
             survivors.append(
                 {
                     "gen": new_id,
@@ -914,7 +997,7 @@ class ExtractorEngine:
             gen_docs = []
             for g in survivors:
                 p = self._gen_docs_path(g)
-                if os.path.exists(p) and self._has_part_files(p):
+                if self.fs.exists(p) and self._has_part_files(p):
                     gen_docs.append(
                         spark.read.parquet(p).withColumn(
                             "gen_seq", F.lit(int(g["seq"]))
@@ -933,11 +1016,11 @@ class ExtractorEngine:
                 )
                 _atomic_overwrite(needed, self._p("tombstones"), spark)
             else:
-                shutil.rmtree(self._p("tombstones"), ignore_errors=True)
+                self.fs.rmtree(self._p("tombstones"))
         self._write_meta()
         self._dead_cache = None
         for g in victims:
-            shutil.rmtree(self._p("gens", g["gen"]), ignore_errors=True)
+            self.fs.rmtree(self._p("gens", g["gen"]))
         self.cool()
         self._gc_staging()
 
@@ -953,14 +1036,47 @@ class ExtractorEngine:
         """Top-k BM25 over the encoded segments.
 
         mode:
-          'auto'  — vectorized exact merge over decoded lists (measured
-                    fastest at driver scale: intersect/bincount beat the
-                    doc-at-a-time python loop by ~300x),
-          'wand'  — block-max WAND (the list-skipping algorithm; wins when
-                    lists are huge relative to k and decode/IO dominates),
-          'slow'  — DataFrame algebra over the postings table (oracle),
+          'auto'     — vectorized exact merge over decoded lists (measured
+                       fastest at driver scale: intersect/bincount beat the
+                       doc-at-a-time python loop by ~300x),
+          'maxscore' — batch MaxScore: vectorized essential-list skipping;
+                       wins over exact on disjunctive queries mixing a
+                       rare term with huge common lists (candidates stay
+                       ~the rare list; common lists become log-time
+                       gathers),
+          'wand'     — block-max WAND (doc-at-a-time python loop; kept as
+                       the literal BMW algorithm, see maxscore for the
+                       vectorized skipper),
+          'slow'     — DataFrame algebra over the postings table (oracle),
         Synonym queries take the grouped slow path (T6 is a query-rewrite
-        feature, not a hot-loop one). All three are rank-identical."""
+        feature, not a hot-loop one). All paths are rank-identical.
+
+        Results are memoized per (query, k, conjunctive, mode) — the Solr
+        queryResultCache analog — and invalidated by any index mutation
+        (extract/delete/compact all call cool())."""
+        ck = (query, k, conjunctive, mode) if synonyms is None else None
+        if ck is not None:
+            hit = self._query_cache.get(ck)
+            if hit is not None:
+                self._query_cache.move_to_end(ck)
+                return list(hit)
+        out = self._search_uncached(query, k, conjunctive, mode, synonyms)
+        if ck is not None:
+            self._query_cache[ck] = list(out)
+            if len(self._query_cache) > self.QUERY_CACHE_ENTRIES:
+                self._query_cache.popitem(last=False)
+        return out
+
+    QUERY_CACHE_ENTRIES = 4096
+
+    def _search_uncached(
+        self,
+        query: str,
+        k: int,
+        conjunctive: bool,
+        mode: str,
+        synonyms: dict[str, list[str]] | None,
+    ) -> list[tuple[int, float]]:
         st = self.corpus_stats()
         if synonyms:
             from ckanext_extractor_spark.operators.query import (
@@ -974,9 +1090,10 @@ class ExtractorEngine:
                 k=k, conjunctive=conjunctive,
             ).collect()
             return [(r["doc_id"], r["score"]) for r in rows]
-        if mode in ("auto", "wand", "exact"):
+        if mode in ("auto", "wand", "exact", "maxscore"):
             from ckanext_extractor_spark.operators.wand import (
                 exact_topk,
+                maxscore_topk,
                 wand_topk,
             )
 
@@ -991,7 +1108,10 @@ class ExtractorEngine:
             tls = [tp for tp in tls if len(tp.doc_ids)]
             if conjunctive and len(tls) < len(terms):
                 return []
-            fn = wand_topk if mode == "wand" else exact_topk
+            fn = {
+                "wand": wand_topk,
+                "maxscore": maxscore_topk,
+            }.get(mode, exact_topk)
             return fn(tls, k, st["avgdl"], conjunctive=conjunctive)
         postings = self._live_postings()
         if postings is None:
@@ -1013,7 +1133,7 @@ class ExtractorEngine:
         dfs = []
         for g in self._gens:
             p = self._gen_segments_path(g)
-            if not os.path.exists(p) or not self._has_part_files(p):
+            if not self.fs.exists(p) or not self._has_part_files(p):
                 continue
             df = read_segments(self.spark, p, terms, self.n_buckets)
             dfs.append(df.withColumn("gen_seq", F.lit(int(g["seq"]))))
@@ -1058,16 +1178,9 @@ class ExtractorEngine:
         return self
 
     def _segments_disk_bytes(self) -> int:
-        total = 0
-        for g in self._gens:
-            p = self._gen_segments_path(g)
-            for dirpath, _, files in os.walk(p):
-                for fn in files:
-                    try:
-                        total += os.path.getsize(os.path.join(dirpath, fn))
-                    except OSError:
-                        pass
-        return total
+        return sum(
+            self.fs.tree_size(self._gen_segments_path(g)) for g in self._gens
+        )
 
     def cool(self) -> None:
         self._rows_cache = None
@@ -1076,7 +1189,14 @@ class ExtractorEngine:
         self._lazy_serve = False
         self._stats_cache = None
         self._dead_cache = None
+        self._query_cache.clear()
 
+    # Arrow IPC batch rows for the ENCODE kernel's input only: the session
+    # default (1024) is tuned for the tokenize kernel's cache behavior,
+    # but the encode kernel accumulates its whole partition anyway — big
+    # batches just cut per-batch JVM<->Python IPC overhead (scoped via
+    # _arrow_batch around the encode action; blob bytes are unaffected).
+    ENCODE_ARROW_BATCH = 65_536
     ENCODE_ROWS_PER_TASK = 500_000  # ~64 MB of posting rows per sort/encode task
 
     def _encode_tasks(self, n_rows: int | None) -> int:
@@ -1128,37 +1248,50 @@ class ExtractorEngine:
         rows = search_field(fp, field, query).collect()
         return sorted(int(r["doc_id"]) for r in rows)
 
-    def phrase_search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def phrase_search(
+        self, query: str, k: int = 10, distributed: bool = False
+    ) -> list[tuple[int, float]]:
         """Top-k docs containing the analyzed query as a consecutive
-        phrase (positions-aware AND; see operators/phrase.py)."""
-        from ckanext_extractor_spark.operators.phrase import phrase_search
+        phrase (positions-aware AND; see operators/phrase.py).
 
+        ``distributed=True`` runs the cluster-scale plan (bucket-pruned
+        segment scan -> decode kernel -> one doc_id exchange -> vectorized
+        verify -> global top-k) instead of collecting posting lists to the
+        driver — same ranks (pinned by test), for indexes whose query-term
+        lists exceed driver memory."""
+        from ckanext_extractor_spark.operators.phrase import (
+            phrase_search,
+            phrase_search_distributed,
+        )
+
+        if distributed:
+            return phrase_search_distributed(self, query, k)
         return phrase_search(self, query, k)
 
     def _gc_staging(self) -> None:
         """Drop staging dirs not referenced by any live generation."""
         st_root = self._p("staging", "raw_postings")
-        if not os.path.isdir(st_root):
+        if not self.fs.isdir(st_root):
             return
         live = {
             os.path.basename(g["postings_rel"])
             for g in self._gens
             if g["postings_rel"].startswith("staging")
         }
-        for d in os.listdir(st_root):
+        for d in self.fs.listdir(st_root):
             if d not in live:
-                shutil.rmtree(os.path.join(st_root, d), ignore_errors=True)
+                self.fs.rmtree(os.path.join(st_root, d))
 
     def _gc_orphan_gens(self) -> None:
         """Drop gens/ dirs not in the committed generation list (crashed
         builds/compactions that staged data but never committed meta)."""
         groot = self._p("gens")
-        if not os.path.isdir(groot):
+        if not self.fs.isdir(groot):
             return
         live = {g["gen"] for g in self._gens}
-        for d in os.listdir(groot):
+        for d in self.fs.listdir(groot):
             if d not in live:
-                shutil.rmtree(os.path.join(groot, d), ignore_errors=True)
+                self.fs.rmtree(os.path.join(groot, d))
 
     def _term_postings(self, terms: list[str], st: dict) -> list:
         """TermPostings for `terms` — decoded-LRU, raw-rows cache, or a
@@ -1231,25 +1364,42 @@ def read_parquet_if(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _stage_complete(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+from contextlib import contextmanager
+
+
+@contextmanager
+def _arrow_batch(spark: SparkSession, n: int):
+    """Scope spark.sql.execution.arrow.maxRecordsPerBatch to one action."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _atomic_overwrite(
-    df: DataFrame, path: str, spark: SparkSession, partition_by: str | None = None
+    df: DataFrame,
+    path: str,
+    spark: SparkSession,
+    partition_by: str | None = None,
+    fs: FsIO | None = None,
 ) -> None:
     """Write to a temp dir, then atomically swap into place (hard part #3:
     exactly-once publish — readers never observe a half-written table).
-    POSIX-rename based; see the module docstring's filesystem note."""
+    Rename-based through fsio (POSIX/HDFS atomic; see the module
+    docstring's filesystem note for object stores)."""
+    fs = fs or FsIO(spark, path)
     tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(tmp)
     old = path + ".old-" + uuid.uuid4().hex[:8]
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+    fs.makedirs(os.path.dirname(path))
+    if fs.exists(path):
+        fs.rename(path, old)
+    fs.rename(tmp, path)
+    if fs.exists(old):
+        fs.rmtree(old)

@@ -77,11 +77,19 @@ def cmd_status(args) -> int:
 def cmd_query(args) -> int:
     eng = _engine(args)
     if args.phrase:
-        hits = eng.phrase_search(args.q, k=args.k)
+        hits = eng.phrase_search(args.q, k=args.k,
+                                 distributed=args.distributed)
     else:
         hits = eng.search(
             args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode
         )
+    if args.snippets:
+        for rank, (doc_id, score, snip) in enumerate(
+            eng.snippets(args.q, k=args.k), 1
+        ):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6), "snippet": snip}))
+        return 0
     for rank, (doc_id, score) in enumerate(hits, 1):
         print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     return 0
@@ -139,11 +147,16 @@ def main(argv=None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", default="auto", choices=["auto", "wand", "slow"])
+    q.add_argument("--mode", default="auto",
+                   choices=["auto", "maxscore", "wand", "slow"])
     q.add_argument("--or", dest="use_or", action="store_true",
                    help="disjunctive instead of default AND")
     q.add_argument("--phrase", action="store_true",
                    help="consecutive-phrase match (positions-aware)")
+    q.add_argument("--distributed", action="store_true",
+                   help="cluster-scale phrase plan (no driver collect)")
+    q.add_argument("--snippets", action="store_true",
+                   help="include highlight windows (store_content index)")
     q.add_argument("--buckets", type=int, default=64)
     q.set_defaults(fn=cmd_query)
 

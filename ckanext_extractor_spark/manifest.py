@@ -52,9 +52,10 @@ def empty_doc_manifest(spark: SparkSession) -> DataFrame:
 
 def read_doc_manifest(spark: SparkSession, path: str) -> DataFrame:
     p = os.path.join(path, "doc_manifest")
-    if not os.path.exists(p):
+    try:  # location-agnostic (URI roots): probe by reading, not os.path
+        return spark.read.parquet(p)
+    except Exception:
         return empty_doc_manifest(spark)
-    return spark.read.parquet(p)
 
 
 def write_doc_manifest(manifest: DataFrame, path: str) -> None:
@@ -67,9 +68,10 @@ def append_lineage(lineage: DataFrame, path: str) -> None:
 
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     p = os.path.join(path, "lineage")
-    if not os.path.exists(p):
+    try:  # location-agnostic (URI roots): probe by reading, not os.path
+        return spark.read.parquet(p)
+    except Exception:
         return spark.createDataFrame([], LINEAGE_SCHEMA)
-    return spark.read.parquet(p)
 
 
 def compute_statuses(
@@ -136,14 +138,24 @@ def tokenize_with_lineage(
 
     config = config or INDEX_CONFIG
 
-    # Marker rows (term IS NULL, one per input partition) reuse the postings
-    # schema so normal rows carry ZERO extra bytes through the shuffle:
-    #   doc_id   = partition_id
-    #   tf       = n_postings emitted by the partition
-    #   doc_len  = n_docs seen
-    #   positions= pack('>qq', wall_ms, bytes_in)  (big-endian for SQL hex)
+    # Marker rows (term IS NULL) reuse the postings schema so normal rows
+    # carry ZERO extra bytes through the shuffle. Two marker kinds, split
+    # by tf sign (real posting rows always have tf >= 1):
+    #   partition lineage (one per partition, tf >= 0):
+    #     doc_id   = partition_id
+    #     tf       = n_postings emitted by the partition
+    #     doc_len  = n_docs seen
+    #     positions= pack('>qq', wall_ms, bytes_in) (big-endian for SQL hex)
+    #   per-doc length (one per input doc, tf == -1):
+    #     doc_id   = the doc, doc_len = its token count (0 for empty docs).
+    # The per-doc rows make doc_stats a ~N_docs-row scan instead of a
+    # groupBy over the FULL posting table (measured as a non-scaling
+    # ~25 s re-scan of staging at 350k docs — the doc_len is already in
+    # the kernel's hands here, so emitting it costs nothing).
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
+
+        import numpy as np
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc else -1
@@ -151,17 +163,23 @@ def tokenize_with_lineage(
         n_docs = 0
         n_postings = 0
         bytes_in = 0
+        doc_ids: list[np.ndarray] = []
+        doc_lens: list[np.ndarray] = []
         for pdf in it:
             if len(pdf) == 0:
                 continue
             agg = postings_for_batch(pdf["content"], pdf["lang"], config)
             n_docs += len(pdf)
             bytes_in += int(pdf["content"].str.len().sum())
-            if agg.empty:
-                continue
-            n_postings += len(agg)
-            agg["doc_id"] = pdf["doc_id"].to_numpy()[agg["idx"].to_numpy()]
-            yield agg[["doc_id", "term", "tf", "positions", "doc_len"]]
+            lens = np.zeros(len(pdf), dtype=np.int64)
+            if not agg.empty:
+                n_postings += len(agg)
+                idx = agg["idx"].to_numpy()
+                agg["doc_id"] = pdf["doc_id"].to_numpy()[idx]
+                lens[idx] = agg["doc_len"].to_numpy()
+                yield agg[["doc_id", "term", "tf", "positions", "doc_len"]]
+            doc_ids.append(pdf["doc_id"].to_numpy())
+            doc_lens.append(lens)
         wall_ms = int((time.time() - t0) * 1000)
         import struct
 
@@ -174,6 +192,17 @@ def tokenize_with_lineage(
                 "doc_len": [n_docs],
             }
         )
+        if doc_ids:
+            ids = np.concatenate(doc_ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "term": pd.Series([None] * len(ids), dtype=object),
+                    "tf": np.full(len(ids), -1, dtype=np.int64),
+                    "positions": pd.Series([None] * len(ids), dtype=object),
+                    "doc_len": np.concatenate(doc_lens),
+                }
+            )
 
     from ckanext_extractor_spark.operators.build import POSTINGS_SCHEMA
 
@@ -186,7 +215,7 @@ def split_raw_postings(raw: DataFrame, build_id: str):
     """Split a raw tokenize output (possibly re-read from staging parquet)
     into (postings, lineage)."""
     postings = raw.where(F.col("term").isNotNull())
-    lineage = raw.where(F.col("term").isNull()).select(
+    lineage = raw.where(F.col("term").isNull() & (F.col("tf") >= 0)).select(
         F.lit(build_id).alias("build_id"),
         F.lit("tokenize").alias("stage"),
         F.col("doc_id").cast("int").alias("partition_id"),
@@ -205,3 +234,20 @@ def split_raw_postings(raw: DataFrame, build_id: str):
         "bytes_per_sec", F.col("bytes_in") / F.greatest(F.col("wall_sec"), F.lit(1e-3))
     )
     return postings, lineage
+
+
+def doc_lens_from_raw(raw: DataFrame) -> DataFrame | None:
+    """(doc_id, doc_len) from the kernel's per-doc marker rows (tf == -1).
+
+    Returns None when the staging table carries no per-doc markers (a
+    resume of a staging dir written by an older build) — callers fall back
+    to aggregating the posting rows. The marker filter is pushed to the
+    parquet scan; markers live in the tail row groups of each task file,
+    so null-count stats skip nearly all of the table.
+    """
+    lens = raw.where(F.col("term").isNull() & (F.col("tf") < 0)).select(
+        "doc_id", "doc_len"
+    )
+    if not lens.take(1):
+        return None
+    return lens

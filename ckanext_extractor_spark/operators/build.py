@@ -110,14 +110,27 @@ def tokenize_postings(
     return corpus.select(*cols).mapInPandas(kernel, schema=POSTINGS_SCHEMA)
 
 
-def build_doc_stats(prepared: DataFrame, postings: DataFrame) -> DataFrame:
+def build_doc_stats(
+    prepared: DataFrame,
+    postings: DataFrame,
+    doc_lens: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc metadata table (reference analog: ResourceMetadatum EAV rows,
     model.py:117-127, collapsed to the fixed columns a code corpus needs).
 
     Docs whose analysis emitted zero tokens keep doc_len=0 — they are part
     of N and avgdl, matching the oracle's definition.
+
+    ``doc_lens`` — optional (doc_id, doc_len) table (the tokenize kernel's
+    per-doc marker rows). When given, the doc_len join reads ~N_docs rows
+    instead of aggregating the full posting table (a non-scaling re-scan
+    at scale).
     """
-    lens = postings.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+    lens = (
+        doc_lens
+        if doc_lens is not None
+        else postings.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+    )
     meta_cols = [
         c for c in ("doc_id", "repo", "path", "commit", "lang",
                     "content_sha256", "size_bytes", "metadata")

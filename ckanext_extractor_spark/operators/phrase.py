@@ -91,7 +91,15 @@ def phrase_search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     ranked by the conjunctive BM25 score (ties doc_id asc).
 
     Uses the engine's warm/cold segment access; requires the index to
-    have been built with positions (engine.with_positions)."""
+    have been built with positions (engine.with_positions).
+
+    Known divergence from Lucene WDF (pinned semantics, see
+    analysis/tokenizer.py catenation): catenated identifier tokens
+    ('mergeSort' -> 'mergesort') occupy their OWN position instead of
+    sharing the final part's position (Lucene posInc=0), so a phrase that
+    spans a split identifier boundary — e.g. ``"sort data"`` against
+    ``mergeSort data`` — does not match. Phrases over the split parts
+    (``"merge sort"``) and over ordinary words are unaffected."""
     if not engine.with_positions:
         raise ValueError("index was built without positions; phrase search "
                          "needs with_positions=True")
@@ -124,3 +132,146 @@ def phrase_search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
         )
         out = [(d, s) for d, s in scored if d in keep][:k]
     return out
+
+
+def phrase_search_distributed(engine, query: str, k: int = 10):
+    """Cluster-scale phrase: no driver collect of posting lists.
+
+    Phrase terms hash to DIFFERENT term_buckets, so positions of one doc
+    live in different partitions — the verify needs doc co-location:
+
+      1. bucket/term-pruned segment scan (partition pruning on
+         term_bucket, row-group min/max on term);
+      2. decode kernel per segment row -> (doc_id, term slot, BM25
+         contribution, positions array) — tombstones dropped at decode;
+      3. ONE exchange keyed doc_id (repartition, not groupBy: the verify
+         kernel does its own pandas groupby per partition);
+      4. vectorized per-doc verify: all query slots present AND positions
+         consecutive (the same offset-intersection as the driver path);
+      5. global TakeOrdered(score desc, doc_id asc) limit k.
+
+    The shuffle carries only postings of the query's terms — bounded by
+    their df, never the corpus. Rank-identical to phrase_search (pinned
+    by test)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
+    from ckanext_extractor_spark.operators.wand import DeadDocs, _row_gen_seq
+
+    if not engine.with_positions:
+        raise ValueError("index was built without positions; phrase search "
+                         "needs with_positions=True")
+    terms = analyze_query(query, config=query_config_for(engine.analyzer))
+    if not terms:
+        return []
+    uniq = list(dict.fromkeys(terms))
+    seg = engine._segments_union(uniq)
+    if seg is None:
+        return []
+    st = engine.corpus_stats()
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    # df per unique term for idf (decode-time live counts need a pass; the
+    # driver path's idf uses live df too — compute it from decoded counts
+    # inside the kernel via a first lightweight aggregation)
+    dead_pairs = {
+        int(d): int(s)
+        for d, s in zip(engine._dead_docs().doc_ids,
+                        engine._dead_docs().kill_seqs)
+    }
+    slot_of = {t: i for i, t in enumerate(uniq)}
+    n_slots = len(uniq)
+    k1, b = BM25_K1, BM25_B
+
+    def decode_part(batches):
+        dead = DeadDocs(dead_pairs) if dead_pairs else None
+        for pdf in batches:
+            frames = []
+            has_gen = "gen_seq" in pdf.columns
+            for _, row in pdf.iterrows():
+                slot = slot_of.get(row["term"])
+                if slot is None:
+                    continue
+                ids, tfs, dls, pos = decode_posting_list(
+                    bytes(row["blob"]), with_positions=True
+                )
+                if dead is not None and len(dead):
+                    gseq = int(row["gen_seq"]) if has_gen else 0
+                    keep = dead.live_mask(ids, gseq)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    pos = [p for p, kp in zip(pos, keep) if kp]
+                if not len(ids):
+                    continue
+                frames.append(pd.DataFrame({
+                    "doc_id": ids,
+                    "slot": np.full(len(ids), slot, dtype=np.int32),
+                    "tf": tfs,
+                    "dl": dls,
+                    "positions": pd.Series(
+                        [p.astype("int64") for p in pos], dtype=object
+                    ),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    decoded = seg.mapInPandas(
+        decode_part,
+        "doc_id long, slot int, tf long, dl long, positions array<long>",
+    )
+    # live df per slot -> idf (same formula as the driver path)
+    dfs = {
+        int(r["slot"]): int(r["df"])
+        for r in decoded.groupBy("slot").agg(
+            F.count("*").alias("df")
+        ).collect()
+    }
+    idf = {
+        s: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+        for s, d in dfs.items()
+    }
+    if len(idf) < n_slots:
+        return []  # a term matches nothing -> no phrase can
+    term_order = [slot_of[t] for t in terms]  # phrase order, with repeats
+
+    def verify_part(batches):
+        for pdf in batches:
+            out_docs, out_scores = [], []
+            for doc, g in pdf.groupby("doc_id"):
+                # tombstone filtering leaves exactly one live row per
+                # (doc, slot); a missing slot fails the conjunctive gate
+                rows = {
+                    int(s): i for i, s in enumerate(g["slot"].to_numpy())
+                }
+                if len(rows) < n_slots:
+                    continue
+                poss = g["positions"].to_numpy()
+                base_slot = term_order[0]
+                ok = np.asarray(poss[rows[base_slot]], dtype=np.int64)
+                for off in range(1, len(term_order)):
+                    nxt = np.asarray(
+                        poss[rows[term_order[off]]], dtype=np.int64
+                    )
+                    ok = np.intersect1d(ok, nxt - off, assume_unique=False)
+                    if ok.size == 0:
+                        break
+                if ok.size == 0:
+                    continue
+                tf = g["tf"].to_numpy().astype(np.float64)
+                dl = g["dl"].to_numpy().astype(np.float64)
+                idfs = np.array([idf[int(s)] for s in g["slot"]])
+                score = float(np.sum(
+                    idfs * tf * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                ))
+                out_docs.append(int(doc))
+                out_scores.append(score)
+            if out_docs:
+                yield pd.DataFrame({"doc_id": out_docs, "score": out_scores})
+
+    matched = (
+        decoded.repartition("doc_id")
+        .mapInPandas(verify_part, "doc_id long, score double")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return [(int(r["doc_id"]), float(r["score"])) for r in matched.collect()]

@@ -131,9 +131,10 @@ def encode_segments(
     host). The term column is dictionary-encoded (C) so the sort keys are
     four int arrays; doc order within a term follows doc_id exactly as
     before — blob bytes are identical (pinned by checksum tests), only the
-    row order of the output table changes (readers filter by term value;
-    write_segments / the engine's bucket-coalesced write re-sort rows for
-    parquet min/max pruning).
+    row order of the output table changes. Rows leave the kernel sorted
+    (bucket, term-lexical, salt), so the engine writes them partitionBy
+    term_bucket with NO further exchange while keeping row-group min/max
+    pruning on `term`.
 
     Why Arrow, not pandas: positions stay ONE contiguous buffer sliced per
     term by offsets (codec pos_data/pos_offsets path); only the ~#terms
@@ -181,40 +182,61 @@ def encode_segments(
         acc = None
         bs = tbl.column("term_bucket").chunk(0).to_numpy()
         ss = tbl.column("salt_id").chunk(0).to_numpy()
-        codes = (
-            tbl.column("term").chunk(0).dictionary_encode().indices.to_numpy()
-        )
+        denc = tbl.column("term").chunk(0).dictionary_encode()
+        # LEXICAL term codes (not raw dictionary codes): the kernel's
+        # output is written partitionBy(term_bucket) with no further
+        # exchange, so the row order here IS the file order — lexical
+        # order gives parquet row-group min/max pruning on `term` at
+        # read time. Ranking costs one string sort over the ~#unique
+        # terms of the partition, never over the posting rows.
+        import pyarrow.compute as pc
+
+        dict_order = pc.sort_indices(denc.dictionary)
+        rank = np.empty(len(denc.dictionary), dtype=np.int64)
+        rank[dict_order.to_numpy()] = np.arange(len(denc.dictionary))
+        codes = rank[denc.indices.to_numpy()]
         docs = tbl.column("doc_id").chunk(0).to_numpy()
-        # grouped sort: primary (bucket, salt, term-code), doc_id within —
-        # term-code order is arbitrary but CONSISTENT, which is all the
-        # grouped encoder needs (codec output per term is order-invariant)
-        order = np.lexsort((docs, codes, ss, bs))
-        tbl = tbl.take(pa.array(order, type=pa.int64()))
+        # grouped sort: primary (bucket, term, salt), doc_id within —
+        # the grouped encoder needs consistent grouping (codec output per
+        # term is order-invariant); lexical order is for the writer
+        order = np.lexsort((docs, ss, codes, bs))
+        # per-column numpy gathers instead of a full-table Arrow take:
+        # a table take would copy EVERY posting row's term string, but
+        # only group heads ever need one — positions is the lone column
+        # whose bytes genuinely must be gathered (memory bandwidth is
+        # this kernel's scaling ceiling at >1 concurrent worker)
+        docs_s = docs[order]
+        tfs_s = tbl.column("tf").chunk(0).to_numpy()[order]
+        dls_s = tbl.column("doc_len").chunk(0).to_numpy()[order]
         bs, ss, codes = bs[order], ss[order], codes[order]
         change = (
             (bs[1:] != bs[:-1]) | (ss[1:] != ss[:-1]) | (codes[1:] != codes[:-1])
         )
         bounds = np.flatnonzero(change) + 1
         g_starts = np.concatenate(([0], bounds))
-        g_ends = np.concatenate((bounds, [len(tbl)]))
+        g_ends = np.concatenate((bounds, [len(docs_s)]))
         if with_positions:
             pos_data, pos_offsets = binary_buffer(
-                tbl.column("positions").chunk(0)
+                tbl.column("positions").chunk(0).take(
+                    pa.array(order, type=pa.int64())
+                )
             )
         else:
             pos_data, pos_offsets = None, None
         blobs, ns, last_docs, max_tfns = encode_posting_lists_grouped(
-            tbl.column("doc_id").chunk(0).to_numpy(),
-            tbl.column("tf").chunk(0).to_numpy(),
-            tbl.column("doc_len").chunk(0).to_numpy(),
+            docs_s, tfs_s, dls_s,
             None,
             g_starts, g_ends, avgdl, k1=k1, b=b,
             pos_data=pos_data, pos_offsets=pos_offsets,
         )
-        heads = pa.array(g_starts, type=pa.int64())
+        # group-head term strings: codes are lexical ranks into the
+        # sorted dictionary, so one ~#groups-sized take resolves them
+        sorted_dict = pc.take(denc.dictionary, dict_order)
         yield pa.record_batch(
             [
-                tbl.column("term").chunk(0).take(heads),
+                pc.take(
+                    sorted_dict, pa.array(codes[g_starts], type=pa.int64())
+                ),
                 pa.array(bs[g_starts], type=pa.int32()),
                 pa.array(ss[g_starts], type=pa.int32()),
                 pa.array(ns, type=pa.int64()),

@@ -207,18 +207,91 @@ def exact_topk(
         )
         docs, inv = np.unique(all_ids, return_inverse=True)
         total = np.bincount(inv, weights=all_scores)
+    return _topk_select(docs, total, k)
+
+
+def _topk_select(
+    docs: np.ndarray, total: np.ndarray, k: int
+) -> list[tuple[int, float]]:
+    """Top-k by (-score, doc_id). Candidates = every doc scoring >= the
+    k-th score (argpartition alone could keep the wrong member of a
+    boundary tie — doc_id must break ties, not partition order)."""
     if docs.size == 0:
         return []
     kk = min(k, docs.size)
-    # top-k by (-score, doc_id). Candidates = every doc scoring >= the
-    # k-th score (argpartition alone could keep the wrong member of a
-    # boundary tie — doc_id must break ties, not partition order).
     kth_score = np.partition(total, docs.size - kk)[docs.size - kk]
     cand = total >= kth_score
     cand_scores = total[cand]
     cand_docs = docs[cand]
     order = np.lexsort((cand_docs, -cand_scores))[:kk]
     return [(int(cand_docs[i]), float(cand_scores[i])) for i in order]
+
+
+def maxscore_topk(
+    term_lists: list[TermPostings],
+    k: int,
+    avgdl: float,
+    conjunctive: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """Batch MaxScore (Turtle & Flood-style essential lists), fully
+    vectorized — the scale-path alternative to the document-at-a-time
+    python loop in ``wand_topk``.
+
+    Disjunctive semantics, rank-identical to ``exact_topk``:
+
+    1. order lists by upper bound desc; score the top-UB list alone —
+       its k-th partial score is a LOWER bound ``theta`` of the final
+       k-th score (partial sums only grow);
+    2. the maximal suffix of lists whose upper bounds sum to < theta is
+       non-essential: a doc appearing ONLY there totals < theta, i.e.
+       strictly below the final k-th score — safely excluded even under
+       the doc_id tiebreak;
+    3. candidates = union of the essential lists' doc_ids; gather each
+       list's contribution for the candidates via searchsorted (log-time
+       skips into the non-essential lists — no decode-order scan).
+
+    Skewed queries (a rare high-idf term + common low-idf terms) reduce to
+    candidates ≈ the rare list, turning the common lists' O(df) scoring
+    into O(|cand| log df) gathers. Conjunctive queries route to
+    ``exact_topk`` — its progressive smallest-first intersection already
+    touches only candidate postings.
+    """
+    lists = [tp for tp in term_lists if len(tp.doc_ids)]
+    if not lists:
+        return []
+    if conjunctive:
+        if len(lists) < len(term_lists):
+            return []  # AND with a zero-df term matches nothing
+        return exact_topk(lists, k, avgdl, True, k1, b)
+    order = sorted(lists, key=lambda tp: -tp.upper_bound)
+    ubs = np.array([tp.upper_bound for tp in order])
+    s0 = _scores(order[0], np.arange(len(order[0].doc_ids)), avgdl, k1, b)
+    if s0.size >= k:
+        theta = float(np.partition(s0, s0.size - k)[s0.size - k])
+    else:
+        theta = -np.inf
+    # suffix_sum(e) = sum of upper bounds of lists e..end (0 past the end);
+    # essential count = smallest e >= 1 whose tail is safely prunable
+    suffix = np.cumsum(ubs[::-1])[::-1]
+    n_essential = len(order)
+    for e in range(1, len(order) + 1):
+        tail = float(suffix[e]) if e < len(order) else 0.0
+        if tail < theta:
+            n_essential = e
+            break
+    cand = order[0].doc_ids
+    for tp in order[1:n_essential]:
+        cand = np.union1d(cand, tp.doc_ids)
+    total = np.zeros(cand.size, dtype=np.float64)
+    for tp in order:
+        idx = np.searchsorted(tp.doc_ids, cand)
+        idxc = np.minimum(idx, len(tp.doc_ids) - 1)
+        hit = tp.doc_ids[idxc] == cand
+        if hit.any():
+            total[hit] += _scores(tp, idxc[hit], avgdl, k1, b)
+    return _topk_select(cand, total, k)
 
 
 def wand_topk(

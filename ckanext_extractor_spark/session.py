@@ -49,9 +49,25 @@ def get_spark(
         # throughput long before they help amortize overhead.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode defaults to maxFailures=1: one flaky python-worker
+        # death (observed rarely under hypervisor pressure) kills the whole
+        # build. A cluster defaults to 4 retries — match that.
+        .config("spark.task.maxFailures", "4")
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill files on tmpfs when the host has one (local mode is a
+    # memory-rich single node; the big posting exchange otherwise bottlenecks
+    # on one disk and caps scaling). A cluster deployment sets local dirs in
+    # spark-env / YARN node config instead — this default only applies when
+    # nothing else claimed spark.local.dir.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir and "spark.local.dir" not in (extra_conf or {}):
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -137,6 +137,59 @@ def test_ignored_lang_purged(spark, tmp_path, base_pdf):
     assert eng.search(f"golden{md_idx:06d}x", k=5) == []
 
 
+def test_query_cache_hit_and_invalidation(spark, tmp_path, base_pdf):
+    """search() memoizes per (query, k, conjunctive, mode); any index
+    mutation (extract/delete) invalidates via cool()."""
+    eng = ExtractorEngine(
+        spark, str(tmp_path / "qcache"), n_buckets=8, salt_threshold=50
+    )
+    corpus = make_corpus(spark, base_pdf)
+    eng.extract(corpus, build_id="c1")
+    q = "golden000003x"
+    first = eng.search(q, k=5)
+    assert len(first) == 1
+    assert eng._query_cache  # populated
+    assert eng.search(q, k=5) == first  # cache hit, same result
+    victim = first[0][0]
+    eng.delete([victim])
+    assert not eng._query_cache  # mutation cleared it
+    assert eng.search(q, k=5) == []  # fresh answer, not the stale hit
+
+
+def test_doc_store_and_snippets(spark, tmp_path, base_pdf):
+    """store_content=True keeps the fulltext (reference stores extracted
+    text, tasks.py:99-104; extractor_show returns it) and snippets()
+    windows the first query-term hit."""
+    eng = ExtractorEngine(
+        spark, str(tmp_path / "snip"), n_buckets=8, salt_threshold=50,
+        store_content=True,
+    )
+    corpus = make_corpus(spark, base_pdf)
+    eng.extract(corpus, build_id="s1")
+    hits = eng.search("golden000003x", k=5)
+    assert len(hits) == 1
+    doc = hits[0][0]
+    # show() returns the stored fulltext
+    assert "golden000003x" in eng.show(doc)["fulltext"]
+    snips = eng.snippets("golden000003x", k=5, width=30)
+    assert len(snips) == 1 and snips[0][0] == doc
+    assert "golden000003x" in snips[0][2]
+    assert len(snips[0][2]) <= 2 * 30 + len("golden000003x") + 2
+    # flag survives reopen (persisted in index_meta)
+    eng2 = ExtractorEngine(spark, str(tmp_path / "snip"))
+    assert eng2.store_content
+    assert "golden000003x" in eng2.show(doc)["fulltext"]
+    # delete purges the stored text
+    eng.delete([doc])
+    assert "fulltext" not in eng.show(doc)
+    # incremental update replaces the stored text
+    pdf2 = base_pdf.copy()
+    pdf2.loc[pdf2.index[1], "content"] = "replacedzz token body"
+    eng.extract(make_corpus(spark, pdf2), build_id="s2")
+    d2 = eng.search("replacedzz", k=1)[0][0]
+    assert "replacedzz" in eng.show(d2)["fulltext"]
+
+
 def test_resume_identical_segments(spark, tmp_path, base_pdf):
     """Kill-and-rerun (B3): a second extract with the same build_id reuses
     the staged tokenize output and produces byte-identical segments."""

@@ -192,7 +192,11 @@ def test_capped_warm_serving_identical_results(spark, tmp_path, base_pdf):
     eng.RAW_PRELOAD_BYTES = 1
     eng.warm(max_cache_bytes=1 << 20)
     assert eng._lazy_serve
+    # this test pins the DECODE path — bypass the query-result memo so
+    # every search actually exercises lazy fetch + decoded-LRU
+    eng._query_cache.clear()
     first = search_map(eng, "data value")  # cache miss -> cold fetch
+    eng._query_cache.clear()
     second = search_map(eng, "data value")  # decoded-LRU hit
     assert first == cold and second == cold
     assert "data" in eng._decoded_cache and "value" in eng._decoded_cache
@@ -200,6 +204,7 @@ def test_capped_warm_serving_identical_results(spark, tmp_path, base_pdf):
     eng.warm(max_cache_bytes=1)
     eng.RAW_PRELOAD_BYTES = 1
     for q in ("data value", "vector stream", "hash byte"):
+        eng._query_cache.clear()
         assert search_map(eng, q) == {
             d: round(s, 9) for d, s in eng.search(q, k=10)
         }

@@ -85,6 +85,20 @@ def test_phrase_no_match(engine):
     assert engine.phrase_search("nosuchterm alpha", k=10) == []
 
 
+@pytest.mark.parametrize(
+    "q", ["alpha beta gamma", "alpha beta", "gamma alpha", "nosuchterm alpha"]
+)
+def test_phrase_distributed_matches_driver(engine, q):
+    """Cluster-scale phrase plan (decode kernel -> doc_id exchange ->
+    vectorized verify -> global top-k) ranks identically to the
+    driver-side path, scores equal to 1e-9."""
+    want = engine.phrase_search(q, k=10)
+    got = engine.phrase_search(q, k=10, distributed=True)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.RandomState(5)

