@@ -538,7 +538,7 @@ def _engine_segment_topk(
         avgdl = float(tot or 0) / float(n_docs)
         salted = salted_postings(postings, dictionary, n_buckets=8,
                                  salt_threshold=500)
-        segments = encode_segments(salted, avgdl)
+        segments = encode_segments(salted, avgdl, n_buckets=8)
         rows = segments.where(F.col("term").isin(query_terms)).collect()
     finally:
         postings.unpersist()
@@ -622,7 +622,7 @@ def _q_phrase_segments_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
         avgdl = float(tot or 0) / float(n_docs)
         salted = salted_postings(postings, dictionary, n_buckets=8,
                                  salt_threshold=500)
-        segments = encode_segments(salted, avgdl)
+        segments = encode_segments(salted, avgdl, n_buckets=8)
         rows = segments.where(F.col("term").isin(terms)).collect()
     finally:
         postings.unpersist()

@@ -469,6 +469,7 @@ class ExtractorEngine:
                 self._avgdl_estimate(meta_slim, lang_ok),
                 with_positions=self.with_positions,
                 n_tasks=self._encode_tasks(n_delta_rows),
+                n_buckets=self.n_buckets,
             )
             # direct partitioned write from the encode tasks — NO second
             # exchange: the encode shuffle is keyed by (term_bucket,
@@ -476,13 +477,12 @@ class ExtractorEngine:
             # count is ~#distinct (bucket, salt) keys, not tasks x buckets.
             # Rows leave the kernel already term-lexical within each task,
             # so parquet min/max row-group pruning on `term` still works.
-            with _arrow_batch(spark, self.ENCODE_ARROW_BATCH):
-                _atomic_overwrite(
-                    segments,
-                    self._p("gens", build_id, "segments"),
-                    spark,
-                    partition_by="term_bucket",
-                )
+            _atomic_overwrite(
+                segments,
+                self._p("gens", build_id, "segments"),
+                spark,
+                partition_by="term_bucket",
+            )
             stage_sec["encode_segments"] = time.time() - _t; _t = time.time()
 
         # ---- doc_stats: changed docs re-derived, unchanged rows kept ------
@@ -973,14 +973,14 @@ class ExtractorEngine:
                 self._avgdl_estimate(None, None),
                 with_positions=self.with_positions,
                 n_tasks=self._encode_tasks(None),
+                n_buckets=self.n_buckets,
             )
-            with _arrow_batch(spark, self.ENCODE_ARROW_BATCH):
-                _atomic_overwrite(
-                    segments,
-                    self._p("gens", new_id, "segments"),
-                    spark,
-                    partition_by="term_bucket",
-                )
+            _atomic_overwrite(
+                segments,
+                self._p("gens", new_id, "segments"),
+                spark,
+                partition_by="term_bucket",
+            )
             survivors.append(
                 {
                     "gen": new_id,
@@ -1191,12 +1191,11 @@ class ExtractorEngine:
         self._dead_cache = None
         self._query_cache.clear()
 
-    # Arrow IPC batch rows for the ENCODE kernel's input only: the session
-    # default (1024) is tuned for the tokenize kernel's cache behavior,
-    # but the encode kernel accumulates its whole partition anyway — big
-    # batches just cut per-batch JVM<->Python IPC overhead (scoped via
-    # _arrow_batch around the encode action; blob bytes are unaffected).
-    ENCODE_ARROW_BATCH = 65_536
+    # NOTE on Arrow batch size: 1024 (the session default) wins for the
+    # encode kernel too — A/B measured 65536-row batches ~15-20% SLOWER
+    # at local[4] (JVM ArrowWriter buffer growth + cache pressure beat
+    # the per-batch overhead savings). Do not "optimize" this upward
+    # without a paired measurement.
     ENCODE_ROWS_PER_TASK = 500_000  # ~64 MB of posting rows per sort/encode task
 
     def _encode_tasks(self, n_rows: int | None) -> int:
@@ -1362,21 +1361,6 @@ class ExtractorEngine:
 
 def read_parquet_if(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
-
-
-from contextlib import contextmanager
-
-
-@contextmanager
-def _arrow_batch(spark: SparkSession, n: int):
-    """Scope spark.sql.execution.arrow.maxRecordsPerBatch to one action."""
-    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
 
 
 def _atomic_overwrite(

@@ -41,6 +41,11 @@ SEGMENT_SCHEMA = (
     "term string, term_bucket int, salt_id int, n_postings long, "
     "blob binary, block_last_doc array<long>, block_max_tfn array<double>"
 )
+# kernel output before Catalyst re-attaches term_bucket (see encode_segments)
+KERNEL_SCHEMA = (
+    "term string, salt_id int, n_postings long, "
+    "blob binary, block_last_doc array<long>, block_max_tfn array<double>"
+)
 
 DEFAULT_SALT_THRESHOLD = 100_000  # df above which a term's encode is sharded
 
@@ -114,27 +119,39 @@ def encode_segments(
     b: float = BM25_B,
     with_positions: bool = True,
     n_tasks: int | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Encode posting blobs: repartition by (term_bucket, salt_id), then a
     mapInArrow kernel that sorts and encodes each partition in one
     vectorized pass.
 
+    The exchange payload is SLIM by design: term_bucket and salt_id act
+    only as repartition KEY EXPRESSIONS (projected away before the
+    shuffle), and tf/doc_len travel packed into one long — measured on
+    this host, the post-shuffle UnsafeRow->Arrow transpose that feeds
+    mapInArrow costs per CELL, so 4 columns (term, doc_id, packed,
+    positions) instead of 7 is the single biggest lever on the encode
+    stage's wall time AND its multi-worker scaling (the transpose is
+    memory-bandwidth-bound). The kernel recovers grouping from the term
+    column alone; `salt_id` in the output becomes the task's partition id
+    (deterministic under fixed partitioning) — shards of a hot term land
+    in different tasks via the salt key expression, and read-time shard
+    merging (wand.term_postings_from_rows) already accepts any sharding.
+    `term_bucket` is re-attached by Catalyst AFTER the kernel, on the
+    ~#groups-sized output, with the same pmod(xxhash64(term), n_buckets)
+    the query-time pruner uses.
+
     Why not groupBy().applyInPandas: it materializes each group as ONE
     pandas frame of python objects — measured to thrash the allocator and
     anti-scale with workers.
 
-    Why the kernel sorts (numpy lexsort over int key columns + one Arrow
-    take), not sortWithinPartitions: Spark's UnsafeRow sort copies every
-    row into sort buffers and back, then re-serializes to Arrow — measured
-    as the dominant, memory-bandwidth-bound, WORST-scaling stage of the
-    whole build (core-seconds inflate ~1.65x from 1->4 threads on this
-    host). The term column is dictionary-encoded (C) so the sort keys are
-    four int arrays; doc order within a term follows doc_id exactly as
-    before — blob bytes are identical (pinned by checksum tests), only the
-    row order of the output table changes. Rows leave the kernel sorted
-    (bucket, term-lexical, salt), so the engine writes them partitionBy
-    term_bucket with NO further exchange while keeping row-group min/max
-    pruning on `term`.
+    Why the kernel sorts (numpy lexsort over int arrays), not
+    sortWithinPartitions: Spark's UnsafeRow sort copies every row into
+    sort buffers and back, then re-serializes to Arrow — measured as the
+    dominant, memory-bandwidth-bound, WORST-scaling stage of the whole
+    build. Rows leave the kernel term-lexically sorted, so the engine
+    writes partitionBy(term_bucket) with NO further exchange while
+    keeping row-group min/max pruning on `term`.
 
     Why Arrow, not pandas: positions stay ONE contiguous buffer sliced per
     term by offsets (codec pos_data/pos_offsets path); only the ~#terms
@@ -144,7 +161,14 @@ def encode_segments(
     Partition memory is bounded by construction: _encode_tasks sizes the
     exchange to ~ENCODE_ROWS_PER_TASK rows/task and df-driven salting
     caps any single (bucket, salt) key, so "the whole partition" is tens
-    of MB, same order as one sort buffer."""
+    of MB, same order as one sort buffer.
+
+    Packing bound: doc_len < 2^31 tokens per doc and tf < 2^32 (packed =
+    doc_len << 32 | tf) — far beyond any real document.
+
+    ``n_buckets`` MUST equal the n_buckets used by salted_postings /
+    query-time pruning (read_segments) — it re-derives the term_bucket
+    partition column on the kernel output."""
 
     def encode_stream(batches):
         import pyarrow as pa
@@ -152,7 +176,6 @@ def encode_segments(
         out_schema = pa.schema(
             [
                 ("term", pa.string()),
-                ("term_bucket", pa.int32()),
                 ("salt_id", pa.int32()),
                 ("n_postings", pa.int64()),
                 ("blob", pa.binary()),
@@ -178,10 +201,12 @@ def encode_segments(
                 acc.append(rb)
         if not acc:
             return
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else 0
         tbl = pa.Table.from_batches(acc).combine_chunks()
         acc = None
-        bs = tbl.column("term_bucket").chunk(0).to_numpy()
-        ss = tbl.column("salt_id").chunk(0).to_numpy()
         denc = tbl.column("term").chunk(0).dictionary_encode()
         # LEXICAL term codes (not raw dictionary codes): the kernel's
         # output is written partitionBy(term_bucket) with no further
@@ -196,22 +221,22 @@ def encode_segments(
         rank[dict_order.to_numpy()] = np.arange(len(denc.dictionary))
         codes = rank[denc.indices.to_numpy()]
         docs = tbl.column("doc_id").chunk(0).to_numpy()
-        # grouped sort: primary (bucket, term, salt), doc_id within —
-        # the grouped encoder needs consistent grouping (codec output per
-        # term is order-invariant); lexical order is for the writer
-        order = np.lexsort((docs, ss, codes, bs))
+        # grouped sort: term (lexical), doc_id within. Shards of the same
+        # term that hash-collide into this task merge into one group —
+        # read-time shard merging makes that equivalent (and the codec
+        # sorts per group, so the blob is deterministic either way).
+        order = np.lexsort((docs, codes))
         # per-column numpy gathers instead of a full-table Arrow take:
         # a table take would copy EVERY posting row's term string, but
         # only group heads ever need one — positions is the lone column
         # whose bytes genuinely must be gathered (memory bandwidth is
         # this kernel's scaling ceiling at >1 concurrent worker)
         docs_s = docs[order]
-        tfs_s = tbl.column("tf").chunk(0).to_numpy()[order]
-        dls_s = tbl.column("doc_len").chunk(0).to_numpy()[order]
-        bs, ss, codes = bs[order], ss[order], codes[order]
-        change = (
-            (bs[1:] != bs[:-1]) | (ss[1:] != ss[:-1]) | (codes[1:] != codes[:-1])
-        )
+        packed_s = tbl.column("packed").chunk(0).to_numpy()[order]
+        tfs_s = (packed_s & np.int64(0xFFFFFFFF)).astype(np.int64)
+        dls_s = (packed_s >> np.int64(32)).astype(np.int64)
+        codes = codes[order]
+        change = codes[1:] != codes[:-1]
         bounds = np.flatnonzero(change) + 1
         g_starts = np.concatenate(([0], bounds))
         g_ends = np.concatenate((bounds, [len(docs_s)]))
@@ -237,8 +262,10 @@ def encode_segments(
                 pc.take(
                     sorted_dict, pa.array(codes[g_starts], type=pa.int64())
                 ),
-                pa.array(bs[g_starts], type=pa.int32()),
-                pa.array(ss[g_starts], type=pa.int32()),
+                pa.array(
+                    np.full(len(g_starts), pid, dtype=np.int32),
+                    type=pa.int32(),
+                ),
                 pa.array(ns, type=pa.int64()),
                 pa.array(blobs, type=pa.binary()),
                 pa.array(last_docs, type=pa.list_(pa.int64())),
@@ -248,11 +275,24 @@ def encode_segments(
         )
 
     nt = n_tasks or salted.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    cols = ["term_bucket", "salt_id", "term", "doc_id", "tf", "doc_len"]
+    cols = [
+        F.col("term"),
+        F.col("doc_id"),
+        (
+            F.shiftleft(F.col("doc_len").cast("long"), 32)
+            + F.col("tf").cast("long")
+        ).alias("packed"),
+    ]
     if with_positions:
-        cols.append("positions")
-    arranged = salted.select(*cols).repartition(int(nt), "term_bucket", "salt_id")
-    return arranged.mapInArrow(encode_stream, schema=SEGMENT_SCHEMA)
+        cols.append(F.col("positions"))
+    arranged = (
+        salted.repartition(int(nt), "term_bucket", "salt_id").select(*cols)
+    )
+    encoded = arranged.mapInArrow(encode_stream, schema=KERNEL_SCHEMA)
+    return encoded.withColumn(
+        "term_bucket",
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+    )
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -59,7 +59,8 @@ def ctx(spark):
     seg_dir = tempfile.mkdtemp(prefix="segtest_")
     salted = salted_postings(postings, dictionary, n_buckets=N_BUCKETS,
                              salt_threshold=50)  # low threshold -> salting real
-    segments = encode_segments(salted, stats["avgdl"], with_positions=True)
+    segments = encode_segments(salted, stats["avgdl"], with_positions=True,
+                                n_buckets=N_BUCKETS)
     write_segments(segments, seg_dir)
     yield spark, prepared, postings, dictionary, stats, seg_dir
     shutil.rmtree(seg_dir, ignore_errors=True)
@@ -102,7 +103,8 @@ def test_segment_checksums_deterministic(ctx):
         repartitioned = postings.repartition(7)
         salted = salted_postings(repartitioned, dictionary,
                                  n_buckets=N_BUCKETS, salt_threshold=50)
-        segments2 = encode_segments(salted, stats["avgdl"], with_positions=True)
+        segments2 = encode_segments(salted, stats["avgdl"], with_positions=True,
+                                n_buckets=N_BUCKETS)
         write_segments(segments2, seg_dir2)
 
         def blob_digest(path):

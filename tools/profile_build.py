@@ -92,7 +92,7 @@ def main() -> None:
         t0 = tick("doc_stats+corpus_stats", t0)
 
         salted = salted_postings(postings, dictionary, 32, 50_000)
-        segs = encode_segments(salted, stats["avgdl"], with_positions=True)
+        segs = encode_segments(salted, stats["avgdl"], with_positions=True, n_buckets=64)
         write_segments(segs, os.path.join(root, "segments"))
         t0 = tick("segments", t0)
 

@@ -83,7 +83,7 @@ def main() -> None:
     out["scan_exchange"] = noop_sink(arranged)
 
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-    seg = encode_segments(salted, 120.0, n_tasks=n_tasks)
+    seg = encode_segments(salted, 120.0, n_tasks=n_tasks, n_buckets=128)
     out["plus_kernel"] = noop_sink(seg)
 
     dest = tempfile.mkdtemp(prefix="prof_seg_", dir="/dev/shm")
