@@ -1068,6 +1068,9 @@ class ExtractorEngine:
         return out
 
     QUERY_CACHE_ENTRIES = 4096
+    # auto-mode routes disjunctive queries whose posting-list union exceeds
+    # this many rows to maxscore_topk (rank-identical; see search())
+    MAXSCORE_AUTO_ROWS = 200_000
 
     def _search_uncached(
         self,
@@ -1112,6 +1115,14 @@ class ExtractorEngine:
                 "wand": wand_topk,
                 "maxscore": maxscore_topk,
             }.get(mode, exact_topk)
+            if mode == "auto" and not conjunctive and sum(
+                len(tp.doc_ids) for tp in tls
+            ) > self.MAXSCORE_AUTO_ROWS:
+                # big disjunctive unions: the bincount over every posting
+                # is the cost; MaxScore's essential-list skip is
+                # rank-identical (pinned by fuzz) and orders of magnitude
+                # cheaper when upper bounds are skewed
+                fn = maxscore_topk
             return fn(tls, k, st["avgdl"], conjunctive=conjunctive)
         postings = self._live_postings()
         if postings is None:

@@ -268,10 +268,20 @@ def phrase_search_distributed(engine, query: str, k: int = 10):
             if out_docs:
                 yield pd.DataFrame({"doc_id": out_docs, "score": out_scores})
 
-    matched = (
-        decoded.repartition("doc_id")
-        .mapInPandas(verify_part, "doc_id long, score double")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+    matched = decoded.repartition("doc_id").mapInPandas(
+        verify_part, "doc_id long, score double"
     )
-    return [(int(r["doc_id"]), float(r["score"])) for r in matched.collect()]
+    if k <= 10_000:
+        # TakeOrderedAndProject keeps a k-sized heap PER PARTITION —
+        # only safe for interactive k
+        rows = matched.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(k).collect()
+    else:
+        # huge k = "all matches": collect and rank driver-side (phrase
+        # matches are conjunctive-bounded, far smaller than postings)
+        rows = sorted(
+            matched.collect(),
+            key=lambda r: (-r["score"], r["doc_id"]),
+        )[:k]
+    return [(int(r["doc_id"]), float(r["score"])) for r in rows]

@@ -170,12 +170,57 @@ def test_doc_fingerprint_dups_match(docs):
     assert fp.loc[0, "n_distinct_terms"] == 8
 
 
+def test_real_image_and_audio_decoders():
+    """Pure-numpy PPM/BMP/WAV decoders parse real payloads exactly."""
+    import numpy as np
+
+    from ckanext_extractor_spark.functions.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+        _decode_wav,
+        _grid_embedding,
+        make_ppm,
+        make_wav,
+    )
+
+    w, h, gray = _decode_ppm(make_ppm(20, 9, seed=3))
+    assert (w, h) == (20, 9) and gray.shape == (9, 20)
+    emb = _grid_embedding(gray)
+    assert emb.shape == (16,) and abs(float(np.linalg.norm(emb)) - 1) < 1e-5
+    n, rate = _decode_wav(make_wav(1234, 8000, seed=1))
+    assert (n, rate) == (1234, 8000)
+    # minimal 24-bit BMP, 2x2, bottom-up
+    import struct
+
+    px_rows = bytes([255, 0, 0, 0, 255, 0, 0, 0]) + bytes(
+        [0, 0, 255, 10, 10, 10, 0, 0]
+    )  # 2 rows, stride 8 (2*3 padded to 8)
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(px_rows), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px_rows),
+                         0, 0, 0, 0) + px_rows)
+    w, h, gray = _decode_bmp(bmp)
+    assert (w, h) == (2, 2) and gray.shape == (2, 2)
+    # unknown format -> None (falls back to the declared fake)
+    assert _decode_ppm(b"\x89PNG....") is None
+    assert _decode_wav(b"\x89PNG....") is None
+
+
 def test_multimodal_features_and_frames(spark):
     media = synthetic_media(spark, 24)
     feats = extract_media_features(media).toPandas()
     assert len(feats) == 24
     assert (feats["n_bytes"] > 0).all()
     assert feats["embedding"].map(len).eq(16).all()
+    # real decoders ran: image dims match the generated PPM headers and
+    # audio rows carry (sample_rate, n_samples)
+    imgs = feats[feats["kind"] == "image"].set_index("media_id")
+    for mid in imgs.index:
+        assert imgs.loc[mid, "width"] == 16 + mid % 13
+        assert imgs.loc[mid, "height"] == 12 + mid % 7
+    auds = feats[feats["kind"] == "audio"].set_index("media_id")
+    for mid in auds.index:
+        assert auds.loc[mid, "width"] == 8000 + 100 * (mid % 5)
+        assert auds.loc[mid, "n_frames"] == 800 + 37 * mid
     # deterministic: same payload -> same sha/embedding
     feats2 = extract_media_features(media).toPandas()
     assert feats.sort_values("media_id")["sha256"].tolist() == \
