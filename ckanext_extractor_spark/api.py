@@ -180,6 +180,8 @@ class ExtractorEngine:
         self.store_content = store_content
         # serving caches (warm()): raw segment rows + LRU decoded postings
         self._rows_cache: dict[str, list] | None = None
+        self._raw_bytes = 0
+        self._raw_budget = self.RAW_PRELOAD_BYTES
         self._decoded_cache: "OrderedDict[str, object]" = OrderedDict()
         self._decoded_bytes = 0
         self._decoded_budget = self.DECODED_BUDGET_BYTES
@@ -278,7 +280,27 @@ class ExtractorEngine:
             if age is None:
                 continue  # holder released between exists and stat
             if age > LOCK_STALE_SEC and attempt == 0:
-                self.fs.unlink(path)
+                # break-by-rename, not unlink: between the age check and
+                # the break another writer may already have broken the
+                # stale lock and created a FRESH one — a blind unlink
+                # would delete that writer's lock and two builds would
+                # run concurrently (ADVICE r2, api.py:280). Renaming to a
+                # unique name first makes the steal observable: we read
+                # the payload we actually took, and if it turns out fresh
+                # we put it back and yield.
+                broke = path + ".breaking-" + uuid.uuid4().hex[:8]
+                try:
+                    self.fs.rename(path, broke)
+                except OSError:
+                    continue  # someone else broke/released it first
+                taken = self.fs.read_json(broke)
+                self.fs.unlink(broke)
+                if taken and time.time() - taken.get("ts", 0) <= LOCK_STALE_SEC:
+                    # stole a fresh lock: restore it (best-effort — if a
+                    # third writer locked meanwhile, the fresh holder has
+                    # lost the race either way) and back off
+                    self.fs.create_excl(path, json.dumps(taken))
+                    return False
                 continue
             return False
         return False
@@ -739,7 +761,14 @@ class ExtractorEngine:
         ).collect()
 
     def snippets(
-        self, query: str, k: int = 10, width: int = 60
+        self,
+        query: str,
+        k: int = 10,
+        width: int = 60,
+        hits: "list[tuple[int, float]] | None" = None,
+        conjunctive: bool = True,
+        mode: str = "auto",
+        phrase: bool = False,
     ) -> list[tuple[int, float, str]]:
         """Top-k search + a highlight window per hit (the CKAN/Solr
         search-result snippet analog — the reference gets this for free
@@ -748,12 +777,23 @@ class ExtractorEngine:
         Returns (doc_id, score, snippet): ±``width`` chars around the
         first case-insensitive occurrence of any analyzed query term in
         the stored fulltext (head of the doc when no raw substring match,
-        e.g. after stemming). Requires store_content=True."""
+        e.g. after stemming). Requires store_content=True.
+
+        ``hits`` lets a caller that already ran the query (CLI, a custom
+        retrieval mode) window THOSE hits instead of re-searching with
+        default semantics (ADVICE r2: 'query --phrase --snippets' must
+        not silently fall back to conjunctive auto-mode); otherwise the
+        query runs here with the given conjunctive/mode/phrase flags."""
         if not self.store_content:
             raise ValueError(
                 "snippets() needs an index built with store_content=True"
             )
-        hits = self.search(query, k=k)
+        if hits is None:
+            if phrase:
+                hits = self.phrase_search(query, k=k)
+            else:
+                hits = self.search(query, k=k, conjunctive=conjunctive,
+                                   mode=mode)
         if not hits:
             return []
         texts = {
@@ -1183,7 +1223,14 @@ class ExtractorEngine:
             self._rows_cache = cache
             self._lazy_serve = False
         else:
-            self._rows_cache = {}
+            # lazy serving: the raw-blob cache is LRU-bounded by the same
+            # budget class as the preload path — without accounting, a
+            # long-tail query workload grows it without bound and defeats
+            # the memory cap warm() exists to provide (ADVICE r2,
+            # api.py:1244)
+            self._rows_cache = OrderedDict()
+            self._raw_bytes = 0
+            self._raw_budget = preload_cap
             self._lazy_serve = True
         self._dead_docs()  # prime the tombstone map
         return self
@@ -1195,6 +1242,7 @@ class ExtractorEngine:
 
     def cool(self) -> None:
         self._rows_cache = None
+        self._raw_bytes = 0
         self._decoded_cache = OrderedDict()
         self._decoded_bytes = 0
         self._lazy_serve = False
@@ -1241,7 +1289,7 @@ class ExtractorEngine:
             if not self._lazy_serve:
                 return []
             rows = self._fetch_rows([term])[term]
-            self._rows_cache[term] = rows
+            self._raw_put(term, rows)
             return rows
         return self._fetch_rows([term]).get(term, [])
 
@@ -1340,7 +1388,8 @@ class ExtractorEngine:
                 fetched = self._fetch_rows(to_fetch)
                 rows_by_term.update(fetched)
                 if self._rows_cache is not None:
-                    self._rows_cache.update(fetched)
+                    for ft, frows in fetched.items():
+                        self._raw_put(ft, frows)
         for t in missing:
             rows = rows_by_term.get(t) or []
             if not rows:
@@ -1351,6 +1400,33 @@ class ExtractorEngine:
             self._lru_put(t, tp)
             out.append(tp)
         return out
+
+    @staticmethod
+    def _raw_rows_bytes(rows: list) -> int:
+        return sum(
+            len(r["blob"]) + 16 * len(r["block_last_doc"]) + 256 for r in rows
+        )
+
+    def _raw_put(self, term: str, rows: list) -> None:
+        """Insert raw segment rows into the lazy-serving cache with byte
+        accounting + LRU eviction (mirror of _lru_put for decoded lists;
+        only used when _lazy_serve — the preload path bounds itself by
+        construction)."""
+        if self._rows_cache is None:
+            return
+        if not self._lazy_serve:
+            self._rows_cache[term] = rows
+            return
+        size = self._raw_rows_bytes(rows)
+        old = self._rows_cache.pop(term, None)
+        if old is not None:
+            self._raw_bytes -= self._raw_rows_bytes(old)
+        self._rows_cache[term] = rows
+        self._rows_cache.move_to_end(term)
+        self._raw_bytes += size
+        while self._raw_bytes > self._raw_budget and len(self._rows_cache) > 1:
+            _, evicted = self._rows_cache.popitem(last=False)
+            self._raw_bytes -= self._raw_rows_bytes(evicted)
 
     def _lru_put(self, term: str, tp) -> None:
         size = (

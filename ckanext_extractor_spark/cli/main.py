@@ -84,8 +84,10 @@ def cmd_query(args) -> int:
             args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode
         )
     if args.snippets:
+        # window the hits we JUST computed (phrase/--or/--mode respected),
+        # never a re-search with default semantics (ADVICE r2)
         for rank, (doc_id, score, snip) in enumerate(
-            eng.snippets(args.q, k=args.k), 1
+            eng.snippets(args.q, k=args.k, hits=hits), 1
         ):
             print(json.dumps({"rank": rank, "doc_id": doc_id,
                               "score": round(score, 6), "snippet": snip}))

@@ -31,6 +31,23 @@ import shutil
 import time
 
 
+def _lp(path: str) -> str:
+    """Plain-OS form of a possibly ``file:``-scheme URI.
+
+    Spark writes tables happily through ``file:///x`` paths, but the
+    engine's own os/shutil bookkeeping (meta, lock, publish renames) must
+    address the same bytes on disk — without stripping the scheme, a
+    ``file:`` root would grow a literal ``./file:/...`` tree next to the
+    real one and the engine would treat its own tables as absent
+    (ADVICE r2, fsio.py:39)."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        parsed = urlparse(path)
+        return parsed.path or path
+    return path
+
+
 class FsIO:
     """Minimal filesystem ops bound to one root's scheme."""
 
@@ -50,45 +67,45 @@ class FsIO:
 
     def exists(self, path: str) -> bool:
         if self.is_local:
-            return os.path.exists(path)
+            return os.path.exists(_lp(path))
         return self._jfs.exists(self._jpath(path))
 
     def isdir(self, path: str) -> bool:
         if self.is_local:
-            return os.path.isdir(path)
+            return os.path.isdir(_lp(path))
         p = self._jpath(path)
         return self._jfs.exists(p) and self._jfs.getFileStatus(p).isDirectory()
 
     def mtime(self, path: str) -> float:
         if self.is_local:
-            return os.path.getmtime(path)
+            return os.path.getmtime(_lp(path))
         return self._jfs.getFileStatus(self._jpath(path)).getModificationTime() / 1e3
 
     # -- directory ops --------------------------------------------------------
 
     def listdir(self, path: str) -> list[str]:
         if self.is_local:
-            return os.listdir(path)
+            return os.listdir(_lp(path))
         return [
             st.getPath().getName() for st in self._jfs.listStatus(self._jpath(path))
         ]
 
     def makedirs(self, path: str) -> None:
         if self.is_local:
-            os.makedirs(path, exist_ok=True)
+            os.makedirs(_lp(path), exist_ok=True)
         else:
             self._jfs.mkdirs(self._jpath(path))
 
     def rename(self, src: str, dst: str) -> None:
         """Atomic on POSIX and HDFS; copy-on-rename on S3A (see module doc)."""
         if self.is_local:
-            os.rename(src, dst)
+            os.rename(_lp(src), _lp(dst))
         elif not self._jfs.rename(self._jpath(src), self._jpath(dst)):
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def rmtree(self, path: str) -> None:
         if self.is_local:
-            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(_lp(path), ignore_errors=True)
         else:
             try:
                 self._jfs.delete(self._jpath(path), True)
@@ -98,7 +115,7 @@ class FsIO:
     def unlink(self, path: str) -> None:
         if self.is_local:
             try:
-                os.unlink(path)
+                os.unlink(_lp(path))
             except OSError:
                 pass
         else:
@@ -112,7 +129,7 @@ class FsIO:
     def read_text(self, path: str) -> str | None:
         if self.is_local:
             try:
-                with open(path) as f:
+                with open(_lp(path)) as f:
                     return f.read()
             except OSError:
                 return None
@@ -133,10 +150,11 @@ class FsIO:
 
     def write_text_atomic(self, path: str, text: str) -> None:
         if self.is_local:
-            tmp = path + ".tmp"
+            lpath = _lp(path)
+            tmp = lpath + ".tmp"
             with open(tmp, "w") as f:
                 f.write(text)
-            os.replace(tmp, path)
+            os.replace(tmp, lpath)
             return
         tmp = self._jpath(path + ".tmp")
         stream = self._jfs.create(tmp, True)
@@ -154,7 +172,7 @@ class FsIO:
         (atomic on HDFS; last-writer-wins race window on raw S3A)."""
         if self.is_local:
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                fd = os.open(_lp(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 return False
             with os.fdopen(fd, "w") as f:
@@ -174,7 +192,7 @@ class FsIO:
         """True if a parquet dir has at least one data file (an all-empty
         partitioned write leaves only _SUCCESS — unreadable schema)."""
         if self.is_local:
-            for _, _, files in os.walk(path):
+            for _, _, files in os.walk(_lp(path)):
                 if any(f.endswith(".parquet") for f in files):
                     return True
             return False
@@ -191,7 +209,7 @@ class FsIO:
         """Total bytes under `path` (0 if absent)."""
         if self.is_local:
             total = 0
-            for dirpath, _, files in os.walk(path):
+            for dirpath, _, files in os.walk(_lp(path)):
                 for fn in files:
                     try:
                         total += os.path.getsize(os.path.join(dirpath, fn))

@@ -205,8 +205,26 @@ def encode_segments(
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc else 0
-        tbl = pa.Table.from_batches(acc).combine_chunks()
+        tbl = pa.Table.from_batches(acc)
         acc = None
+        # 32-bit-offset string/binary columns cap a single chunk's payload
+        # at ~2 GiB — combine_chunks on a partition whose term/positions
+        # bytes exceed that either errors or stays multi-chunk, and the
+        # kernel's chunk(0) reads would then silently drop rows (ADVICE
+        # r2, segments.py:210). Casting to 64-bit-offset large types makes
+        # combine_chunks single-chunk by construction at any size.
+        tbl = tbl.cast(
+            pa.schema(
+                [
+                    pa.field(f.name, pa.large_string())
+                    if pa.types.is_string(f.type)
+                    else pa.field(f.name, pa.large_binary())
+                    if pa.types.is_binary(f.type)
+                    else f
+                    for f in tbl.schema
+                ]
+            )
+        ).combine_chunks()
         denc = tbl.column("term").chunk(0).dictionary_encode()
         # LEXICAL term codes (not raw dictionary codes): the kernel's
         # output is written partitionBy(term_bucket) with no further
@@ -256,7 +274,7 @@ def encode_segments(
         )
         # group-head term strings: codes are lexical ranks into the
         # sorted dictionary, so one ~#groups-sized take resolves them
-        sorted_dict = pc.take(denc.dictionary, dict_order)
+        sorted_dict = pc.take(denc.dictionary, dict_order).cast(pa.string())
         yield pa.record_batch(
             [
                 pc.take(

@@ -173,8 +173,16 @@ def test_build_lock_matrix(spark, tmp_path, base_pdf):
     info = eng.in_progress()
     assert info["build_id"] == "other-build"
 
-    # stale lock (holder crashed long ago) is broken and the build runs
+    # stale lock (holder crashed long ago) is broken and the build runs.
+    # A crashed holder's lock is old in BOTH mtime and payload ts — the
+    # breaker verifies the payload it actually took (rename-then-verify,
+    # ADVICE r2), so backdate both.
     old = time.time() - 3 * 3600
+    import json as _json
+
+    payload = _json.loads(open(eng._lock_path()).read())
+    payload["ts"] = old
+    open(eng._lock_path(), "w").write(_json.dumps(payload))
     os.utime(eng._lock_path(), (old, old))
     rep4 = eng.extract(corpus, build_id="l4")
     assert not rep4.in_progress
