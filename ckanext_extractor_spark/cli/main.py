@@ -66,7 +66,7 @@ def cmd_status(args) -> int:
                 "in_progress": eng.in_progress(),
                 "generations": eng._gens,
                 "seq": eng._seq,
-                "tombstones": len(eng._dead_docs()),
+                "tombstones": eng._tombstone_count(),
             },
             default=str,
         )
