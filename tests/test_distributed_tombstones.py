@@ -125,3 +125,25 @@ def test_distributed_query_join_path_matches_closure(engine_with_tombstones):
     assert np.allclose(
         [r["score"] for r in got_join], [s for _, s in driver], rtol=1e-9
     )
+
+
+def test_distributed_phrase_rows_spanning_arrow_batches(spark, tmp_path):
+    """A doc's slot rows can arrive in different Arrow batches of the same
+    partition (maxRecordsPerBatch); the verify kernel must accumulate the
+    partition before grouping or those docs silently fail the conjunctive
+    gate. Pinned by forcing 8-row batches."""
+    pdf = corpus_pdf(150)
+    eng = ExtractorEngine(spark, str(tmp_path / "idxb"), n_buckets=8,
+                          salt_threshold=50)
+    eng.extract(make_corpus(spark, pdf), build_id="b1")
+    driver = eng.phrase_search("data value", k=50)
+    assert driver, "fixture corpus should contain the phrase"
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+        dist = eng.phrase_search("data value", k=50, distributed=True)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert [d for d, _ in dist] == [d for d, _ in driver]
+    assert np.allclose([s for _, s in dist], [s for _, s in driver],
+                       rtol=1e-9)
