@@ -132,6 +132,22 @@ def main() -> None:
         if r_hi.get("tokenize_core_sec")
         else None
     )
+    def median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    # median-of-N efficiency: robust companion to best-of (a single calm
+    # round can carry best-of; the median cannot be carried by one lucky
+    # sample) — both are reported, pass criteria per BENCH/BASELINE.md
+    med_eff = round(
+        (
+            median(r_hi["all_files_per_sec"])
+            / median(r_lo["all_files_per_sec"])
+        )
+        / factor,
+        3,
+    )
     result = {
         "n_docs": n_docs,
         "repeats_per_level": repeats,
@@ -142,12 +158,15 @@ def main() -> None:
             r_hi["files_per_sec"] / r_lo["files_per_sec"], 3
         ),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": med_eff,
         "per_round_efficiency": per_round,
         "kernel_core_sec_ratio_lo_over_hi": (
             round(kern_eff, 3) if kern_eff else None
         ),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "median_target": 0.7,
+        "median_pass": med_eff >= 0.7,
     }
     print(json.dumps(result))
     if out_path:
