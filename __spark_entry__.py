@@ -519,8 +519,10 @@ def _engine_segment_topk(
     )
     from ckanext_extractor_spark.operators.segments import encode_segments, salted_postings
     from ckanext_extractor_spark.operators.wand import (
+        LazyTermPostings,
         exact_topk,
         maxscore_topk,
+        maxscore_topk_lazy,
         term_postings_from_rows,
         wand_topk,
     )
@@ -545,17 +547,28 @@ def _engine_segment_topk(
     by_term: dict[str, list] = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
-    tls = [
-        term_postings_from_rows(t, rs, n_docs, avgdl)
-        for t, rs in by_term.items()
-    ]
-    if conjunctive and len(tls) < len(set(query_terms)):
-        hits = []
+    if mode == "maxscore_lazy":
+        # block-offset lazy decode: non-essential lists decode only the
+        # blocks their candidates touch (operators/wand.py
+        # LazyTermPostings) — rank/score identity vs the same disjunctive
+        # BM25 SQL oracle is the claim under test
+        ltls = [
+            LazyTermPostings(t, rs, n_docs, avgdl)
+            for t, rs in by_term.items()
+        ]
+        hits = maxscore_topk_lazy(ltls, k, avgdl, conjunctive=conjunctive)
     else:
-        fn = {"wand": wand_topk, "maxscore": maxscore_topk}.get(
-            mode, exact_topk
-        )
-        hits = fn(tls, k, avgdl, conjunctive=conjunctive)
+        tls = [
+            term_postings_from_rows(t, rs, n_docs, avgdl)
+            for t, rs in by_term.items()
+        ]
+        if conjunctive and len(tls) < len(set(query_terms)):
+            hits = []
+        else:
+            fn = {"wand": wand_topk, "maxscore": maxscore_topk}.get(
+                mode, exact_topk
+            )
+            hits = fn(tls, k, avgdl, conjunctive=conjunctive)
     return spark.createDataFrame(
         [(int(d), float(round(s, 4))) for d, s in hits],
         "doc_id long, score double",
@@ -584,6 +597,18 @@ def _q_bm25_segments_maxscore_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_segment_topk(
         spark, sf_dir, ["vector", "stream", "batch"], conjunctive=False,
         mode="maxscore",
+    )
+
+
+def _q_bm25_segments_maxscore_lazy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lazy-block MaxScore (per-block byte offsets -> decode only visited
+    blocks) through the real pipeline; same oracle as q34 — the lazy
+    decode must be invisible in ranks AND scores."""
+    return _engine_segment_topk(
+        spark, sf_dir, ["vector", "stream", "batch"], conjunctive=False,
+        mode="maxscore_lazy",
     )
 
 
@@ -787,6 +812,10 @@ _PAIRS["q34_bm25_segments_maxscore_or"] = (
     "",
     _strip_n_matched(_bm25_sql(DUCK_TOK, ["vector", "stream", "batch"], False, 10)),
 )
+_PAIRS["q36_bm25_segments_maxscore_lazy"] = (
+    "",
+    _strip_n_matched(_bm25_sql(DUCK_TOK, ["vector", "stream", "batch"], False, 10)),
+)
 
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
@@ -797,6 +826,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_field_search": _q_field_search,
     "q34_bm25_segments_maxscore_or": _q_bm25_segments_maxscore_or,
     "q35_phrase_distributed_engine": _q_phrase_distributed_engine,
+    "q36_bm25_segments_maxscore_lazy": _q_bm25_segments_maxscore_lazy,
 }
 
 

@@ -132,6 +132,14 @@ def main() -> None:
         tq = time.time()
         eng_docs.search("spark join", k=10, mode="slow")
         timings["slowpath_and_2term"] = time.time() - tq
+        # lazy-block MaxScore from COLD: bucket-pruned segment read +
+        # full decode of essential lists only; non-essential lists decode
+        # just the blocks their candidates touch (block_offs)
+        eng_docs.cool()
+        tq = time.time()
+        eng_docs.search("vector stream batch", k=10, conjunctive=False,
+                        mode="maxscore")
+        timings["maxscore_lazy_cold"] = time.time() - tq
 
         # ---- phase 4: capped warm serving (LRU, no full preload) ----------
         # budget below the on-disk segment size -> lazy per-term fetch; a

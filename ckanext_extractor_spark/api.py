@@ -101,6 +101,48 @@ class BuildInProgressError(RuntimeError):
     'inprogress' task refusal, logic/action.py:121-123)."""
 
 
+class ValidationError(ValueError):
+    """Typed rejection of malformed API arguments (reference analog:
+    ckan.logic.ValidationError raised by the action schemas,
+    logic/schema.py:58-67 — mandatory non-empty id, boolean force;
+    pinned by tests logic/test_action.py:193-200)."""
+
+
+def _require_bool(name: str, v) -> bool:
+    # the reference's boolean_validator rejects 'maybe' — so do we;
+    # accept only real bools (no truthy-string coercion at a library API)
+    if not isinstance(v, bool):
+        raise ValidationError(f"{name} must be a boolean, got {type(v).__name__}")
+    return v
+
+
+def _require_doc_ids(doc_ids) -> list[int]:
+    if isinstance(doc_ids, (str, bytes)) or not isinstance(
+        doc_ids, (list, tuple)
+    ):
+        raise ValidationError("doc_ids must be a list of integers")
+    if not doc_ids:
+        raise ValidationError("doc_ids must not be empty")
+    out = []
+    for d in doc_ids:
+        if isinstance(d, bool) or not isinstance(d, (int,)):
+            raise ValidationError(f"doc_ids entries must be integers, got {d!r}")
+        out.append(int(d))
+    return out
+
+
+def _require_query(query) -> str:
+    if not isinstance(query, str) or not query.strip():
+        raise ValidationError("query must be a non-empty string")
+    return query
+
+
+def _require_k(k) -> int:
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise ValidationError(f"k must be a positive integer, got {k!r}")
+    return k
+
+
 @dataclass
 class EngineHooks:
     before_tokenize: Callable[[DataFrame], DataFrame] | None = None
@@ -343,6 +385,11 @@ class ExtractorEngine:
         refusal, action.py:121-123).
         """
         t0 = time.time()
+        _require_bool("force", force)
+        if build_id is not None and (
+            not isinstance(build_id, str) or not build_id.strip()
+        ):
+            raise ValidationError("build_id must be a non-empty string")
         build_id = build_id or uuid.uuid4().hex[:12]
         if not self._acquire_lock(build_id):
             return BuildReport(
@@ -571,7 +618,12 @@ class ExtractorEngine:
                 batch_store = prev_store.join(
                     dropped_st, "doc_id", "left_anti"
                 ).unionByName(batch_store)
-            _atomic_overwrite(batch_store, self._p("doc_store"), spark)
+            # fulltext compresses ~3-5x under zstd and the doc store is
+            # read only for show()/snippets() point lookups — storage
+            # cost, not scan cost, dominates it at corpus scale
+            _atomic_overwrite(
+                batch_store, self._p("doc_store"), spark, compression="zstd"
+            )
         stats = build_corpus_stats(spark.read.parquet(self._p("doc_stats")))
         _atomic_overwrite(stats, self._p("corpus_stats"), spark)
         stage_sec["corpus_stats"] = time.time() - _t; _t = time.time()
@@ -778,6 +830,8 @@ class ExtractorEngine:
 
     def show(self, doc_id: int) -> dict:
         """Doc stats + provenance (extractor_show, action.py:169-184)."""
+        if isinstance(doc_id, bool) or not isinstance(doc_id, int):
+            raise ValidationError(f"doc_id must be an integer, got {doc_id!r}")
         out = {}
         ds = self._read_or_none("doc_stats")
         if ds is not None:
@@ -807,6 +861,47 @@ class ExtractorEngine:
             F.col("doc_id").isin([int(d) for d in doc_ids])
         ).collect()
 
+    def _first_positions(
+        self, doc_ids: list[int], terms: list[str]
+    ) -> dict[int, int]:
+        """Earliest index position of ANY of ``terms`` per doc (for docs
+        present in the index with positions); empty when the index was
+        built without positions. Tombstoned generations are filtered the
+        same way phrase verification filters them."""
+        if not self.with_positions or not terms or not doc_ids:
+            return {}
+        from ckanext_extractor_spark.operators.phrase import _positions_by_doc
+
+        wanted = set(doc_ids)
+        dead = self._dead_docs()
+        out: dict[int, int] = {}
+        for t in terms:
+            for row in self._segment_rows(t):
+                for d, pos in _positions_by_doc(row, dead).items():
+                    if d in wanted and len(pos):
+                        first = int(pos[0])
+                        if out.get(d, 1 << 62) > first:
+                            out[d] = first
+        return out
+
+    def _char_of_position(self, text: str, position: int) -> int:
+        """Char offset of the whitespace word containing token
+        ``position``: positions are assigned BEFORE stopword removal, so
+        cumulative per-word expansion counts (the analyzer's
+        _expand_word) reproduce the index numbering exactly; stemming
+        renames tokens without changing counts. Early-exits at the anchor
+        word — no full-text substring search."""
+        import re as _re
+
+        from ckanext_extractor_spark.analysis.tokenizer import _expand_word
+
+        cum = 0
+        for m in _re.finditer(r"\S+", text):
+            cum += len(_expand_word(m.group(0), self.analyzer))
+            if cum > position:
+                return m.start()
+        return 0
+
     def snippets(
         self,
         query: str,
@@ -831,6 +926,8 @@ class ExtractorEngine:
         default semantics (ADVICE r2: 'query --phrase --snippets' must
         not silently fall back to conjunctive auto-mode); otherwise the
         query runs here with the given conjunctive/mode/phrase flags."""
+        _require_query(query)
+        _require_k(k)
         if not self.store_content:
             raise ValueError(
                 "snippets() needs an index built with store_content=True"
@@ -847,21 +944,30 @@ class ExtractorEngine:
             int(r["doc_id"]): r["content"]
             for r in self._doc_store_rows([d for d, _ in hits])
         }
-        # window anchor: the raw query first (most specific), then analyzed
-        # terms longest-first — a short split token ('x' from an
-        # identifier) would otherwise substring-match unrelated text
-        probes = [query.lower()] + sorted(
-            analyze_query(query, config=query_config_for(self.analyzer)),
-            key=len,
-            reverse=True,
+        qterms = analyze_query(query, config=query_config_for(self.analyzer))
+        # primary anchor source: the INDEX's positions for the query terms
+        # in each hit doc (first = earliest analyzed match) — correct
+        # under stemming and identifier splitting where a raw substring
+        # probe misses; char offsets derive from one whitespace scan with
+        # the analyzer's per-word expansion counts (_char_of_position)
+        first_pos = self._first_positions(
+            [int(d) for d, _ in hits], list(dict.fromkeys(qterms))
         )
+        # fallback probes: the raw query first (most specific), then
+        # analyzed terms longest-first — a short split token ('x' from an
+        # identifier) would otherwise substring-match unrelated text
+        probes = [query.lower()] + sorted(qterms, key=len, reverse=True)
         out = []
         for d, s in hits:
             text = texts.get(int(d), "")
             low = text.lower()
-            at = next(
-                (p for p in (low.find(t) for t in probes) if p >= 0), 0
-            )
+            fp = first_pos.get(int(d))
+            if fp is not None:
+                at = self._char_of_position(text, fp)
+            else:
+                at = next(
+                    (p for p in (low.find(t) for t in probes) if p >= 0), 0
+                )
             lo = max(0, at - width)
             hi = min(len(text), at + width)
             snippet = ("…" if lo else "") + text[lo:hi] + (
@@ -880,6 +986,7 @@ class ExtractorEngine:
         query time — NO postings or segment files are rewritten; compaction
         reclaims space lazily when a generation's dead fraction crosses
         DEAD_FRAC."""
+        doc_ids = _require_doc_ids(doc_ids)
         if not self._acquire_lock(f"delete-{uuid.uuid4().hex[:8]}"):
             raise BuildInProgressError(
                 f"index {self.root} has a build in progress: {self.in_progress()}"
@@ -914,7 +1021,8 @@ class ExtractorEngine:
         store = self._read_or_none("doc_store")
         if store is not None:
             st2 = store.join(F.broadcast(ids_df), "doc_id", "left_anti")
-            _atomic_overwrite(st2, self._p("doc_store"), spark)
+            _atomic_overwrite(st2, self._p("doc_store"), spark,
+                              compression="zstd")
         manifest = read_doc_manifest(spark, self.root)
         updated = manifest.withColumn(
             "status",
@@ -1171,6 +1279,11 @@ class ExtractorEngine:
         Results are memoized per (query, k, conjunctive, mode) — the Solr
         queryResultCache analog — and invalidated by any index mutation
         (extract/delete/compact all call cool())."""
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if mode not in ("auto", "wand", "exact", "maxscore", "slow"):
+            raise ValidationError(f"unknown mode {mode!r}")
         ck = (query, k, conjunctive, mode) if synonyms is None else None
         if ck is not None:
             hit = self._query_cache.get(ck)
@@ -1214,6 +1327,7 @@ class ExtractorEngine:
             from ckanext_extractor_spark.operators.wand import (
                 exact_topk,
                 maxscore_topk,
+                maxscore_topk_lazy,
                 wand_topk,
             )
 
@@ -1224,6 +1338,28 @@ class ExtractorEngine:
             )
             if not terms:
                 return []
+            # lazy-block MaxScore fast path: disjunctive queries on a
+            # tombstone-free index decode ONLY the blocks the scorer
+            # visits — non-essential (usually the biggest) lists stop
+            # paying a full-blob decode. idf comes from segment-row
+            # n_postings metadata, exact only without tombstones; a
+            # tombstoned index falls through to the eager decode below
+            # (compaction restores the fast path).
+            if (
+                not conjunctive
+                and mode in ("auto", "maxscore")
+                and self._tombstone_count() == 0
+            ):
+                ltls = self._lazy_term_postings(terms, st)
+                if ltls is not None:
+                    union_rows = sum(len(tp) for tp in ltls)
+                    if (
+                        mode == "maxscore"
+                        or union_rows > self.MAXSCORE_AUTO_ROWS
+                    ):
+                        return maxscore_topk_lazy(
+                            ltls, k, st["avgdl"], conjunctive=False
+                        )
             tls = self._term_postings(terms, st)
             tls = [tp for tp in tls if len(tp.doc_ids)]
             if conjunctive and len(tls) < len(terms):
@@ -1269,7 +1405,11 @@ class ExtractorEngine:
             return None
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # allowMissingColumns: generations written before block_offs
+            # (lazy block decode, r3) union with new ones — the missing
+            # column reads as null and the lazy path falls back to eager
+            # decode (_lazy_term_postings checks for None)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def warm(self, max_cache_bytes: int | None = None) -> "ExtractorEngine":
@@ -1400,6 +1540,8 @@ class ExtractorEngine:
             phrase_search_distributed,
         )
 
+        _require_query(query)
+        _require_k(k)
         if distributed:
             return phrase_search_distributed(self, query, k)
         return phrase_search(self, query, k)
@@ -1479,10 +1621,48 @@ class ExtractorEngine:
             out.append(tp)
         return out
 
+    def _lazy_term_postings(self, terms: list[str], st: dict):
+        """LazyTermPostings per term from raw segment rows (warm cache,
+        lazy LRU, or a cold bucket-pruned read) — metadata-only until the
+        scorer decodes blocks on demand. Returns None when the index
+        predates block_offs (legacy segments fall back to eager decode).
+        Only valid on a tombstone-free index (caller checks)."""
+        from ckanext_extractor_spark.operators.wand import LazyTermPostings
+
+        if self._rows_cache is not None and not self._lazy_serve:
+            rows_by_term = {t: self._rows_cache.get(t, []) for t in terms}
+        else:
+            rows_by_term = {}
+            to_fetch = []
+            for t in terms:
+                if self._rows_cache is not None and t in self._rows_cache:
+                    rows_by_term[t] = self._rows_cache[t]
+                else:
+                    to_fetch.append(t)
+            if to_fetch:
+                fetched = self._fetch_rows(to_fetch)
+                rows_by_term.update(fetched)
+                if self._rows_cache is not None:
+                    for ft, frows in fetched.items():
+                        self._raw_put(ft, frows)
+        out = []
+        for t in terms:
+            rows = rows_by_term.get(t) or []
+            if not rows:
+                continue
+            try:
+                if any(r["block_offs"] is None for r in rows):
+                    return None
+            except (KeyError, ValueError):
+                return None  # pre-block_offs segment schema
+            out.append(LazyTermPostings(t, rows, st["n_docs"], st["avgdl"]))
+        return out
+
     @staticmethod
     def _raw_rows_bytes(rows: list) -> int:
+        # blob + block metadata (last_doc 8B, max_tfn 8B, offs 3x8B) + slop
         return sum(
-            len(r["blob"]) + 16 * len(r["block_last_doc"]) + 256 for r in rows
+            len(r["blob"]) + 40 * len(r["block_last_doc"]) + 256 for r in rows
         )
 
     def _raw_put(self, term: str, rows: list) -> None:
@@ -1534,6 +1714,7 @@ def _atomic_overwrite(
     spark: SparkSession,
     partition_by: str | None = None,
     fs: FsIO | None = None,
+    compression: str | None = None,
 ) -> None:
     """Write to a temp dir, then atomically swap into place (hard part #3:
     exactly-once publish — readers never observe a half-written table).
@@ -1544,6 +1725,8 @@ def _atomic_overwrite(
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
+    if compression:
+        w = w.option("compression", compression)
     w.parquet(tmp)
     old = path + ".old-" + uuid.uuid4().hex[:8]
     fs.makedirs(os.path.dirname(path))

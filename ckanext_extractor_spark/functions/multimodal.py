@@ -9,20 +9,34 @@ Decode status:
   dimensions/sample counts and, for images, the pixel block; image
   embeddings are a 4x4 mean-pooled grayscale grid (16 dims, normalized),
   i.e. an actual content descriptor.
-* Formats needing codec libraries (JPEG/PNG/MP3/H.264 — not in this
-  container) fall back to `deterministic_fake_decode`: seeded,
-  shape-correct fakes so the Spark-side plumbing — schema, batching,
-  partitioning, UDF signatures — stays real and tested; swap the
-  fallback for a PIL/ffmpeg call in production.
+* Formats needing codec libraries (JPEG/PNG/MP3/...) decode for real
+  when PIL / soundfile are importable (probed at import time — a
+  production container gets real decode with no code change); without
+  them they fall back to seeded, shape-correct deterministic fakes so
+  the Spark-side plumbing — schema, batching, partitioning, UDF
+  signatures — stays real and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
+
+# Optional codec libraries: probed at import, used when present (a
+# production image/audio container), with the deterministic fallback kept
+# for environments without them — decoder tests parameterize over both.
+try:  # pragma: no cover - availability depends on the container
+    from PIL import Image as _PIL_Image
+except Exception:  # pragma: no cover
+    _PIL_Image = None
+try:  # pragma: no cover
+    import soundfile as _soundfile
+except Exception:  # pragma: no cover
+    _soundfile = None
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -148,10 +162,36 @@ def _grid_embedding(gray: np.ndarray) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+def _decode_pil(payload: bytes):
+    """PIL-backed image decode (JPEG/PNG/...) when the library exists:
+    returns (width, height, gray ndarray) like the numpy decoders."""
+    if _PIL_Image is None:
+        return None
+    try:
+        im = _PIL_Image.open(io.BytesIO(payload))
+        gray = np.asarray(im.convert("L"), dtype=np.float64)
+        w, h = im.size
+        return w, h, gray
+    except Exception:
+        return None
+
+
+def _decode_soundfile(payload: bytes):
+    """soundfile-backed audio decode when the library exists: returns
+    (n_samples, sample_rate) like _decode_wav."""
+    if _soundfile is None:
+        return None
+    try:
+        data, rate = _soundfile.read(io.BytesIO(payload))
+        return int(len(data)), int(rate)
+    except Exception:
+        return None
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, int]:
     """Dimensions via the real decoders when the format allows;
     deterministic fake otherwise (codec-library formats)."""
-    real = _decode_ppm(payload) or _decode_bmp(payload)
+    real = _decode_ppm(payload) or _decode_bmp(payload) or _decode_pil(payload)
     if real is not None:
         w, h, _ = real
         return w, h, 1
@@ -185,8 +225,16 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload)
-                img = _decode_ppm(payload) or _decode_bmp(payload)
-                wav = _decode_wav(payload) if img is None else None
+                img = (
+                    _decode_ppm(payload)
+                    or _decode_bmp(payload)
+                    or _decode_pil(payload)
+                )
+                wav = (
+                    (_decode_wav(payload) or _decode_soundfile(payload))
+                    if img is None
+                    else None
+                )
                 if img is not None:
                     w, hgt, nf = img[0], img[1], 1
                     emb = _grid_embedding(img[2])

@@ -133,10 +133,11 @@ def encode_posting_list(
     gaps[0] = u[0]
     gaps[1:] = u[1:] - u[:-1]
 
-    parts = [varbyte_encode(np.array([len(u)], dtype=np.uint64)),
-             varbyte_encode(gaps),
-             varbyte_encode(tfs.astype(np.uint64)),
-             varbyte_encode(doc_lens.astype(np.uint64))]
+    buf_n, _ = varbyte_encode_with_lengths(np.array([len(u)], dtype=np.uint64))
+    buf_gaps, len_gaps = varbyte_encode_with_lengths(gaps)
+    buf_tfs, len_tfs = varbyte_encode_with_lengths(tfs.astype(np.uint64))
+    buf_dls, len_dls = varbyte_encode_with_lengths(doc_lens.astype(np.uint64))
+    parts = [buf_n, buf_gaps, buf_tfs, buf_dls]
     if positions_blobs is not None:
         n_pos = int(tfs.sum())
         parts.append(varbyte_encode(np.array([n_pos], dtype=np.uint64)))
@@ -166,11 +167,24 @@ def encode_posting_list(
         sl = slice(bi * block_size, (bi + 1) * block_size)
         block_last_doc[bi] = doc_ids[sl][-1]
         block_max_tfn[bi] = tfn[sl].max()
+    # per-block byte offsets into the blob's gap/tf/dl streams so query
+    # kernels can decode ONLY the blocks WAND/MaxScore actually visit
+    # (decode_posting_blocks); flattened triplets [gap, tf, dl] per block
+    cg = np.concatenate(([0], np.cumsum(len_gaps)))
+    ct = np.concatenate(([0], np.cumsum(len_tfs)))
+    cd = np.concatenate(([0], np.cumsum(len_dls)))
+    starts = np.arange(n_blocks, dtype=np.int64) * block_size
+    h = len(buf_n)
+    block_offs = np.empty(3 * n_blocks, dtype=np.int64)
+    block_offs[0::3] = h + cg[starts]
+    block_offs[1::3] = h + cg[-1] + ct[starts]
+    block_offs[2::3] = h + cg[-1] + ct[-1] + cd[starts]
     return {
         "blob": blob,
         "n_postings": len(u),
         "block_last_doc": block_last_doc,
         "block_max_tfn": block_max_tfn,
+        "block_offs": block_offs,
     }
 
 
@@ -262,7 +276,27 @@ def encode_posting_lists_grouped(
     blk_last_doc = doc_ids[blk_end - 1]
     blk_max = np.maximum.reduceat(tfn, blk_start) if len(blk_start) else np.array([])
 
-    blobs, last_docs, max_tfns = [], [], []
+    # per-block byte offsets into each term's blob (flattened [gap, tf,
+    # dl] triplets) — lazy block decode at query time. All prefix sums
+    # are over the task-wide length arrays; per-term work is slicing.
+    cum_gaps = np.concatenate(([0], np.cumsum(len_gaps)))
+    cum_tfs = np.concatenate(([0], np.cumsum(len_tfs)))
+    cum_dls = np.concatenate(([0], np.cumsum(len_dls)))
+    hdr = (cum_ns[1:] - cum_ns[:-1])[term_of_block]
+    gap_len = (cum_gaps[g_ends] - cum_gaps[g_starts])[term_of_block]
+    tf_len = (cum_tfs[g_ends] - cum_tfs[g_starts])[term_of_block]
+    goff = hdr + cum_gaps[blk_start] - cum_gaps[g_starts[term_of_block]]
+    toff = hdr + gap_len + cum_tfs[blk_start] - cum_tfs[g_starts[term_of_block]]
+    doff = (
+        hdr + gap_len + tf_len
+        + cum_dls[blk_start] - cum_dls[g_starts[term_of_block]]
+    )
+    blk_offs_flat = np.empty(3 * len(blk_start), dtype=np.int64)
+    blk_offs_flat[0::3] = goff
+    blk_offs_flat[1::3] = toff
+    blk_offs_flat[2::3] = doff
+
+    blobs, last_docs, max_tfns, block_offs = [], [], [], []
     for i in range(n_terms):
         parts = [
             buf_ns[cum_ns[i] : cum_ns[i + 1]],
@@ -276,7 +310,65 @@ def encode_posting_lists_grouped(
         blobs.append(b"".join(parts))
         last_docs.append(blk_last_doc[nb_cum[i] : nb_cum[i + 1]].tolist())
         max_tfns.append(blk_max[nb_cum[i] : nb_cum[i + 1]].tolist())
-    return blobs, ns.astype(np.int64), last_docs, max_tfns
+        block_offs.append(
+            blk_offs_flat[3 * nb_cum[i] : 3 * nb_cum[i + 1]].tolist()
+        )
+    return blobs, ns.astype(np.int64), last_docs, max_tfns, block_offs
+
+
+def decode_posting_blocks(
+    blob: bytes,
+    n_postings: int,
+    sel_blocks: np.ndarray,
+    block_offs,
+    block_last_doc,
+    block_size: int = BLOCK_SIZE,
+):
+    """Decode ONLY the selected blocks of a posting list (sorted ascending
+    block indices) using the per-block byte offsets emitted at encode
+    time. Returns (doc_ids, tfs, doc_lens) of those blocks concatenated —
+    byte-for-byte the same values a full decode yields for those ranges
+    (pinned by round-trip tests).
+
+    The delta chain restarts from block_last_doc[bi-1]: the first gap of
+    block bi is relative to the previous block's last doc, which the
+    block-max metadata already carries — no extra state in the blob.
+
+    Consecutive selected blocks collapse into one varbyte_decode call
+    (runs), so a dense selection costs the same as a full decode."""
+    block_offs = np.asarray(block_offs, dtype=np.int64)
+    block_last_doc = np.asarray(block_last_doc, dtype=np.int64)
+    sel = np.asarray(sel_blocks, dtype=np.int64)
+    if sel.size == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), z.copy()
+    HALF = np.uint64(1 << 63)
+    ids_parts, tf_parts, dl_parts = [], [], []
+    # split the selection into runs of consecutive blocks
+    run_bounds = np.flatnonzero(np.diff(sel) != 1) + 1
+    run_starts = np.concatenate(([0], run_bounds))
+    run_ends = np.concatenate((run_bounds, [sel.size]))
+    for rs, re in zip(run_starts, run_ends):
+        b0 = int(sel[rs])
+        b1 = int(sel[re - 1])
+        cnt = min((b1 + 1) * block_size, n_postings) - b0 * block_size
+        gaps, _ = varbyte_decode(blob, int(block_offs[3 * b0]), cnt)
+        u = np.cumsum(gaps.astype(np.uint64), dtype=np.uint64)
+        if b0 > 0:
+            prev_u = (
+                block_last_doc[b0 - 1 : b0].view(np.uint64) + HALF
+            )[0]
+            u = u + prev_u
+        ids_parts.append((u - HALF).view(np.int64))
+        tfs, _ = varbyte_decode(blob, int(block_offs[3 * b0 + 1]), cnt)
+        tf_parts.append(tfs.astype(np.int64))
+        dls, _ = varbyte_decode(blob, int(block_offs[3 * b0 + 2]), cnt)
+        dl_parts.append(dls.astype(np.int64))
+    return (
+        np.concatenate(ids_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+    )
 
 
 def decode_posting_list(blob: bytes, with_positions: bool = False):

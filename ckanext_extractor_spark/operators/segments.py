@@ -39,12 +39,14 @@ from ckanext_extractor_spark.operators.codec import (
 
 SEGMENT_SCHEMA = (
     "term string, term_bucket int, salt_id int, n_postings long, "
-    "blob binary, block_last_doc array<long>, block_max_tfn array<double>"
+    "blob binary, block_last_doc array<long>, block_max_tfn array<double>, "
+    "block_offs array<long>"
 )
 # kernel output before Catalyst re-attaches term_bucket (see encode_segments)
 KERNEL_SCHEMA = (
     "term string, salt_id int, n_postings long, "
-    "blob binary, block_last_doc array<long>, block_max_tfn array<double>"
+    "blob binary, block_last_doc array<long>, block_max_tfn array<double>, "
+    "block_offs array<long>"
 )
 
 DEFAULT_SALT_THRESHOLD = 100_000  # df above which a term's encode is sharded
@@ -120,6 +122,7 @@ def encode_segments(
     with_positions: bool = True,
     n_tasks: int | None = None,
     n_buckets: int = 64,
+    hash_terms: bool = False,
 ) -> DataFrame:
     """Encode posting blobs: repartition by (term_bucket, salt_id), then a
     mapInArrow kernel that sorts and encodes each partition in one
@@ -181,6 +184,7 @@ def encode_segments(
                 ("blob", pa.binary()),
                 ("block_last_doc", pa.list_(pa.int64())),
                 ("block_max_tfn", pa.list_(pa.float64())),
+                ("block_offs", pa.list_(pa.int64())),
             ]
         )
 
@@ -212,48 +216,122 @@ def encode_segments(
         # bytes exceed that either errors or stays multi-chunk, and the
         # kernel's chunk(0) reads would then silently drop rows (ADVICE
         # r2, segments.py:210). Casting to 64-bit-offset large types makes
-        # combine_chunks single-chunk by construction at any size.
-        tbl = tbl.cast(
-            pa.schema(
-                [
-                    pa.field(f.name, pa.large_string())
-                    if pa.types.is_string(f.type)
-                    else pa.field(f.name, pa.large_binary())
-                    if pa.types.is_binary(f.type)
-                    else f
-                    for f in tbl.schema
-                ]
+        # combine_chunks single-chunk by construction — but the cast
+        # rebuilds offset arrays for every row, so it runs ONLY when a
+        # column is actually near the limit (ordinary data-sized
+        # partitions are ~64 MB and never pay it).
+        LARGE_CUTOFF = 1_800_000_000  # < 2^31, with offset-array headroom
+        if any(
+            (pa.types.is_string(f.type) or pa.types.is_binary(f.type))
+            and tbl.column(f.name).nbytes > LARGE_CUTOFF
+            for f in tbl.schema
+        ):
+            tbl = tbl.cast(
+                pa.schema(
+                    [
+                        pa.field(f.name, pa.large_string())
+                        if pa.types.is_string(f.type)
+                        else pa.field(f.name, pa.large_binary())
+                        if pa.types.is_binary(f.type)
+                        else f
+                        for f in tbl.schema
+                    ]
+                )
             )
-        ).combine_chunks()
-        denc = tbl.column("term").chunk(0).dictionary_encode()
-        # LEXICAL term codes (not raw dictionary codes): the kernel's
-        # output is written partitionBy(term_bucket) with no further
-        # exchange, so the row order here IS the file order — lexical
-        # order gives parquet row-group min/max pruning on `term` at
-        # read time. Ranking costs one string sort over the ~#unique
-        # terms of the partition, never over the posting rows.
+        tbl = tbl.combine_chunks()
         import pyarrow.compute as pc
 
-        dict_order = pc.sort_indices(denc.dictionary)
-        rank = np.empty(len(denc.dictionary), dtype=np.int64)
-        rank[dict_order.to_numpy()] = np.arange(len(denc.dictionary))
-        codes = rank[denc.indices.to_numpy()]
-        docs = tbl.column("doc_id").chunk(0).to_numpy()
-        # grouped sort: term (lexical), doc_id within. Shards of the same
-        # term that hash-collide into this task merge into one group —
-        # read-time shard merging makes that equivalent (and the codec
-        # sorts per group, so the blob is deterministic either way).
-        order = np.lexsort((docs, codes))
+        docs_all = tbl.column("doc_id").chunk(0).to_numpy()
+        if hash_terms:
+            # hash-keyed exchange: posting rows carry xxhash64(term), the
+            # term STRING crossed the shuffle only once per (term, shard)
+            # as a sentinel dictionary row (packed == -1, UTF-8 term
+            # bytes in the positions column). Recover term strings from
+            # the dictionary rows, rank them lexically (UTF-8 byte order
+            # == code-point order), map postings th -> lexical code via
+            # searchsorted. A th collision between two distinct terms is
+            # DETECTED here (their dictionary rows co-land with any mixed
+            # shard) and aborts the build — the caller retries with the
+            # string exchange.
+            th_all = tbl.column("th").chunk(0).to_numpy()
+            packed_all = tbl.column("packed").chunk(0).to_numpy()
+            dmask = packed_all == -1
+            dict_idx = np.flatnonzero(dmask)
+            post_idx = np.flatnonzero(~dmask)
+            if post_idx.size == 0:
+                return
+            pos_col = tbl.column("positions").chunk(0)
+            dterms = np.array(
+                pos_col.take(pa.array(dict_idx, type=pa.int64())).to_pylist(),
+                dtype=object,
+            )
+            dth = th_all[dict_idx]
+            uth, first_i, inv = np.unique(
+                dth, return_index=True, return_inverse=True
+            )
+            same = dterms == dterms[first_i][inv]
+            if not bool(np.all(same)):
+                j = int(np.flatnonzero(~same)[0])
+                raise ValueError(
+                    "term-hash collision: "
+                    f"{dterms[j]!r} vs {dterms[first_i[inv[j]]]!r}"
+                )
+            uterms = dterms[first_i]  # aligned with uth (ascending th)
+            lex = np.argsort(uterms)
+            rank = np.empty(len(uth), dtype=np.int64)
+            rank[lex] = np.arange(len(uth))
+            th_post = th_all[post_idx]
+            pos_in = np.searchsorted(uth, th_post)
+            if pos_in.size and (
+                (pos_in >= len(uth)).any()
+                or (uth[np.minimum(pos_in, len(uth) - 1)] != th_post).any()
+            ):
+                raise ValueError(
+                    "posting row with no dictionary row for its term hash"
+                )
+            codes = rank[pos_in]
+            docs = docs_all[post_idx]
+            order_local = np.lexsort((docs, codes))
+            order = post_idx[order_local]
+            codes_unsorted = None
+            docs_s = docs[order_local]
+            codes = codes[order_local]
+            sorted_dict = pa.array(
+                uterms[lex].tolist(), type=pa.binary()
+            ).cast(pa.string())
+        else:
+            denc = tbl.column("term").chunk(0).dictionary_encode()
+            # LEXICAL term codes (not raw dictionary codes): the kernel's
+            # output is written partitionBy(term_bucket) with no further
+            # exchange, so the row order here IS the file order — lexical
+            # order gives parquet row-group min/max pruning on `term` at
+            # read time. Ranking costs one string sort over the ~#unique
+            # terms of the partition, never over the posting rows.
+            dict_order = pc.sort_indices(denc.dictionary)
+            rank = np.empty(len(denc.dictionary), dtype=np.int64)
+            rank[dict_order.to_numpy()] = np.arange(len(denc.dictionary))
+            codes_unsorted = rank[denc.indices.to_numpy()]
+            # grouped sort: term (lexical), doc_id within. Shards of the
+            # same term that hash-collide into this task merge into one
+            # group — read-time shard merging makes that equivalent (and
+            # the codec sorts per group, so the blob is deterministic
+            # either way).
+            order = np.lexsort((docs_all, codes_unsorted))
+            sorted_dict = pc.take(denc.dictionary, dict_order).cast(
+                pa.string()
+            )
         # per-column numpy gathers instead of a full-table Arrow take:
         # a table take would copy EVERY posting row's term string, but
         # only group heads ever need one — positions is the lone column
         # whose bytes genuinely must be gathered (memory bandwidth is
         # this kernel's scaling ceiling at >1 concurrent worker)
-        docs_s = docs[order]
+        if codes_unsorted is not None:
+            docs_s = docs_all[order]
         packed_s = tbl.column("packed").chunk(0).to_numpy()[order]
         tfs_s = (packed_s & np.int64(0xFFFFFFFF)).astype(np.int64)
         dls_s = (packed_s >> np.int64(32)).astype(np.int64)
-        codes = codes[order]
+        if codes_unsorted is not None:
+            codes = codes_unsorted[order]
         change = codes[1:] != codes[:-1]
         bounds = np.flatnonzero(change) + 1
         g_starts = np.concatenate(([0], bounds))
@@ -266,7 +344,7 @@ def encode_segments(
             )
         else:
             pos_data, pos_offsets = None, None
-        blobs, ns, last_docs, max_tfns = encode_posting_lists_grouped(
+        blobs, ns, last_docs, max_tfns, block_offs = encode_posting_lists_grouped(
             docs_s, tfs_s, dls_s,
             None,
             g_starts, g_ends, avgdl, k1=k1, b=b,
@@ -274,7 +352,6 @@ def encode_segments(
         )
         # group-head term strings: codes are lexical ranks into the
         # sorted dictionary, so one ~#groups-sized take resolves them
-        sorted_dict = pc.take(denc.dictionary, dict_order).cast(pa.string())
         yield pa.record_batch(
             [
                 pc.take(
@@ -288,24 +365,57 @@ def encode_segments(
                 pa.array(blobs, type=pa.binary()),
                 pa.array(last_docs, type=pa.list_(pa.int64())),
                 pa.array(max_tfns, type=pa.list_(pa.float64())),
+                pa.array(block_offs, type=pa.list_(pa.int64())),
             ],
             schema=out_schema,
         )
 
     nt = n_tasks or salted.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    cols = [
-        F.col("term"),
-        F.col("doc_id"),
-        (
-            F.shiftleft(F.col("doc_len").cast("long"), 32)
-            + F.col("tf").cast("long")
-        ).alias("packed"),
-    ]
-    if with_positions:
-        cols.append(F.col("positions"))
-    arranged = (
-        salted.repartition(int(nt), "term_bucket", "salt_id").select(*cols)
-    )
+    packed_expr = (
+        F.shiftleft(F.col("doc_len").cast("long"), 32)
+        + F.col("tf").cast("long")
+    ).alias("packed")
+    if hash_terms and with_positions:
+        # slimmest exchange: 4 columns, all but positions fixed-width —
+        # the term STRING rides the shuffle once per (term, shard) as a
+        # sentinel dictionary row (packed == -1, term bytes in the
+        # positions column; real packed is always > 0 since tf >= 1), not
+        # once per posting row. The dictionary branch re-scans staging
+        # but projects only (term_bucket, salt_id, term) and its partial
+        # distinct collapses map-side to ~vocabulary rows.
+        posting_rows = salted.select(
+            "term_bucket",
+            "salt_id",
+            F.xxhash64("term").alias("th"),
+            F.col("doc_id"),
+            packed_expr,
+            F.col("positions"),
+        )
+        dict_rows = (
+            salted.select("term_bucket", "salt_id", "term")
+            .distinct()
+            .select(
+                "term_bucket",
+                "salt_id",
+                F.xxhash64("term").alias("th"),
+                F.lit(0).cast("long").alias("doc_id"),
+                F.lit(-1).cast("long").alias("packed"),
+                F.encode(F.col("term"), "UTF-8").alias("positions"),
+            )
+        )
+        arranged = (
+            posting_rows.unionByName(dict_rows)
+            .repartition(int(nt), "term_bucket", "salt_id")
+            .select("th", "doc_id", "packed", "positions")
+        )
+    else:
+        hash_terms = False  # positions column is the dict-row carrier
+        cols = [F.col("term"), F.col("doc_id"), packed_expr]
+        if with_positions:
+            cols.append(F.col("positions"))
+        arranged = (
+            salted.repartition(int(nt), "term_bucket", "salt_id").select(*cols)
+        )
     encoded = arranged.mapInArrow(encode_stream, schema=KERNEL_SCHEMA)
     return encoded.withColumn(
         "term_bucket",

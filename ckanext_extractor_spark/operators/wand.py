@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
-from ckanext_extractor_spark.operators.codec import BLOCK_SIZE, decode_posting_list
+from ckanext_extractor_spark.operators.codec import (
+    BLOCK_SIZE,
+    decode_posting_blocks,
+    decode_posting_list,
+)
 
 
 class DeadDocs:
@@ -166,6 +170,171 @@ def term_postings_from_rows(
         bl[bi] = doc_ids[sl][-1]
         bm[bi] = tfn[sl].max()
     return TermPostings(term, idf, doc_ids, tfv, dlv, bl, bm)
+
+
+class LazyTermPostings:
+    """Segment-row-backed postings that decode ON DEMAND, per block.
+
+    Holds only the rows' metadata (n_postings, block_last_doc,
+    block_max_tfn, block_offs) plus the raw blobs; ``materialize()``
+    fully decodes (for essential MaxScore lists), ``probe_scores()``
+    decodes only the blocks that can contain the given candidate docs
+    (for non-essential lists — the common-term case where most of a huge
+    list is skipped; VERDICT r2 next #3; Lucene analog: impact-sorted
+    skip data lets scorers seek without scanning the postings file).
+
+    Valid ONLY when the index has no tombstones: df (hence idf) comes
+    from the rows' n_postings metadata, which counts dead postings too —
+    callers route tombstoned indexes to the eager decode path instead.
+    """
+
+    __slots__ = ("term", "n", "idf", "avgdl", "_shards", "_max_tfn")
+
+    def __init__(self, term: str, shard_rows: list, n_docs: int,
+                 avgdl: float):
+        self.term = term
+        self.avgdl = avgdl
+        shards = []
+        n = 0
+        max_tfn = 0.0
+        for r in shard_rows:
+            np_r = int(r["n_postings"])
+            if not np_r:
+                continue
+            bm = np.asarray(r["block_max_tfn"], dtype=np.float64)
+            shards.append(
+                (
+                    bytes(r["blob"]),
+                    np_r,
+                    np.asarray(r["block_last_doc"], dtype=np.int64),
+                    np.asarray(r["block_offs"], dtype=np.int64),
+                )
+            )
+            n += np_r
+            if bm.size:
+                max_tfn = max(max_tfn, float(bm.max()))
+        self._shards = shards
+        self.n = n
+        self.idf = float(np.log(1.0 + (n_docs - n + 0.5) / (n + 0.5)))
+        self._max_tfn = max_tfn
+
+    def __len__(self) -> int:
+        return self.n
+
+    @property
+    def doc_ids(self):  # len()-compat with TermPostings call sites
+        raise AttributeError("LazyTermPostings: materialize() first")
+
+    @property
+    def upper_bound(self) -> float:
+        return self.idf * (BM25_K1 + 1.0) * self._max_tfn
+
+    def materialize(self) -> TermPostings:
+        """Full decode + shard merge — same values as
+        term_postings_from_rows without tombstones."""
+        ids, tfs, dls = [], [], []
+        for blob, _, _, _ in self._shards:
+            i, t, d = decode_posting_list(blob)
+            ids.append(i)
+            tfs.append(t)
+            dls.append(d)
+        doc_ids = np.concatenate(ids)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfv = np.concatenate(tfs)[order]
+        dlv = np.concatenate(dls)[order]
+        k1, b = BM25_K1, BM25_B
+        tfn = tfv / (tfv + k1 * (1.0 - b + b * dlv / self.avgdl))
+        nb = (len(doc_ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+        bl = np.empty(nb, dtype=np.int64)
+        bm = np.empty(nb, dtype=np.float64)
+        for bi in range(nb):
+            sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
+            bl[bi] = doc_ids[sl][-1]
+            bm[bi] = tfn[sl].max()
+        return TermPostings(self.term, self.idf, doc_ids, tfv, dlv, bl, bm)
+
+    def probe_scores(self, cand: np.ndarray, k1: float = BM25_K1,
+                     b: float = BM25_B) -> np.ndarray:
+        """BM25 contributions of this term at the sorted candidate docs
+        (0.0 where absent), decoding only blocks whose doc range
+        intersects ``cand``. Each doc lives in exactly one salt shard, so
+        per-shard contributions sum without overlap."""
+        total = np.zeros(cand.size, dtype=np.float64)
+        for blob, n_post, bl, bo in self._shards:
+            sel = np.unique(np.searchsorted(bl, cand))
+            sel = sel[sel < bl.size]
+            if sel.size == 0:
+                continue
+            ids, tfs, dls = decode_posting_blocks(blob, n_post, sel, bo, bl)
+            idx = np.searchsorted(ids, cand)
+            idxc = np.minimum(idx, ids.size - 1)
+            hit = ids[idxc] == cand
+            if hit.any():
+                tf = tfs[idxc[hit]].astype(np.float64)
+                dl = dls[idxc[hit]].astype(np.float64)
+                total[hit] += (
+                    self.idf * tf * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+                )
+        return total
+
+
+def maxscore_topk_lazy(
+    lazy_lists: "list[LazyTermPostings]",
+    k: int,
+    avgdl: float,
+    conjunctive: bool = False,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """MaxScore over lazily-decoded lists: essential lists materialize,
+    non-essential lists decode ONLY the blocks their candidates touch.
+    Rank-identical to maxscore_topk/exact_topk (pinned by tests); the win
+    is skew — a rare term + huge common lists stops paying the common
+    lists' full decode (the dominant cost once blobs are large).
+
+    Conjunctive queries materialize everything and route to exact_topk
+    (the progressive intersection already touches only candidates after
+    the smallest list is decoded — a block-skipping AND is possible but
+    the smallest-list decode dominates either way)."""
+    lists = [tp for tp in lazy_lists if len(tp)]
+    if not lists:
+        return []
+    if conjunctive:
+        if len(lists) < len(lazy_lists):
+            return []
+        return exact_topk([tp.materialize() for tp in lists], k, avgdl,
+                          True, k1, b)
+    order = sorted(lists, key=lambda tp: -tp.upper_bound)
+    ubs = np.array([tp.upper_bound for tp in order])
+    first = order[0].materialize()
+    s0 = _scores(first, np.arange(len(first.doc_ids)), avgdl, k1, b)
+    if s0.size >= k:
+        theta = float(np.partition(s0, s0.size - k)[s0.size - k])
+    else:
+        theta = -np.inf
+    suffix = np.cumsum(ubs[::-1])[::-1]
+    n_essential = len(order)
+    for e in range(1, len(order) + 1):
+        tail = float(suffix[e]) if e < len(order) else 0.0
+        if tail < theta:
+            n_essential = e
+            break
+    essential = [first] + [tp.materialize() for tp in order[1:n_essential]]
+    cand = essential[0].doc_ids
+    for tp in essential[1:]:
+        cand = np.union1d(cand, tp.doc_ids)
+    total = np.zeros(cand.size, dtype=np.float64)
+    for tp in essential:
+        idx = np.searchsorted(tp.doc_ids, cand)
+        idxc = np.minimum(idx, len(tp.doc_ids) - 1)
+        hit = tp.doc_ids[idxc] == cand
+        if hit.any():
+            total[hit] += _scores(tp, idxc[hit], avgdl, k1, b)
+    for tp in order[n_essential:]:
+        total += tp.probe_scores(cand, k1, b)
+    return _topk_select(cand, total, k)
 
 
 def _scores(tp: TermPostings, idx: np.ndarray, avgdl: float,

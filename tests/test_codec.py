@@ -130,7 +130,7 @@ def test_grouped_encoder_matches_single():
         gs.append(cursor)
         ge.append(cursor + df)
         cursor += df
-    blobs, ns, last_docs, max_tfns = encode_posting_lists_grouped(
+    blobs, ns, last_docs, max_tfns, block_offs = encode_posting_lists_grouped(
         np.concatenate(rows_ids),
         np.concatenate(rows_tf),
         np.concatenate(rows_dl),
@@ -144,3 +144,4 @@ def test_grouped_encoder_matches_single():
         assert ns[t] == singles[t]["n_postings"]
         assert last_docs[t] == singles[t]["block_last_doc"].tolist()
         assert np.allclose(max_tfns[t], singles[t]["block_max_tfn"])
+        assert block_offs[t] == singles[t]["block_offs"].tolist()

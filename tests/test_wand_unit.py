@@ -160,3 +160,101 @@ def test_maxscore_skewed_idf_matches_bruteforce(seed):
     # skip is real: the rare list's bound dominates the common tails
     ubs = sorted((tp.upper_bound for tp in tls), reverse=True)
     assert ubs[0] > sum(ubs[1:])  # sanity of the constructed skew
+
+
+# ---------------------------------------------------------------------------
+# lazy block decode (block_offs) — LazyTermPostings / maxscore_topk_lazy
+# ---------------------------------------------------------------------------
+
+def _lazy_rows(doc_ids, tfs, doc_lens, avgdl, n_shards=1):
+    """Encode postings into 1..n segment-row dicts (salt-shard shaped)."""
+    from ckanext_extractor_spark.operators.codec import encode_posting_list
+
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    rows = []
+    for s in range(n_shards):
+        m = np.arange(len(doc_ids)) % n_shards == s
+        if not m.any():
+            continue
+        enc = encode_posting_list(doc_ids[m], tfs[m], None, doc_lens[m],
+                                  avgdl=avgdl)
+        rows.append({
+            "blob": enc["blob"],
+            "n_postings": enc["n_postings"],
+            "block_last_doc": enc["block_last_doc"],
+            "block_max_tfn": enc["block_max_tfn"],
+            "block_offs": enc["block_offs"],
+        })
+    return rows
+
+
+def test_lazy_materialize_and_probe_match_eager():
+    from ckanext_extractor_spark.operators.wand import LazyTermPostings
+
+    rng = np.random.RandomState(11)
+    n_docs, avgdl = 50_000, 90.0
+    ids = np.sort(rng.choice(40_000, 3_000, replace=False))
+    tfs = rng.randint(1, 12, ids.size)
+    dls = rng.randint(20, 400, ids.size)
+    tp = make_tp("t", ids, tfs, dls, n_docs, avgdl)
+    for shards in (1, 3):
+        lazy = LazyTermPostings(
+            "t", _lazy_rows(ids, tfs, dls, avgdl, shards), n_docs, avgdl
+        )
+        assert len(lazy) == len(tp.doc_ids)
+        assert abs(lazy.idf - tp.idf) < 1e-12
+        assert abs(lazy.upper_bound - tp.upper_bound) < 1e-12
+        mat = lazy.materialize()
+        assert (mat.doc_ids == tp.doc_ids).all()
+        assert (mat.tfs == tp.tfs).all()
+        assert (mat.doc_lens == tp.doc_lens).all()
+        # probe at a scattered candidate set: present + absent docs
+        cand = np.unique(np.concatenate([
+            ids[rng.choice(ids.size, 40, replace=False)],
+            np.array([1, 39_999, 45_000], dtype=np.int64),
+        ]))
+        got = lazy.probe_scores(cand, K1, B)
+        idx = np.searchsorted(tp.doc_ids, cand)
+        idxc = np.minimum(idx, len(tp.doc_ids) - 1)
+        hit = tp.doc_ids[idxc] == cand
+        want = np.zeros(cand.size)
+        tf = tp.tfs[idxc[hit]].astype(float)
+        dl = tp.doc_lens[idxc[hit]].astype(float)
+        want[hit] = tp.idf * tf * (K1 + 1.0) / (
+            tf + K1 * (1.0 - B + B * dl / avgdl)
+        )
+        assert np.allclose(got, want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_maxscore_lazy_rank_identical_fuzz(seed):
+    from ckanext_extractor_spark.operators.wand import (
+        LazyTermPostings,
+        maxscore_topk_lazy,
+    )
+
+    rng = np.random.RandomState(seed)
+    n_docs, avgdl, k = 20_000, 70.0, 10
+    term_lists, lazy_lists = [], []
+    # skewed: one rare term + two common terms (the lazy win case)
+    for t, df in enumerate([rng.randint(5, 40),
+                            rng.randint(2_000, 6_000),
+                            rng.randint(2_000, 6_000)]):
+        ids = np.sort(rng.choice(n_docs, df, replace=False))
+        tfs = rng.randint(1, 8, df)
+        dls = rng.randint(10, 300, df)
+        term_lists.append(make_tp(f"t{t}", ids, tfs, dls, n_docs, avgdl))
+        lazy_lists.append(LazyTermPostings(
+            f"t{t}", _lazy_rows(ids, tfs, dls, avgdl, n_shards=1 + t % 2),
+            n_docs, avgdl,
+        ))
+    want = exact_topk(term_lists, k, avgdl, conjunctive=False)
+    got = maxscore_topk_lazy(lazy_lists, k, avgdl, conjunctive=False)
+    assert [d for d, _ in got] == [d for d, _ in want], seed
+    assert np.allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
+    # conjunctive routes through materialize + exact
+    want_c = exact_topk(term_lists, k, avgdl, conjunctive=True)
+    got_c = maxscore_topk_lazy(lazy_lists, k, avgdl, conjunctive=True)
+    assert [d for d, _ in got_c] == [d for d, _ in want_c]

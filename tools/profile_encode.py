@@ -82,8 +82,12 @@ def main() -> None:
     arranged = salted.select(*cols).repartition(n_tasks, "term_bucket", "salt_id")
     out["scan_exchange"] = noop_sink(arranged)
 
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-    seg = encode_segments(salted, 120.0, n_tasks=n_tasks, n_buckets=128)
+    # session-default Arrow batch size (1024): the production path uses it
+    # and A/B showed 65536 slower for the encode kernel (NOTES.md)
+    hash_terms = len(sys.argv) > 4 and sys.argv[4] == "hash"
+    out["hash_terms"] = hash_terms
+    seg = encode_segments(salted, 120.0, n_tasks=n_tasks, n_buckets=128,
+                          hash_terms=hash_terms)
     out["plus_kernel"] = noop_sink(seg)
 
     dest = tempfile.mkdtemp(prefix="prof_seg_", dir="/dev/shm")
