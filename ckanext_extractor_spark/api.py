@@ -543,24 +543,17 @@ class ExtractorEngine:
             salted = salted_postings_auto(
                 delta_postings, self.n_buckets, self.salt_threshold
             )
-            segments = encode_segments(
-                salted,
-                self._avgdl_estimate(meta_slim, lang_ok),
-                with_positions=self.with_positions,
-                n_tasks=self._encode_tasks(n_delta_rows),
-                n_buckets=self.n_buckets,
-            )
             # direct partitioned write from the encode tasks — NO second
             # exchange: the encode shuffle is keyed by (term_bucket,
             # salt_id), so every key lives wholly in one task and the file
             # count is ~#distinct (bucket, salt) keys, not tasks x buckets.
             # Rows leave the kernel already term-lexical within each task,
             # so parquet min/max row-group pruning on `term` still works.
-            _atomic_overwrite(
-                segments,
+            self._encode_and_write_segments(
+                salted,
+                self._avgdl_estimate(meta_slim, lang_ok),
+                self._encode_tasks(n_delta_rows),
                 self._p("gens", build_id, "segments"),
-                spark,
-                partition_by="term_bucket",
             )
             stage_sec["encode_segments"] = time.time() - _t; _t = time.time()
 
@@ -1192,18 +1185,11 @@ class ExtractorEngine:
             salted = salted_postings_auto(
                 live, self.n_buckets, self.salt_threshold
             )
-            segments = encode_segments(
+            self._encode_and_write_segments(
                 salted,
                 self._avgdl_estimate(None, None),
-                with_positions=self.with_positions,
-                n_tasks=self._encode_tasks(None),
-                n_buckets=self.n_buckets,
-            )
-            _atomic_overwrite(
-                segments,
+                self._encode_tasks(None),
                 self._p("gens", new_id, "segments"),
-                spark,
-                partition_by="term_bucket",
             )
             survivors.append(
                 {
@@ -1487,6 +1473,45 @@ class ExtractorEngine:
             return nsp
         want = max(nsp, int(n_rows) // self.ENCODE_ROWS_PER_TASK + 1)
         return min(want, 4096)
+
+    def _encode_and_write_segments(
+        self, salted: DataFrame, avgdl: float, n_tasks: int, path: str
+    ) -> None:
+        """Encode + atomically publish one generation's segments.
+
+        Uses the hash-keyed exchange (posting rows ship xxhash64(term);
+        term strings cross once per shard as sentinel dictionary rows —
+        measured ~2x on the encode stage) when positions are on. An
+        xxhash64 collision between two distinct terms is detected
+        in-kernel and aborts the write; this retries ONCE with the
+        string-keyed exchange, which has no collision mode."""
+        tried_hash = self.with_positions
+        segments = encode_segments(
+            salted,
+            avgdl,
+            with_positions=self.with_positions,
+            n_tasks=n_tasks,
+            n_buckets=self.n_buckets,
+            hash_terms=tried_hash,
+        )
+        try:
+            _atomic_overwrite(
+                segments, path, spark=self.spark, partition_by="term_bucket"
+            )
+        except Exception as e:  # noqa: BLE001 - routed on message below
+            if not (tried_hash and "term-hash collision" in str(e)):
+                raise
+            segments = encode_segments(
+                salted,
+                avgdl,
+                with_positions=self.with_positions,
+                n_tasks=n_tasks,
+                n_buckets=self.n_buckets,
+                hash_terms=False,
+            )
+            _atomic_overwrite(
+                segments, path, spark=self.spark, partition_by="term_bucket"
+            )
 
     def _fetch_rows(self, terms: list[str]) -> dict[str, list]:
         """Cold bucket-pruned segment read for `terms` across generations."""
