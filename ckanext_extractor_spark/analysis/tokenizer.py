@@ -32,10 +32,19 @@ The same functions serve index build (mapInPandas), query analysis
 and the numpy test oracle — that shared kernel is what makes
 rank-identity between engine and oracle achievable.
 
-Position semantics (pinned by tokenizer goldens, not Lucene-parity):
-``pos`` is the index of the token in the emitted stream per document,
-assigned BEFORE stopword removal (removal leaves gaps, analogous to
-Lucene position increments); catenated tokens follow their parts.
+Position semantics (classic-WDF parity, pinned by tokenizer goldens):
+positions are assigned BEFORE stopword removal (removal leaves gaps,
+analogous to Lucene position increments); catenated forms are INJECTED
+tokens with posInc=0 — they stack on the last part of their run, exactly
+like solr.WordDelimiterFilterFactory (schema.xml:54), so a phrase can
+span a split identifier ("sort data" matches `mergeSort data`).
+Catenation joins maximal runs of ADJACENT same-type parts only (a digit
+breaks an alpha run and vice versa): `wi-fi` -> wi@0 fi@1 wifi@1, while
+`utf8Decode` emits no catenated form. A whitespace word that yields no
+subwords (pure punctuation) still advances one position — the posInc the
+swallowed original token accumulates in Lucene. ``doc_len`` counts
+DISTINCT positions (Lucene discountOverlaps=true: injected posInc=0
+tokens don't inflate the BM25 norm).
 """
 
 from __future__ import annotations
@@ -130,28 +139,54 @@ def _fold(t: str) -> str:
     )
 
 
-def _expand_word(w: str, config: AnalyzerConfig) -> list[str]:
-    """T2+T3+T5 for one distinct word -> final emitted tokens, in order."""
+def _expand_word(
+    w: str, config: AnalyzerConfig
+) -> tuple[list[str], list[int], int]:
+    """T2+T3+T5 for one distinct word -> (tokens, pos_offsets, width).
+
+    ``tokens`` are the final emitted tokens in classic-WDF emission order
+    (each same-type run's parts, then that run's catenated form).
+    ``pos_offsets[i]`` is the position of tokens[i] within the word:
+    parts advance (offset = part index), catenated forms are injected at
+    posInc=0 on their run's LAST part (WordDelimiterFilter semantics,
+    schema.xml:54; catenateAll=0 so runs never join across a type
+    change). ``width`` is how many positions the word occupies in the
+    stream — len(parts), or 1 for a word with no subwords (the swallowed
+    token's posInc still accumulates in Lucene, leaving a gap)."""
     if config.mode == "simple":
-        # SQL-parity chain: lower + maximal [a-z0-9] runs, nothing else
-        return _SIMPLE_C.findall(w.lower())
+        # SQL-parity chain: lower + maximal [a-z0-9] runs, nothing else.
+        # No injected tokens, no gaps — each token is its own position.
+        toks = _SIMPLE_C.findall(w.lower())
+        return toks, list(range(len(toks))), len(toks)
     parts = _PART_C.findall(w)
     if not parts:
-        return []
-    toks = list(parts)
-    if config.catenate and len(parts) > 1:
-        alpha = [p for p in parts if p[0] not in _DIGITS]
-        if len(alpha) >= 2:
-            toks.append("".join(alpha))
-        nums = [p for p in parts if p[0] in _DIGITS]
-        if len(nums) >= 2:
-            toks.append("".join(nums))
+        return [], [], 1
+    toks: list[str] = []
+    offs: list[int] = []
+    npar = len(parts)
+    i = 0
+    while i < npar:
+        is_digit = parts[i][0] in _DIGITS
+        j = i
+        while j < npar and (parts[j][0] in _DIGITS) == is_digit:
+            j += 1
+        for p in range(i, j):
+            toks.append(parts[p])
+            offs.append(p)
+        if config.catenate and j - i >= 2:
+            toks.append("".join(parts[i:j]))
+            offs.append(j - 1)
+        i = j
     if config.lowercase:
         toks = [t.lower() for t in toks]
     if config.ascii_fold:
         toks = [_fold(t) for t in toks]
     lo, hi = config.min_token_len, config.max_token_len
-    return [t for t in toks if lo <= len(t) <= hi]
+    if any(not (lo <= len(t) <= hi) for t in toks):
+        kept = [(t, o) for t, o in zip(toks, offs) if lo <= len(t) <= hi]
+        toks = [t for t, _ in kept]
+        offs = [o for _, o in kept]  # dropped tokens leave gaps
+    return toks, offs, npar
 
 
 def _empty_tokens() -> pd.DataFrame:
@@ -205,13 +240,34 @@ def _analyze_batch_impl(
     # O(n) C-speed, vs np.unique's comparison sort on object strings)
     inv, uniq = pd.factorize(words, sort=False)
     expanded = [_expand_word(w, config) for w in uniq]
-    exp_lens = np.fromiter((len(e) for e in expanded), dtype=np.int64,
+    exp_lens = np.fromiter((len(e[0]) for e in expanded), dtype=np.int64,
                            count=len(expanded))
+    total_flat = int(exp_lens.sum())
     flat = np.fromiter(
-        chain.from_iterable(expanded), dtype=object, count=int(exp_lens.sum())
+        chain.from_iterable(e[0] for e in expanded), dtype=object,
+        count=total_flat,
     )
+    offs_flat = np.fromiter(
+        chain.from_iterable(e[1] for e in expanded), dtype=np.int64,
+        count=total_flat,
+    )
+    widths = np.fromiter((e[2] for e in expanded), dtype=np.int64,
+                         count=len(expanded))
     starts = np.zeros(len(expanded), dtype=np.int64)
     np.cumsum(exp_lens[:-1], out=starts[1:])
+
+    # word-instance start positions: per-doc exclusive cumsum of widths
+    # (a word occupies `width` positions whether or not all its tokens
+    # survive — injected/caught tokens stack, dropped tokens leave gaps)
+    wwidth = widths[inv]
+    wstart = np.zeros(total_words, dtype=np.int64)
+    np.cumsum(wwidth[:-1], out=wstart[1:])
+    doc_first_word = np.zeros(n, dtype=np.int64)
+    np.cumsum(wlens[:-1], out=doc_first_word[1:])
+    # base position of each doc's first word (clip: trailing empty docs
+    # index past the end; their base is never read)
+    base = wstart[np.minimum(doc_first_word, total_words - 1)]
+    word_pos = wstart - base[doc_of_word]
 
     # gather back to instances: for word-instance i with u=inv[i],
     # tokens are flat[starts[u] : starts[u]+exp_lens[u]]
@@ -227,11 +283,8 @@ def _analyze_batch_impl(
     tok = flat[inst_starts + within]
     tok_doc = np.repeat(doc_of_word, inst_lens)
 
-    # positions: cumcount per doc (tokens are in doc order)
-    doc_tok_counts = np.bincount(tok_doc, minlength=n)
-    doc_starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(doc_tok_counts[:-1], out=doc_starts[1:])
-    pos = np.arange(total_toks, dtype=np.int64) - doc_starts[tok_doc]
+    # positions: word start + the token's offset within its word
+    pos = np.repeat(word_pos, inst_lens) + offs_flat[inst_starts + within]
 
     # T4': per-lang stopword removal (after position assignment)
     if config.remove_stopwords and langs is not None and config.stopwords:
@@ -330,7 +383,16 @@ def _postings_agg(toks: pd.DataFrame) -> pd.DataFrame:
     grp_start = np.concatenate(([0], grp_end[:-1]))
     pos_blobs = [buf[s:e] for s, e in zip(grp_start, grp_end)]
 
-    doc_len_by_doc = np.bincount(doc, minlength=int(doc.max()) + 1 if len(doc) else 0)
+    # doc_len = DISTINCT surviving positions per doc (Lucene
+    # discountOverlaps: injected posInc=0 tokens don't count toward the
+    # BM25 norm). Rows arrive in emission order — doc-contiguous with
+    # nondecreasing pos — so a distinct position is a row where doc or
+    # pos changes.
+    minlen = int(doc.max()) + 1 if len(doc) else 0
+    head = np.ones(len(doc), dtype=bool)
+    if len(doc) > 1:
+        head[1:] = (doc[1:] != doc[:-1]) | (pos[1:] != pos[:-1])
+    doc_len_by_doc = np.bincount(doc[head], minlength=minlen)
     return pd.DataFrame(
         {
             "idx": g_doc,

@@ -199,6 +199,7 @@ class ExtractorEngine:
         ignore_where: str | None = None,
         indexed_fields: Iterable[str] = ("*",),
         store_content: bool = False,
+        auth_context: dict | None = None,
     ):
         """``ignore_where``: SQL predicate over corpus columns marking docs
         to skip AND purge (reference F3: private datasets skipped at
@@ -216,7 +217,13 @@ class ExtractorEngine:
         extracted fulltext is STORED, not just indexed (ResourceMetadatum
         'fulltext' row, model.py:117-127 / tasks.py:99-104;
         extractor_show returns it) — enables show()['fulltext'] and
-        snippets()."""
+        snippets().
+
+        ``auth_context``: per-action authorization principal, e.g.
+        ``{"user": "alice", "sysadmin": False}`` (reference
+        logic/auth.py:39-42 — extract/delete sysadmin-only, list/show
+        anonymous). ``None`` (default) is trusted library mode: no
+        checks, like the reference's in-process ``ignore_auth`` calls."""
         self.spark = spark
         self.root = index_root
         self.indexed_langs = tuple(indexed_langs)
@@ -228,6 +235,7 @@ class ExtractorEngine:
         self.ignore_where = ignore_where
         self.indexed_fields = tuple(indexed_fields)
         self.store_content = store_content
+        self.auth_context = auth_context
         # serving caches (warm()): raw segment rows + LRU decoded postings
         self._rows_cache: dict[str, list] | None = None
         self._raw_bytes = 0
@@ -363,6 +371,13 @@ class ExtractorEngine:
         """The current build lock's payload, or None."""
         return self.fs.read_json(self._lock_path())
 
+    def _check_access(self, action: str) -> None:
+        """Per-action auth gate (reference logic/auth.py; no-op in
+        trusted library mode, i.e. auth_context=None)."""
+        from ckanext_extractor_spark.auth import check_access
+
+        check_access(action, self.auth_context)
+
     # -- build (extractor_extract analog) ---------------------------------
     def extract(
         self,
@@ -385,6 +400,7 @@ class ExtractorEngine:
         refusal, action.py:121-123).
         """
         t0 = time.time()
+        self._check_access("extractor_extract")
         _require_bool("force", force)
         if build_id is not None and (
             not isinstance(build_id, str) or not build_id.strip()
@@ -815,6 +831,7 @@ class ExtractorEngine:
     def list_indexed(self) -> DataFrame:
         """Docs with completed metadata (extractor_list, action.py:153-166;
         in-flight/ignored docs excluded, test logic/test_action.py:51-56)."""
+        self._check_access("extractor_list")
         return (
             read_doc_manifest(self.spark, self.root)
             .where(F.col("status") == "indexed")
@@ -823,6 +840,7 @@ class ExtractorEngine:
 
     def show(self, doc_id: int) -> dict:
         """Doc stats + provenance (extractor_show, action.py:169-184)."""
+        self._check_access("extractor_show")
         if isinstance(doc_id, bool) or not isinstance(doc_id, int):
             raise ValidationError(f"doc_id must be an integer, got {doc_id!r}")
         out = {}
@@ -880,17 +898,18 @@ class ExtractorEngine:
     def _char_of_position(self, text: str, position: int) -> int:
         """Char offset of the whitespace word containing token
         ``position``: positions are assigned BEFORE stopword removal, so
-        cumulative per-word expansion counts (the analyzer's
-        _expand_word) reproduce the index numbering exactly; stemming
-        renames tokens without changing counts. Early-exits at the anchor
-        word — no full-text substring search."""
+        cumulative per-word position WIDTHS (the analyzer's _expand_word
+        third return — parts only; injected catenated forms stack at
+        posInc=0) reproduce the index numbering exactly; stemming renames
+        tokens without changing widths. Early-exits at the anchor word —
+        no full-text substring search."""
         import re as _re
 
         from ckanext_extractor_spark.analysis.tokenizer import _expand_word
 
         cum = 0
         for m in _re.finditer(r"\S+", text):
-            cum += len(_expand_word(m.group(0), self.analyzer))
+            cum += _expand_word(m.group(0), self.analyzer)[2]
             if cum > position:
                 return m.start()
         return 0
@@ -919,6 +938,7 @@ class ExtractorEngine:
         default semantics (ADVICE r2: 'query --phrase --snippets' must
         not silently fall back to conjunctive auto-mode); otherwise the
         query runs here with the given conjunctive/mode/phrase flags."""
+        self._check_access("extractor_snippets")
         _require_query(query)
         _require_k(k)
         if not self.store_content:
@@ -970,6 +990,7 @@ class ExtractorEngine:
         return out
 
     def lineage(self) -> DataFrame:
+        self._check_access("extractor_list")
         return read_lineage(self.spark, self.root)
 
     # -- delete (extractor_delete / private-flip purge) --------------------
@@ -979,6 +1000,7 @@ class ExtractorEngine:
         query time — NO postings or segment files are rewritten; compaction
         reclaims space lazily when a generation's dead fraction crosses
         DEAD_FRAC."""
+        self._check_access("extractor_delete")
         doc_ids = _require_doc_ids(doc_ids)
         if not self._acquire_lock(f"delete-{uuid.uuid4().hex[:8]}"):
             raise BuildInProgressError(
@@ -1038,6 +1060,7 @@ class ExtractorEngine:
         """Lock-taking wrapper of maybe_compact for external callers (the
         CLI / a maintenance cron); builds/deletes call maybe_compact while
         already holding the lock."""
+        self._check_access("extractor_compact")
         if not self._acquire_lock(f"compact-{uuid.uuid4().hex[:8]}"):
             raise BuildInProgressError(
                 f"index {self.root} has a build in progress: "
@@ -1265,6 +1288,7 @@ class ExtractorEngine:
         Results are memoized per (query, k, conjunctive, mode) — the Solr
         queryResultCache analog — and invalidated by any index mutation
         (extract/delete/compact all call cool())."""
+        self._check_access("extractor_search")
         _require_query(query)
         _require_k(k)
         _require_bool("conjunctive", conjunctive)
@@ -1541,6 +1565,7 @@ class ExtractorEngine:
         the reference's per-key dynamic-field filter query,
         plugin.py:40,140; boolean AND, unscored like Solr fq). Sorted
         doc_id list."""
+        self._check_access("extractor_search")
         from ckanext_extractor_spark.operators.fields import search_field
 
         fp = self._read_or_none("field_postings")
@@ -1565,6 +1590,7 @@ class ExtractorEngine:
             phrase_search_distributed,
         )
 
+        self._check_access("extractor_phrase_search")
         _require_query(query)
         _require_k(k)
         if distributed:

@@ -9,13 +9,11 @@ leaves position gaps at index time, so phrases spanning removed stopwords
 do NOT match — pinned by tests, consistent with how the analyzer defines
 positions.
 
-Known divergence from Lucene (pinned, ADVICE r1): catenated tokens take
-their OWN positions (camelCase -> camel@0, case@1, camelcase@2) instead of
-Lucene WDF's posInc=0, so a phrase spanning a split identifier ('sort
-data' against 'mergeSort data') does NOT match — the catenated token
-shifts subsequent positions by one per catenation. The whole-identifier
-query ('mergesort data'... as separate tokens) still conjunctive-matches;
-only strict adjacency across the split is affected.
+Catenated tokens are injected at posInc=0 (classic WordDelimiterFilter
+parity, schema.xml:54; r1's own-position divergence closed in r3):
+camelCase -> camel@0, case@1, camelcase@1 — so a phrase can span a split
+identifier ('sort data' matches `mergeSort data`), and subsequent
+positions are not shifted by catenation.
 
 Execution: conjunctive BM25 candidate retrieval first (cheap, bounded),
 then positions of the candidate docs are decoded from the already-loaded

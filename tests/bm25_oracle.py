@@ -40,7 +40,10 @@ class OracleIndex:
             .rename("tf")
             .reset_index()
         )
-        dl = toks.groupby("doc_id").size()
+        # doc_len = distinct positions (Lucene discountOverlaps: injected
+        # catenated tokens at posInc=0 don't inflate the norm) — derived
+        # with pandas nunique, independently of the engine's head-count
+        dl = toks.groupby("doc_id")["pos"].nunique()
         self.doc_len = (
             pd.Series(0, index=pdf["doc_id"].to_numpy())
             .add(dl, fill_value=0)

@@ -50,10 +50,10 @@ def test_phrase_matches_consecutive_only(engine):
     got = {d for d, _ in hits}
     # p0: consecutive; p3: '... alpha beta gamma' tail; p1 scrambled no;
     # p2 has alpha beta but gamma not adjacent; p4: alphaBeta splits to
-    # alpha(0) beta(1) then catenated alphabeta(2) shifts gamma to 3 -> NOT
-    # consecutive with beta.. (positions: alpha=0, beta=1, alphabeta=2,
-    # gamma=3) -> beta(1) and gamma(3) not adjacent -> no match
-    assert got == {ids["p0"], ids["p3"]}
+    # alpha(0) beta(1) with the catenated alphabeta INJECTED at posInc=0
+    # (stacked on beta@1, classic WDF parity) so gamma stays at 2 ->
+    # the phrase spans the split identifier and MATCHES
+    assert got == {ids["p0"], ids["p3"], ids["p4"]}
 
 
 def test_phrase_two_terms(engine):

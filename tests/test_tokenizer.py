@@ -23,8 +23,11 @@ INDEX_GOLDENS = [
     # (lang, input, expected index-mode tokens in order)
     (None, "camelCase", ["camel", "case", "camelcase"]),
     (None, "snake_case", ["snake", "case", "snakecase"]),
-    (None, "HTTPServer2", ["http", "server", "2", "httpserver"]),
-    (None, "utf8Decode", ["utf", "8", "decode", "utfdecode"]),
+    # classic-WDF emission order: a run's parts, then its catenated form
+    (None, "HTTPServer2", ["http", "server", "httpserver", "2"]),
+    # catenation joins ADJACENT same-type runs only (catenateAll=0):
+    # the digit breaks the alpha run, so no "utfdecode"
+    (None, "utf8Decode", ["utf", "8", "decode"]),
     (None, "ALLCAPS", ["allcaps"]),
     (None, "wi-fi", ["wi", "fi", "wifi"]),
     (None, "Köln", ["koln"]),
@@ -56,6 +59,34 @@ def test_index_tokens_golden(lang, text, expected):
 @pytest.mark.parametrize("query,expected", QUERY_GOLDENS)
 def test_query_tokens_golden(query, expected):
     assert analyze_query(query) == expected
+
+
+POSITION_GOLDENS = [
+    # classic-WDF parity: parts advance, catenated forms inject at
+    # posInc=0 (stacked on their run's last part); a pure-punctuation
+    # word still advances one position (accumulated posInc gap)
+    ("mergeSort data", [(0, "merge"), (1, "sort"), (1, "mergesort"),
+                        (2, "data")]),
+    ("HTTPServer2 x", [(0, "http"), (1, "server"), (1, "httpserver"),
+                       (2, "2"), (3, "x")]),
+    ("alpha -- beta", [(0, "alpha"), (2, "beta")]),
+    ("a 500-42 b", [(0, "a"), (1, "500"), (2, "42"), (2, "50042"),
+                    (3, "b")]),
+]
+
+
+@pytest.mark.parametrize("text,expected", POSITION_GOLDENS)
+def test_position_goldens(text, expected):
+    out = analyze_batch(pd.Series([text]), None, INDEX_CONFIG)
+    assert list(zip(out["pos"], out["term"])) == expected
+
+
+def test_doc_len_discounts_overlaps():
+    """BM25 norm parity (Lucene discountOverlaps=true): injected
+    catenated tokens share a position and must not inflate doc_len."""
+    p = postings_for_batch(pd.Series(["mergeSort data"]))
+    assert len(p) == 4  # merge, sort, mergesort, data
+    assert (p["doc_len"] == 3).all()  # 3 positions, not 4 tokens
 
 
 def test_positions_have_stopword_gaps():

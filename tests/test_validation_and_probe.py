@@ -142,14 +142,15 @@ def test_snippet_anchor_from_index_positions(spark, tmp_path):
 
 
 def test_char_of_position_matches_expansion_counts(spark, tmp_path):
-    """Identifier splitting gives 'mergeSort' three index positions
-    (merge, sort, mergesort); token position 3 must map to the char
-    offset of 'data'."""
+    """Identifier splitting gives 'mergeSort' TWO index positions (merge@0,
+    sort@1, with the catenated mergesort stacked at 1); position 2 must
+    map to the char offset of 'data'."""
     eng = ExtractorEngine(spark, str(tmp_path / "cpos"), n_buckets=8)
     text = "mergeSort data"
     from ckanext_extractor_spark.analysis.tokenizer import _expand_word
 
-    n0 = len(_expand_word("mergeSort", eng.analyzer))
+    n0 = _expand_word("mergeSort", eng.analyzer)[2]
+    assert n0 == 2
     assert eng._char_of_position(text, n0) == text.index("data")
     assert eng._char_of_position(text, 0) == 0
     # past-the-end position degrades to the head
