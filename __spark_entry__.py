@@ -51,13 +51,26 @@ DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 
 def _bm25_sql(tok_cte: str, query_terms: list[str], conjunctive: bool,
-              k: int | None) -> str:
+              k: int | None,
+              exclude_terms: "list[str] | None" = None) -> str:
     """One BM25 formulation, instantiated per dialect. Shapes (doc_id, score,
-    n_matched); rank by rounded score desc, doc_id asc."""
+    n_matched); rank by rounded score desc, doc_id asc.
+
+    ``exclude_terms`` (Lucene MUST_NOT / Solr ``-term``): docs containing
+    ANY excluded term are dropped BEFORE the LIMIT; surviving docs score
+    exactly as without the clause (a prohibited clause filters, never
+    rescores)."""
     terms_in = ", ".join(f"'{t}'" for t in query_terms)
     nq = len(set(query_terms))
     cond = f"HAVING count(*) = {nq}" if conjunctive else ""
     limit = f"LIMIT {k}" if k else ""
+    where_ex = ""
+    if exclude_terms:
+        ex_in = ", ".join(f"'{t}'" for t in exclude_terms)
+        where_ex = (
+            "WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+            f"WHERE term IN ({ex_in}))"
+        )
     return f"""
 WITH tok AS ({tok_cte}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -83,6 +96,7 @@ SELECT doc_id, ROUND(score, 4) AS score, n_matched FROM (
   SELECT doc_id, sum(term_score) AS score,
          CAST(count(*) AS INT) AS n_matched
   FROM scored GROUP BY doc_id {cond}) r
+{where_ex}
 ORDER BY ROUND(score, 6) DESC, doc_id ASC {limit}
 """
 
@@ -507,6 +521,7 @@ def _engine_segment_topk(
     conjunctive: bool,
     mode: str = "exact",
     k: int = 10,
+    exclude_terms: "list[str] | None" = None,
 ) -> DataFrame:
     """kernel -> dictionary -> salted repartition -> segment encode ->
     decode -> top-k, all through the engine's own operators."""
@@ -541,12 +556,27 @@ def _engine_segment_topk(
         salted = salted_postings(postings, dictionary, n_buckets=8,
                                  salt_threshold=500)
         segments = encode_segments(salted, avgdl, n_buckets=8)
-        rows = segments.where(F.col("term").isin(query_terms)).collect()
+        wanted = list(query_terms) + list(exclude_terms or [])
+        rows = segments.where(F.col("term").isin(wanted)).collect()
     finally:
         postings.unpersist()
     by_term: dict[str, list] = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
+    ex_ids = None
+    if exclude_terms:
+        import numpy as _np
+
+        ex_tls = [
+            term_postings_from_rows(t, by_term.pop(t), n_docs, avgdl)
+            for t in exclude_terms
+            if t in by_term
+        ]
+        ex_ids = (
+            _np.unique(_np.concatenate([tp.doc_ids for tp in ex_tls]))
+            if ex_tls
+            else _np.array([], dtype=_np.int64)
+        )
     if mode == "maxscore_lazy":
         # block-offset lazy decode: non-essential lists decode only the
         # blocks their candidates touch (operators/wand.py
@@ -562,6 +592,11 @@ def _engine_segment_topk(
             term_postings_from_rows(t, rs, n_docs, avgdl)
             for t, rs in by_term.items()
         ]
+        if ex_ids is not None and ex_ids.size:
+            from ckanext_extractor_spark.operators.wand import exclude_docs
+
+            tls = [exclude_docs(tp, ex_ids) for tp in tls]
+            tls = [tp for tp in tls if len(tp.doc_ids)]
         if conjunctive and len(tls) < len(set(query_terms)):
             hits = []
         else:
@@ -817,6 +852,87 @@ _PAIRS["q36_bm25_segments_maxscore_lazy"] = (
     _strip_n_matched(_bm25_sql(DUCK_TOK, ["vector", "stream", "batch"], False, 10)),
 )
 
+
+def _q_bm25_segments_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-terms clause (Lucene MUST_NOT / Solr ``-term``) through
+    the real pipeline: kernel -> salted repartition -> segment codec ->
+    decode -> exclude_docs (one searchsorted per list) -> exact top-k.
+    Oracle = the same conjunctive BM25 SQL with a NOT IN anti-filter
+    applied before the LIMIT; the filter-not-rescore contract is the
+    claim under test (reference analog: Solr ``-term`` in the default
+    q, plugin.py:140)."""
+    return _engine_segment_topk(
+        spark, sf_dir, ["spark", "join"], conjunctive=True,
+        exclude_terms=["stream"],
+    )
+
+
+def _q_phrase_slop_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity (phrase slop, NEAR/n-ordered) through the REAL
+    engine's cluster-scale plan: build an index (simple SQL-parity
+    analyzer), then phrase_search(distributed=True, slop=1) — a 3-term
+    chain so the per-gap window PROPAGATES (term i+1 within slop+1 of a
+    feasible match of term i). Oracle = positions triple-join with the
+    same per-gap window (Solr analog: ``"scan fast table"~n``,
+    schema.xml's position tracking; semantics pinned per-gap, see
+    operators/phrase.py)."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_slop_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+    )
+    eng.extract(corpus, build_id="entry-slop")
+    hits = eng.phrase_search("scan fast table", k=10**9, distributed=True,
+                             slop=1)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_PHRASE_SLOP_DUCK = f"""
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+        FROM t),
+ph AS (SELECT DISTINCT a.doc_id FROM tok a
+       JOIN tok b ON a.doc_id = b.doc_id
+        AND b.pos > a.pos AND b.pos <= a.pos + 2
+       JOIN tok c ON c.doc_id = b.doc_id
+        AND c.pos > b.pos AND c.pos <= b.pos + 2
+       WHERE a.term = 'scan' AND b.term = 'fast' AND c.term = 'table'),
+ranked AS ({_bm25_sql(DUCK_TOK, ["scan", "fast", "table"], True, None)})
+SELECT r.doc_id, r.score FROM ranked r JOIN ph ON r.doc_id = ph.doc_id
+ORDER BY r.score DESC, r.doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q37_bm25_segments_exclude"] = (
+    "",
+    _strip_n_matched(
+        _bm25_sql(DUCK_TOK, ["spark", "join"], True, 10,
+                  exclude_terms=["stream"])
+    ),
+)
+_PAIRS["q38_phrase_slop_engine"] = ("", _PHRASE_SLOP_DUCK)
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -827,6 +943,8 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_bm25_segments_maxscore_or": _q_bm25_segments_maxscore_or,
     "q35_phrase_distributed_engine": _q_phrase_distributed_engine,
     "q36_bm25_segments_maxscore_lazy": _q_bm25_segments_maxscore_lazy,
+    "q37_bm25_segments_exclude": _q_bm25_segments_exclude,
+    "q38_phrase_slop_engine": _q_phrase_slop_engine,
 }
 
 

@@ -56,6 +56,8 @@ import os
 import time
 import uuid
 from collections import OrderedDict
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import Callable, Iterable
 
@@ -141,6 +143,14 @@ def _require_k(k) -> int:
     if isinstance(k, bool) or not isinstance(k, int) or k < 1:
         raise ValidationError(f"k must be a positive integer, got {k!r}")
     return k
+
+
+def _require_slop(slop) -> int:
+    if isinstance(slop, bool) or not isinstance(slop, int) or slop < 0:
+        raise ValidationError(
+            f"slop must be a non-negative integer, got {slop!r}"
+        )
+    return slop
 
 
 @dataclass
@@ -923,6 +933,7 @@ class ExtractorEngine:
         conjunctive: bool = True,
         mode: str = "auto",
         phrase: bool = False,
+        slop: int = 0,
     ) -> list[tuple[int, float, str]]:
         """Top-k search + a highlight window per hit (the CKAN/Solr
         search-result snippet analog — the reference gets this for free
@@ -947,7 +958,7 @@ class ExtractorEngine:
             )
         if hits is None:
             if phrase:
-                hits = self.phrase_search(query, k=k)
+                hits = self.phrase_search(query, k=k, slop=slop)
             else:
                 hits = self.search(query, k=k, conjunctive=conjunctive,
                                    mode=mode)
@@ -1266,8 +1277,18 @@ class ExtractorEngine:
         conjunctive: bool = True,
         mode: str = "auto",
         synonyms: dict[str, list[str]] | None = None,
+        exclude: str | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 over the encoded segments.
+
+        ``exclude``: negative-terms clause (Lucene MUST_NOT / Solr
+        ``-term``): analyzed with the query chain; docs containing ANY
+        excluded term are dropped BEFORE scoring-independent top-k, and
+        surviving docs score exactly as without the clause (a prohibited
+        clause filters, never rescores). Kernel modes drop excluded docs
+        from the decoded lists (one searchsorted per list); the slow path
+        anti-joins. An exclude forces eager decode (the lazy block path
+        is skipped).
 
         mode:
           'auto'     — vectorized exact merge over decoded lists (measured
@@ -1294,13 +1315,20 @@ class ExtractorEngine:
         _require_bool("conjunctive", conjunctive)
         if mode not in ("auto", "wand", "exact", "maxscore", "slow"):
             raise ValidationError(f"unknown mode {mode!r}")
-        ck = (query, k, conjunctive, mode) if synonyms is None else None
+        if exclude is not None:
+            _require_query(exclude)
+        ck = (
+            (query, k, conjunctive, mode, exclude)
+            if synonyms is None
+            else None
+        )
         if ck is not None:
             hit = self._query_cache.get(ck)
             if hit is not None:
                 self._query_cache.move_to_end(ck)
                 return list(hit)
-        out = self._search_uncached(query, k, conjunctive, mode, synonyms)
+        out = self._search_uncached(query, k, conjunctive, mode, synonyms,
+                                    exclude)
         if ck is not None:
             self._query_cache[ck] = list(out)
             if len(self._query_cache) > self.QUERY_CACHE_ENTRIES:
@@ -1319,9 +1347,25 @@ class ExtractorEngine:
         conjunctive: bool,
         mode: str,
         synonyms: dict[str, list[str]] | None,
+        exclude: str | None = None,
     ) -> list[tuple[int, float]]:
         st = self.corpus_stats()
+        ex_terms: list[str] = (
+            list(
+                dict.fromkeys(
+                    analyze_query(
+                        exclude, config=query_config_for(self.analyzer)
+                    )
+                )
+            )
+            if exclude
+            else []
+        )
         if synonyms:
+            if ex_terms:
+                raise ValidationError(
+                    "exclude is not supported together with synonyms"
+                )
             from ckanext_extractor_spark.operators.query import (
                 bm25_search_synonyms,
             )
@@ -1355,8 +1399,16 @@ class ExtractorEngine:
             # n_postings metadata, exact only without tombstones; a
             # tombstoned index falls through to the eager decode below
             # (compaction restores the fast path).
+            ex_ids = np.array([], dtype=np.int64)
+            if ex_terms:
+                ex_tls = self._term_postings(ex_terms, st)
+                if ex_tls:
+                    ex_ids = np.unique(
+                        np.concatenate([tp.doc_ids for tp in ex_tls])
+                    ).astype(np.int64)
             if (
-                not conjunctive
+                not ex_ids.size
+                and not conjunctive
                 and mode in ("auto", "maxscore")
                 and self._tombstone_count() == 0
             ):
@@ -1371,6 +1423,12 @@ class ExtractorEngine:
                             ltls, k, st["avgdl"], conjunctive=False
                         )
             tls = self._term_postings(terms, st)
+            if ex_ids.size:
+                from ckanext_extractor_spark.operators.wand import (
+                    exclude_docs,
+                )
+
+                tls = [exclude_docs(tp, ex_ids) for tp in tls]
             tls = [tp for tp in tls if len(tp.doc_ids)]
             if conjunctive and len(tls) < len(terms):
                 return []
@@ -1395,6 +1453,7 @@ class ExtractorEngine:
             postings, dictionary, st["n_docs"], st["avgdl"], query,
             k=k, conjunctive=conjunctive,
             config=query_config_for(self.analyzer),
+            exclude_terms=ex_terms or None,
         ).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
@@ -1575,10 +1634,17 @@ class ExtractorEngine:
         return sorted(int(r["doc_id"]) for r in rows)
 
     def phrase_search(
-        self, query: str, k: int = 10, distributed: bool = False
+        self, query: str, k: int = 10, distributed: bool = False,
+        slop: int = 0,
     ) -> list[tuple[int, float]]:
-        """Top-k docs containing the analyzed query as a consecutive
-        phrase (positions-aware AND; see operators/phrase.py).
+        """Top-k docs containing the analyzed query as an ordered phrase
+        (positions-aware AND; see operators/phrase.py).
+
+        ``slop``: per-gap ordered-proximity window — up to ``slop``
+        non-query tokens between each adjacent pair of query terms
+        (0 = strict consecutive phrase; NEAR/n-ordered semantics,
+        deliberately simpler than Lucene's total-move sloppy phrase and
+        SQL-expressible for the oracle gate).
 
         ``distributed=True`` runs the cluster-scale plan (bucket-pruned
         segment scan -> decode kernel -> one doc_id exchange -> vectorized
@@ -1593,9 +1659,10 @@ class ExtractorEngine:
         self._check_access("extractor_phrase_search")
         _require_query(query)
         _require_k(k)
+        _require_slop(slop)
         if distributed:
-            return phrase_search_distributed(self, query, k)
-        return phrase_search(self, query, k)
+            return phrase_search_distributed(self, query, k, slop=slop)
+        return phrase_search(self, query, k, slop=slop)
 
     def _gc_staging(self) -> None:
         """Drop staging dirs not referenced by any live generation."""

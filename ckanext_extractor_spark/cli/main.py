@@ -78,10 +78,12 @@ def cmd_query(args) -> int:
     eng = _engine(args)
     if args.phrase:
         hits = eng.phrase_search(args.q, k=args.k,
-                                 distributed=args.distributed)
+                                 distributed=args.distributed,
+                                 slop=args.slop)
     else:
         hits = eng.search(
-            args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode
+            args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode,
+            exclude=args.exclude,
         )
     if args.snippets:
         # window the hits we JUST computed (phrase/--or/--mode respected),
@@ -153,8 +155,15 @@ def main(argv=None) -> int:
                    choices=["auto", "maxscore", "wand", "slow"])
     q.add_argument("--or", dest="use_or", action="store_true",
                    help="disjunctive instead of default AND")
+    q.add_argument("--exclude", default=None,
+                   help="negative terms (Solr -term analog): drop docs "
+                        "containing ANY of these analyzed terms")
     q.add_argument("--phrase", action="store_true",
                    help="consecutive-phrase match (positions-aware)")
+    q.add_argument("--slop", type=int, default=0,
+                   help="with --phrase: ordered per-gap proximity window "
+                        "(n non-query tokens allowed between adjacent "
+                        "query terms; 0 = strict phrase)")
     q.add_argument("--distributed", action="store_true",
                    help="cluster-scale phrase plan (no driver collect)")
     q.add_argument("--snippets", action="store_true",

@@ -4,10 +4,13 @@ queries enabled by the `text` fieldtype's position tracking,
 schema.xml:51, positionIncrementGap).
 
 Semantics: a doc matches the phrase if the query's analyzed terms occur
-at strictly consecutive positions (pos, pos+1, ..). Stopword removal
-leaves position gaps at index time, so phrases spanning removed stopwords
-do NOT match — pinned by tests, consistent with how the analyzer defines
-positions.
+at strictly consecutive positions (pos, pos+1, ..); ``slop=n`` relaxes
+each gap to an ordered per-gap window (up to n non-query tokens between
+adjacent query terms — NEAR/n-ordered; see phrase_search for how this
+deliberately differs from Lucene's total-move sloppy phrase). Stopword
+removal leaves position gaps at index time, so a slop=0 phrase spanning
+a removed stopword does NOT match — pinned by tests, consistent with how
+the analyzer defines positions (slop>=1 can bridge it).
 
 Catenated tokens are injected at posInc=0 (classic WordDelimiterFilter
 parity, schema.xml:54; r1's own-position divergence closed in r3):
@@ -50,15 +53,24 @@ def phrase_filter_docs(
     term_shard_rows: dict[str, list],
     ordered_terms: list[str],
     dead=None,
+    slop: int = 0,
 ) -> list[int]:
-    """Keep candidate docs where `ordered_terms` occur consecutively.
+    """Keep candidate docs where `ordered_terms` occur in order within a
+    per-gap window: term i+1 at a position q with p < q <= p + slop + 1
+    for some match p of term i. ``slop=0`` is the strict consecutive
+    phrase; ``slop=n`` allows up to n non-query tokens between adjacent
+    query terms (ordered proximity, the NEAR/n-ordered operator — a
+    deliberate simplification of Lucene's total-move sloppy phrase,
+    documented in phrase_search).
 
     term_shard_rows: term -> list of segment rows (blobs include
     positions). Decodes only the query's terms (already fetched for
-    scoring); per-doc verification is numpy intersection of
-    position-offset sets. ``dead`` (a wand.DeadDocs) drops tombstoned
-    postings so a stale generation can't shadow an updated doc's
-    positions."""
+    scoring); verification propagates the feasible positions of the LAST
+    matched term with one searchsorted per gap (greedy minimal chains —
+    complete, since window constraints are upper bounds). ``dead`` (a
+    wand.DeadDocs) drops tombstoned postings so a stale generation can't
+    shadow an updated doc's positions."""
+    win = np.int64(slop + 1)
     per_term_pos: list[dict[int, np.ndarray]] = []
     for t in ordered_terms:
         merged: dict[int, np.ndarray] = {}
@@ -70,34 +82,40 @@ def phrase_filter_docs(
         base = per_term_pos[0].get(d)
         if base is None:
             continue
-        ok = base
-        for off, pmap in enumerate(per_term_pos[1:], start=1):
+        ok = base.astype(np.int64)
+        for pmap in per_term_pos[1:]:
             nxt = pmap.get(d)
-            if nxt is None:
+            if nxt is None or ok.size == 0:
                 ok = np.array([], dtype=np.int64)
                 break
-            ok = np.intersect1d(ok, nxt - off, assume_unique=True)
-            if ok.size == 0:
-                break
+            nxt = nxt.astype(np.int64)
+            # largest feasible p < q per q, then the window check
+            idx = np.searchsorted(ok, nxt, side="left") - 1
+            mask = idx >= 0
+            mask[mask] = ok[idx[mask]] >= nxt[mask] - win
+            ok = nxt[mask]
         if ok.size:
             out.append(d)
     return out
 
 
-def phrase_search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
-    """Top-k docs containing the analyzed query as a consecutive phrase,
+def phrase_search(
+    engine, query: str, k: int = 10, slop: int = 0
+) -> list[tuple[int, float]]:
+    """Top-k docs containing the analyzed query as an ordered phrase,
     ranked by the conjunctive BM25 score (ties doc_id asc).
 
-    Uses the engine's warm/cold segment access; requires the index to
-    have been built with positions (engine.with_positions).
+    ``slop=0``: strict consecutive phrase. ``slop=n``: ordered proximity
+    — up to n non-query tokens between each adjacent pair of query terms
+    (PER-GAP window; a deliberate, documented simplification of Lucene's
+    sloppy phrase, whose slop is a TOTAL move budget and permits
+    reordering — the ordered per-gap form is what code search wants and
+    is SQL-expressible for the oracle gate). Catenated identifier tokens
+    stack at posInc=0 (classic-WDF parity), so a phrase/proximity query
+    can span a split identifier.
 
-    Known divergence from Lucene WDF (pinned semantics, see
-    analysis/tokenizer.py catenation): catenated identifier tokens
-    ('mergeSort' -> 'mergesort') occupy their OWN position instead of
-    sharing the final part's position (Lucene posInc=0), so a phrase that
-    spans a split identifier boundary — e.g. ``"sort data"`` against
-    ``mergeSort data`` — does not match. Phrases over the split parts
-    (``"merge sort"``) and over ordinary words are unaffected."""
+    Uses the engine's warm/cold segment access; requires the index to
+    have been built with positions (engine.with_positions)."""
     if not engine.with_positions:
         raise ValueError("index was built without positions; phrase search "
                          "needs with_positions=True")
@@ -119,20 +137,23 @@ def phrase_search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     rows_by_term = {t: engine._segment_rows(t) for t in uniq}
     dead = engine._dead_docs()
     keep = set(
-        phrase_filter_docs([d for d, _ in scored], rows_by_term, terms, dead)
+        phrase_filter_docs([d for d, _ in scored], rows_by_term, terms, dead,
+                           slop=slop)
     )
     out = [(d, s) for d, s in scored if d in keep][:k]
     if len(out) < k and len(scored) == overfetch:
         # rare: phrase matches beyond the over-fetch window -> full pass
         scored = exact_topk(tls, 10**9, st["avgdl"], conjunctive=True)
         keep = set(
-            phrase_filter_docs([d for d, _ in scored], rows_by_term, terms, dead)
+            phrase_filter_docs([d for d, _ in scored], rows_by_term, terms,
+                               dead, slop=slop)
         )
         out = [(d, s) for d, s in scored if d in keep][:k]
     return out
 
 
-def phrase_search_distributed(engine, query: str, k: int = 10):
+def phrase_search_distributed(engine, query: str, k: int = 10,
+                              slop: int = 0):
     """Cluster-scale phrase: no driver collect of posting lists.
 
     Phrase terms hash to DIFFERENT term_buckets, so positions of one doc
@@ -310,18 +331,25 @@ def phrase_search_distributed(engine, query: str, k: int = 10):
             return (docord << np.int64(32)) | flat
 
         keys = {s: slot_keys(s) for s in uniq_slots_in_order}
+        # ordered per-gap window chain (slop=0 = strict phrase): ``ok``
+        # holds the feasible combined keys of the LAST matched term; for
+        # each key q of the next term, the largest feasible predecessor
+        # p < q (one searchsorted over ALL docs at once — combined keys
+        # are doc-major) must be in the SAME doc and within the window
+        # q - slop - 1 <= p
+        win = np.int64(slop + 1)
         ok = keys[term_order[0]]
         for off in range(1, len(term_order)):
             tgt = keys[term_order[off]]
             if tgt.size == 0 or ok.size == 0:
                 ok = ok[:0]
                 break
-            probe = ok + off
-            idx = np.searchsorted(tgt, probe)
-            inb = idx < tgt.size
-            hit = inb.copy()
-            hit[inb] = tgt[idx[inb]] == probe[inb]
-            ok = ok[hit]
+            idx = np.searchsorted(ok, tgt, side="left") - 1
+            mask = idx >= 0
+            prev = ok[np.maximum(idx, 0)]
+            mask &= (prev >> np.int64(32)) == (tgt >> np.int64(32))
+            mask &= prev >= tgt - win
+            ok = tgt[mask]
         if ok.size == 0:
             return
         matched = np.unique(ok >> np.int64(32))

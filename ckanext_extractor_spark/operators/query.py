@@ -62,6 +62,7 @@ def bm25_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     config=QUERY_CONFIG,
+    exclude_terms: "list[str] | None" = None,
 ) -> DataFrame:
     """Analyze `query` (query-mode chain, catenation off) and return the
     top-k ``(doc_id, score, n_matched)`` ranked score desc, doc_id asc.
@@ -69,6 +70,13 @@ def bm25_search(
     ``conjunctive=True`` = default-AND semantics (schema.xml:166): a doc
     must match every distinct query term. ``config`` must be the query
     analyzer matching the index contract (tokenizer.query_config_for).
+
+    ``exclude_terms``: already-analyzed terms none of which may occur in
+    a result doc (Lucene MUST_NOT / Solr ``-term``): a left-anti join on
+    the excluded terms' postings, applied AFTER scoring — a prohibited
+    clause filters, it never changes surviving docs' scores. The anti
+    side is bounded by the excluded terms' df (broadcast when small; AQE
+    decides).
     """
     terms = list(dict.fromkeys(analyze_query(query, lang, config)))
     spark = postings.sparkSession
@@ -89,6 +97,13 @@ def bm25_search(
     )
     if conjunctive:
         per_doc = per_doc.where(F.col("n_matched") == len(terms))
+    if exclude_terms:
+        ex = (
+            postings.where(F.col("term").isin(list(exclude_terms)))
+            .select("doc_id")
+            .distinct()
+        )
+        per_doc = per_doc.join(ex, "doc_id", "left_anti")
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -344,6 +344,30 @@ def _scores(tp: TermPostings, idx: np.ndarray, avgdl: float,
     return tp.idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def exclude_docs(tp: TermPostings, ex_ids: "np.ndarray") -> TermPostings:
+    """``tp`` minus postings of ``ex_ids`` (sorted asc) — Lucene MUST_NOT
+    as a pre-score filter. idf and the block-max arrays are KEPT:
+    exclusion is a filter, so surviving docs score exactly as in the
+    unfiltered query (Lucene parity — a prohibited clause never changes
+    scoring), and block maxima remain valid (possibly loose) upper
+    bounds after row removal — WAND/MaxScore pruning only needs an
+    over-estimate."""
+    n = len(tp.doc_ids)
+    if ex_ids.size == 0 or n == 0:
+        return tp
+    idx = np.searchsorted(ex_ids, tp.doc_ids)
+    hit = np.zeros(n, dtype=bool)
+    inb = idx < ex_ids.size
+    hit[inb] = ex_ids[idx[inb]] == tp.doc_ids[inb]
+    if not hit.any():
+        return tp
+    keep = ~hit
+    return TermPostings(
+        tp.term, tp.idf, tp.doc_ids[keep], tp.tfs[keep],
+        tp.doc_lens[keep], tp.block_last_doc, tp.block_max_tfn,
+    )
+
+
 def exact_topk(
     term_lists: list[TermPostings],
     k: int,

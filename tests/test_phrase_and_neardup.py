@@ -138,3 +138,114 @@ def test_embedding_neardup_pairs(emb):
         va, vb = base[a], base[b]
         cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert cos >= 0.98 - 1e-6
+
+
+# -- ordered proximity (slop) ------------------------------------------------
+
+
+def test_slop_zero_equals_phrase(engine):
+    ids = _doc_ids_by_path(engine)
+    # alpha..gamma consecutive only in p1 (beta alpha gamma delta)
+    got = {d for d, _ in engine.phrase_search("alpha gamma", k=10, slop=0)}
+    assert got == {ids["p1"]}
+
+
+def test_slop_widens_window(engine):
+    ids = _doc_ids_by_path(engine)
+    # slop=1: p0 alpha@0..gamma@2 (1 intervening), p3 alpha@2..gamma@4,
+    # p4 alpha@0..gamma@2 across the split identifier; p2 needs slop=2
+    got1 = {d for d, _ in engine.phrase_search("alpha gamma", k=10, slop=1)}
+    assert got1 == {ids["p0"], ids["p1"], ids["p3"], ids["p4"]}
+    got2 = {d for d, _ in engine.phrase_search("alpha gamma", k=10, slop=2)}
+    assert got2 == got1 | {ids["p2"]}
+
+
+def test_slop_bridges_stopword_gap(engine):
+    ids = _doc_ids_by_path(engine)
+    # p5 'alpha def beta' (python): def leaves a gap at position 1 —
+    # slop=0 must not match across it (pinned), slop=1 must
+    got0 = {d for d, _ in engine.phrase_search("alpha beta", k=10, slop=0)}
+    assert ids["p5"] not in got0
+    got1 = {d for d, _ in engine.phrase_search("alpha beta", k=10, slop=1)}
+    assert ids["p5"] in got1
+
+
+def test_slop_is_ordered(engine):
+    ids = _doc_ids_by_path(engine)
+    # window is ORDERED: beta must come after alpha's match
+    got = {d for d, _ in engine.phrase_search("beta alpha", k=10, slop=5)}
+    assert got == {ids["p1"], ids["p3"]}
+
+
+def test_slop_distributed_matches_driver(engine):
+    for q, s in [("alpha gamma", 1), ("alpha gamma", 2),
+                 ("alpha beta", 1), ("beta alpha", 5)]:
+        drv = engine.phrase_search(q, k=10, slop=s)
+        dist = engine.phrase_search(q, k=10, slop=s, distributed=True)
+        assert drv == dist, (q, s, drv, dist)
+
+
+def test_slop_validation(engine):
+    from ckanext_extractor_spark.api import ValidationError
+
+    for bad in (-1, 1.5, "2", True):
+        with pytest.raises(ValidationError):
+            engine.phrase_search("alpha beta", slop=bad)
+
+
+# -- negative terms (Lucene MUST_NOT / Solr -term) ---------------------------
+
+
+def test_exclude_filters_docs(engine):
+    ids = _doc_ids_by_path(engine)
+    base = {d for d, _ in engine.search("alpha", k=10)}
+    got = {d for d, _ in engine.search("alpha", k=10, exclude="gamma")}
+    # every doc with gamma dropped; p5 ('alpha def beta') is gamma-free
+    assert got == {ids["p5"]}
+    assert got < base
+
+
+def test_exclude_does_not_rescore(engine):
+    """A prohibited clause filters — surviving docs keep the exact score
+    of the unfiltered query (Lucene MUST_NOT parity)."""
+    full = dict(engine.search("alpha", k=10))
+    got = engine.search("alpha", k=10, exclude="gamma")
+    for d, s in got:
+        assert abs(full[d] - s) < 1e-12
+
+
+def test_exclude_mode_parity(engine):
+    want = engine.search("alpha beta", k=10, exclude="zz")
+    for mode in ("exact", "wand", "maxscore", "slow"):
+        got = engine.search("alpha beta", k=10, exclude="zz", mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in want], mode
+        for (_, a), (_, b) in zip(got, want):
+            assert abs(a - b) < 1e-9
+    # disjunctive parity too (the lazy fast path must be bypassed)
+    want_or = engine.search("alpha zz", k=10, exclude="gamma",
+                            conjunctive=False)
+    got_or = engine.search("alpha zz", k=10, exclude="gamma",
+                           conjunctive=False, mode="slow")
+    assert [d for d, _ in got_or] == [d for d, _ in want_or]
+
+
+def test_exclude_edge_cases(engine):
+    ids = _doc_ids_by_path(engine)
+    # unknown excluded term: no-op
+    assert engine.search("alpha", k=10, exclude="nosuchterm") == \
+        engine.search("alpha", k=10)
+    # excluding a positive term empties the result
+    assert engine.search("alpha", k=10, exclude="alpha") == []
+    # exclusion analyzed with the query chain: 'zzGamma' splits and
+    # excludes both zz and gamma docs
+    got = {d for d, _ in engine.search("alpha", k=10, exclude="zzGamma")}
+    assert got == {ids["p5"]}
+
+
+def test_exclude_validation(engine):
+    from ckanext_extractor_spark.api import ValidationError
+
+    with pytest.raises(ValidationError):
+        engine.search("alpha", exclude="")
+    with pytest.raises(ValidationError):
+        engine.search("alpha", exclude="x", synonyms={"alpha": ["beta"]})
