@@ -52,7 +52,9 @@ DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 def _bm25_sql(tok_cte: str, query_terms: list[str], conjunctive: bool,
               k: int | None,
-              exclude_terms: "list[str] | None" = None) -> str:
+              exclude_terms: "list[str] | None" = None,
+              min_match: int | None = None,
+              terms_like: str | None = None) -> str:
     """One BM25 formulation, instantiated per dialect. Shapes (doc_id, score,
     n_matched); rank by rounded score desc, doc_id asc.
 
@@ -62,7 +64,16 @@ def _bm25_sql(tok_cte: str, query_terms: list[str], conjunctive: bool,
     rescores)."""
     terms_in = ", ".join(f"'{t}'" for t in query_terms)
     nq = len(set(query_terms))
-    cond = f"HAVING count(*) = {nq}" if conjunctive else ""
+    if conjunctive:
+        cond = f"HAVING count(*) = {nq}"
+    elif min_match:
+        cond = f"HAVING count(*) >= {min_match}"
+    else:
+        cond = ""
+    term_pred = (
+        f"tf.term LIKE '{terms_like}'" if terms_like
+        else f"tf.term IN ({terms_in})"
+    )
     limit = f"LIMIT {k}" if k else ""
     where_ex = ""
     if exclude_terms:
@@ -91,7 +102,7 @@ scored AS (
   JOIN df ON tf.term = df.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats s
-  WHERE tf.term IN ({terms_in}))
+  WHERE {term_pred})
 SELECT doc_id, ROUND(score, 4) AS score, n_matched FROM (
   SELECT doc_id, sum(term_score) AS score,
          CAST(count(*) AS INT) AS n_matched
@@ -522,9 +533,16 @@ def _engine_segment_topk(
     mode: str = "exact",
     k: int = 10,
     exclude_terms: "list[str] | None" = None,
+    min_match: "int | None" = None,
+    prefix: "str | None" = None,
 ) -> DataFrame:
     """kernel -> dictionary -> salted repartition -> segment encode ->
-    decode -> top-k, all through the engine's own operators."""
+    decode -> top-k, all through the engine's own operators.
+
+    ``prefix``: PrefixQuery form — ``query_terms`` is ignored and the
+    expansion set is every encoded term starting with ``prefix``
+    (scoring-boolean rewrite, disjunctive). ``min_match``: Solr mm on
+    the disjunctive exact path."""
     from pyspark.sql import functions as F
 
     from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
@@ -556,8 +574,14 @@ def _engine_segment_topk(
         salted = salted_postings(postings, dictionary, n_buckets=8,
                                  salt_threshold=500)
         segments = encode_segments(salted, avgdl, n_buckets=8)
-        wanted = list(query_terms) + list(exclude_terms or [])
-        rows = segments.where(F.col("term").isin(wanted)).collect()
+        if prefix is not None:
+            rows = segments.where(
+                F.col("term").startswith(prefix)
+            ).collect()
+            query_terms = sorted({r["term"] for r in rows})
+        else:
+            wanted = list(query_terms) + list(exclude_terms or [])
+            rows = segments.where(F.col("term").isin(wanted)).collect()
     finally:
         postings.unpersist()
     by_term: dict[str, list] = {}
@@ -603,7 +627,11 @@ def _engine_segment_topk(
             fn = {"wand": wand_topk, "maxscore": maxscore_topk}.get(
                 mode, exact_topk
             )
-            hits = fn(tls, k, avgdl, conjunctive=conjunctive)
+            if fn is exact_topk:
+                hits = fn(tls, k, avgdl, conjunctive=conjunctive,
+                          min_match=min_match)
+            else:
+                hits = fn(tls, k, avgdl, conjunctive=conjunctive)
     return spark.createDataFrame(
         [(int(d), float(round(s, 4))) for d, s in hits],
         "doc_id long, score double",
@@ -933,6 +961,100 @@ _PAIRS["q37_bm25_segments_exclude"] = (
 )
 _PAIRS["q38_phrase_slop_engine"] = ("", _PHRASE_SLOP_DUCK)
 
+
+def _q_bm25_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match (Solr mm / Lucene minimumNumberShouldMatch)
+    through the real pipeline: disjunctive exact merge keeps only docs
+    matching >= 2 of the 3 query terms — a pure filter on the distinct
+    matched-term count, scores unchanged (oracle: HAVING count >= m in
+    the same BM25 SQL)."""
+    return _engine_segment_topk(
+        spark, sf_dir, ["vector", "stream", "batch"], conjunctive=False,
+        min_match=2,
+    )
+
+
+def _q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery 's*' through the real pipeline: term expansion is a
+    startswith scan of the encoded dictionary (Lucene terms-dict seek),
+    then a scoring-boolean disjunctive BM25 over the expansions — each
+    expanded term keeps its own idf (SCORING_BOOLEAN_REWRITE; oracle:
+    the same BM25 SQL with term LIKE 's%')."""
+    return _engine_segment_topk(
+        spark, sf_dir, [], conjunctive=False, prefix="s",
+    )
+
+
+def _q_facets_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr-style facet counts through the REAL engine: build an index
+    whose corpus carries a metadata map (Source_Name/Lang from the
+    documents table -> the EAV sidecar, reference ResourceMetadatum),
+    then facets('spark join', ...) — distributed match kernel ->
+    metadata explode -> (field, value) counts -> per-field top by
+    (count desc, value asc). Doc ids never leave the cluster; the
+    result is the facet table itself."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Source_Name"), F.array(F.col("source")),
+            F.lit("Lang"), F.array(F.col("lang")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_facets_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("source-*", "lang"),
+    )
+    eng.extract(corpus, build_id="entry-facets")
+    out = eng.facets("spark join", ["source-name", "lang"], k_facet=5)
+    rows = [
+        (f, v, int(c)) for f in sorted(out) for v, c in out[f]
+    ]
+    return spark.createDataFrame(rows, "field string, value string, cnt long")
+
+
+_FACETS_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT doc_id FROM tok WHERE term IN ('spark', 'join')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+eav AS (
+  SELECT doc_id, 'source-name' AS field, source AS value FROM documents
+  UNION ALL
+  SELECT doc_id, 'lang' AS field, lang AS value FROM documents),
+c AS (SELECT field, value, CAST(count(*) AS BIGINT) AS cnt
+      FROM eav JOIN m USING (doc_id) GROUP BY field, value),
+r AS (SELECT field, value, cnt,
+             row_number() OVER (PARTITION BY field
+                                ORDER BY cnt DESC, value ASC) AS rn
+      FROM c)
+SELECT field, value, cnt FROM r WHERE rn <= 5 ORDER BY field, rn
+"""
+
+_PAIRS["q39_bm25_min_match"] = (
+    "",
+    _strip_n_matched(
+        _bm25_sql(DUCK_TOK, ["vector", "stream", "batch"], False, 10,
+                  min_match=2)
+    ),
+)
+_PAIRS["q40_prefix_search"] = (
+    "",
+    _strip_n_matched(_bm25_sql(DUCK_TOK, [], False, 10, terms_like="s%")),
+)
+_PAIRS["q41_facets_engine"] = ("", _FACETS_DUCK)
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -945,6 +1067,9 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_bm25_segments_maxscore_lazy": _q_bm25_segments_maxscore_lazy,
     "q37_bm25_segments_exclude": _q_bm25_segments_exclude,
     "q38_phrase_slop_engine": _q_phrase_slop_engine,
+    "q39_bm25_min_match": _q_bm25_min_match,
+    "q40_prefix_search": _q_prefix_search,
+    "q41_facets_engine": _q_facets_engine,
 }
 
 

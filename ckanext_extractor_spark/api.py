@@ -1278,8 +1278,17 @@ class ExtractorEngine:
         mode: str = "auto",
         synonyms: dict[str, list[str]] | None = None,
         exclude: str | None = None,
+        min_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 over the encoded segments.
+
+        ``min_match`` (Solr ``mm`` / Lucene minimumNumberShouldMatch):
+        with ``conjunctive=False``, keep only docs matching at least that
+        many distinct query terms (``min_match == n_terms`` degenerates
+        to conjunctive AND). Supported by the exact kernel and the slow
+        path; explicit ``mode='wand'/'maxscore'`` is rejected — their
+        pruning thresholds assume unfiltered disjunctive top-k, so a
+        post-filter could silently drop qualifying docs.
 
         ``exclude``: negative-terms clause (Lucene MUST_NOT / Solr
         ``-term``): analyzed with the query chain; docs containing ANY
@@ -1317,8 +1326,28 @@ class ExtractorEngine:
             raise ValidationError(f"unknown mode {mode!r}")
         if exclude is not None:
             _require_query(exclude)
+        if min_match is not None:
+            if (
+                isinstance(min_match, bool)
+                or not isinstance(min_match, int)
+                or min_match < 1
+            ):
+                raise ValidationError(
+                    f"min_match must be a positive integer, got {min_match!r}"
+                )
+            if conjunctive:
+                raise ValidationError(
+                    "min_match applies to disjunctive queries; pass "
+                    "conjunctive=False (conjunctive AND already requires "
+                    "every term)"
+                )
+            if mode in ("wand", "maxscore"):
+                raise ValidationError(
+                    "min_match is supported by mode='auto'/'exact'/'slow' "
+                    "only (WAND/MaxScore pruning assumes unfiltered top-k)"
+                )
         ck = (
-            (query, k, conjunctive, mode, exclude)
+            (query, k, conjunctive, mode, exclude, min_match)
             if synonyms is None
             else None
         )
@@ -1328,7 +1357,7 @@ class ExtractorEngine:
                 self._query_cache.move_to_end(ck)
                 return list(hit)
         out = self._search_uncached(query, k, conjunctive, mode, synonyms,
-                                    exclude)
+                                    exclude, min_match)
         if ck is not None:
             self._query_cache[ck] = list(out)
             if len(self._query_cache) > self.QUERY_CACHE_ENTRIES:
@@ -1348,6 +1377,7 @@ class ExtractorEngine:
         mode: str,
         synonyms: dict[str, list[str]] | None,
         exclude: str | None = None,
+        min_match: int | None = None,
     ) -> list[tuple[int, float]]:
         st = self.corpus_stats()
         ex_terms: list[str] = (
@@ -1408,6 +1438,7 @@ class ExtractorEngine:
                     ).astype(np.int64)
             if (
                 not ex_ids.size
+                and min_match is None
                 and not conjunctive
                 and mode in ("auto", "maxscore")
                 and self._tombstone_count() == 0
@@ -1436,7 +1467,7 @@ class ExtractorEngine:
                 "wand": wand_topk,
                 "maxscore": maxscore_topk,
             }.get(mode, exact_topk)
-            if mode == "auto" and not conjunctive and sum(
+            if mode == "auto" and not conjunctive and min_match is None and sum(
                 len(tp.doc_ids) for tp in tls
             ) > self.MAXSCORE_AUTO_ROWS:
                 # big disjunctive unions: the bincount over every posting
@@ -1444,6 +1475,9 @@ class ExtractorEngine:
                 # rank-identical (pinned by fuzz) and orders of magnitude
                 # cheaper when upper bounds are skewed
                 fn = maxscore_topk
+            if fn is exact_topk:
+                return fn(tls, k, st["avgdl"], conjunctive=conjunctive,
+                          min_match=min_match)
             return fn(tls, k, st["avgdl"], conjunctive=conjunctive)
         postings = self._live_postings()
         if postings is None:
@@ -1454,6 +1488,7 @@ class ExtractorEngine:
             k=k, conjunctive=conjunctive,
             config=query_config_for(self.analyzer),
             exclude_terms=ex_terms or None,
+            min_match=min_match,
         ).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
@@ -1632,6 +1667,171 @@ class ExtractorEngine:
             return []
         rows = search_field(fp, field, query).collect()
         return sorted(int(r["doc_id"]) for r in rows)
+
+    PREFIX_MAX_EXPANSIONS = 1024  # Lucene maxClauseCount parity
+
+    def _normalize_prefix(self, prefix) -> str:
+        """Lowercase + single [a-z0-9] run — wildcard terms bypass the
+        full analyzer (Lucene parity: multi-term queries are not
+        analyzed, only case-normalized)."""
+        if not isinstance(prefix, str) or not prefix.strip():
+            raise ValidationError("prefix must be a non-empty string")
+        import re
+
+        runs = re.findall(r"[a-z0-9]+", prefix.lower())
+        if len(runs) != 1:
+            raise ValidationError(
+                f"prefix must normalize to one token, got {prefix!r}"
+            )
+        return runs[0]
+
+    def expand_prefix(
+        self, prefix: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Index terms starting with ``prefix``, sorted (the Lucene
+        terms-dict seek behind PrefixQuery). Warm mode scans the cached
+        term dictionary; cold mode is a distinct over the segment term
+        column with the StringStartsWith filter pushed to parquet
+        (row-group min/max on term prune most of the dictionary).
+        Raises when the expansion exceeds ``max_expansions`` (Lucene
+        maxClauseCount analog) — a too-generic prefix should fail loudly,
+        not scan the corpus."""
+        self._check_access("extractor_search")
+        p = self._normalize_prefix(prefix)
+        cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
+        if self._rows_cache is not None and not self._lazy_serve:
+            terms = sorted(t for t in self._rows_cache if t.startswith(p))
+        else:
+            seg = self._segments_union()
+            if seg is None:
+                return []
+            rows = (
+                seg.select("term")
+                .where(F.col("term").startswith(p))
+                .distinct()
+                .orderBy("term")
+                .limit(cap + 1)
+                .collect()
+            )
+            terms = [r["term"] for r in rows]
+        if len(terms) > cap:
+            raise ValidationError(
+                f"prefix {prefix!r} expands to more than {cap} terms; "
+                "narrow it or raise max_expansions"
+            )
+        return terms
+
+    def prefix_search(
+        self, prefix: str, k: int = 10,
+        max_expansions: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k for a prefix query ``prefix*`` (Solr/Lucene PrefixQuery,
+        the dynamic-field wildcard's term-level sibling).
+
+        Rewrite: scoring-boolean OR over the expanded terms with each
+        term's own idf (Lucene SCORING_BOOLEAN_REWRITE; deliberately NOT
+        the default CONSTANT_SCORE rewrite — scored results are more
+        useful for ranking and the semantics stay SQL-expressible:
+        ``term LIKE 'p%'`` inside the same BM25 formulation). A doc
+        matching several expanded terms sums their contributions, exactly
+        like a disjunctive multi-term query."""
+        self._check_access("extractor_search")
+        _require_k(k)
+        from ckanext_extractor_spark.operators.wand import exact_topk
+
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return []
+        st = self.corpus_stats()
+        tls = self._term_postings(terms, st)
+        tls = [tp for tp in tls if len(tp.doc_ids)]
+        if not tls:
+            return []
+        return exact_topk(tls, k, st["avgdl"], conjunctive=False)
+
+    def facets(
+        self,
+        query: str,
+        fields: list[str],
+        k_facet: int = 10,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Facet counts over the docs matching ``query`` (Solr faceting —
+        the reference's CKAN search UI counts package_search facets over
+        the same Solr index, plugin.py IPackageController).
+
+        Returns {field: [(value, count), ...]} with each field's top
+        ``k_facet`` values by (count desc, value asc) — facet.sort=count.
+
+        Fully distributed plan, no driver materialization of the match
+        set: bucket-pruned segment scan -> decode kernel -> per-doc match
+        aggregate (same kernel as the distributed query path; scores
+        unused, so idf is a placeholder) -> semi-join against doc_stats'
+        metadata map exploded to EAV rows (the reference's
+        ResourceMetadatum key/value rows, stored once — no second
+        metadata table) -> one (field, value) count aggregate ->
+        per-field window top-k. The shuffle is bounded by the query
+        terms' df plus the matched docs' metadata rows — never the
+        corpus."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k_facet)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(fields, (list, tuple)) or not fields or not all(
+            isinstance(f, str) and f.strip() for f in fields
+        ):
+            raise ValidationError(
+                f"fields must be a non-empty list of strings, got {fields!r}"
+            )
+        empty: dict[str, list[tuple[str, int]]] = {f: [] for f in fields}
+        ds = self._read_or_none("doc_stats")
+        if ds is None or "metadata" not in ds.columns:
+            return empty
+        dm = ds.select(
+            "doc_id", F.explode(F.col("metadata")).alias("field", "value")
+        )
+        terms = list(
+            dict.fromkeys(
+                analyze_query(query, config=query_config_for(self.analyzer))
+            )
+        )
+        if not terms:
+            return empty
+        seg = self._segments_union(terms)
+        if seg is None:
+            return empty
+        from pyspark.sql.window import Window
+
+        from ckanext_extractor_spark.operators.wand import (
+            query_segments_distributed,
+        )
+
+        st = self.corpus_stats()
+        dead_pairs, dead_df = self._dead_for_distributed()
+        per_doc = query_segments_distributed(
+            self.spark, seg, {t: 1.0 for t in terms}, st["avgdl"],
+            k=None, conjunctive=conjunctive, n_query_terms=len(terms),
+            dead_pairs=dead_pairs, dead_df=dead_df, min_match=min_match,
+        )
+        counts = (
+            dm.where(F.col("field").isin(list(fields)))
+            .join(per_doc.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("field", "value")
+            .agg(F.count("*").alias("count"))
+        )
+        w = Window.partitionBy("field").orderBy(
+            F.desc("count"), F.asc("value")
+        )
+        rows = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k_facet)
+            .collect()
+        )
+        out = dict(empty)
+        for r in sorted(rows, key=lambda r: (r["field"], r["_rn"])):
+            out[r["field"]].append((r["value"], int(r["count"])))
+        return out
 
     def phrase_search(
         self, query: str, k: int = 10, distributed: bool = False,

@@ -80,10 +80,12 @@ def cmd_query(args) -> int:
         hits = eng.phrase_search(args.q, k=args.k,
                                  distributed=args.distributed,
                                  slop=args.slop)
+    elif args.prefix:
+        hits = eng.prefix_search(args.q, k=args.k)
     else:
         hits = eng.search(
             args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode,
-            exclude=args.exclude,
+            exclude=args.exclude, min_match=args.min_match,
         )
     if args.snippets:
         # window the hits we JUST computed (phrase/--or/--mode respected),
@@ -116,6 +118,19 @@ def cmd_delete(args) -> int:
     eng = _engine(args)
     eng.delete(args.doc_ids)
     print(json.dumps({"deleted": args.doc_ids}))
+    return 0
+
+
+def cmd_facets(args) -> int:
+    eng = _engine(args)
+    out = eng.facets(
+        args.q, args.fields, k_facet=args.k,
+        conjunctive=not args.use_or,
+    )
+    print(json.dumps(
+        {f: [{"value": v, "count": c} for v, c in vs]
+         for f, vs in out.items()}
+    ))
     return 0
 
 
@@ -158,6 +173,12 @@ def main(argv=None) -> int:
     q.add_argument("--exclude", default=None,
                    help="negative terms (Solr -term analog): drop docs "
                         "containing ANY of these analyzed terms")
+    q.add_argument("--min-match", dest="min_match", type=int, default=None,
+                   help="with --or: keep docs matching at least this many "
+                        "distinct query terms (Solr mm)")
+    q.add_argument("--prefix", action="store_true",
+                   help="treat --q as a term prefix (PrefixQuery, "
+                        "scoring-boolean rewrite over index terms)")
     q.add_argument("--phrase", action="store_true",
                    help="consecutive-phrase match (positions-aware)")
     q.add_argument("--slop", type=int, default=0,
@@ -184,6 +205,19 @@ def main(argv=None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("doc_ids", type=int, nargs="+")
     d.set_defaults(fn=cmd_delete)
+
+    fc = sub.add_parser(
+        "facets", help="facet counts over matching docs (Solr faceting)"
+    )
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--q", required=True)
+    fc.add_argument("--fields", nargs="+", required=True,
+                    help="metadata fields (doc_meta keys) to facet on")
+    fc.add_argument("-k", type=int, default=10,
+                    help="top values per field (count desc, value asc)")
+    fc.add_argument("--or", dest="use_or", action="store_true")
+    fc.add_argument("--buckets", type=int, default=64)
+    fc.set_defaults(fn=cmd_facets)
 
     g = sub.add_parser("lineage", help="per-partition build metrics")
     g.add_argument("--index", required=True)

@@ -63,6 +63,7 @@ def bm25_search(
     b: float = BM25_B,
     config=QUERY_CONFIG,
     exclude_terms: "list[str] | None" = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Analyze `query` (query-mode chain, catenation off) and return the
     top-k ``(doc_id, score, n_matched)`` ranked score desc, doc_id asc.
@@ -77,6 +78,9 @@ def bm25_search(
     clause filters, it never changes surviving docs' scores. The anti
     side is bounded by the excluded terms' df (broadcast when small; AQE
     decides).
+
+    ``min_match`` (Solr mm): with ``conjunctive=False``, keep only docs
+    matching at least that many distinct query terms (HAVING count >= m).
     """
     terms = list(dict.fromkeys(analyze_query(query, lang, config)))
     spark = postings.sparkSession
@@ -97,6 +101,8 @@ def bm25_search(
     )
     if conjunctive:
         per_doc = per_doc.where(F.col("n_matched") == len(terms))
+    elif min_match is not None and min_match > 1:
+        per_doc = per_doc.where(F.col("n_matched") >= min_match)
     if exclude_terms:
         ex = (
             postings.where(F.col("term").isin(list(exclude_terms)))

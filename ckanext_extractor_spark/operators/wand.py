@@ -375,8 +375,14 @@ def exact_topk(
     conjunctive: bool = True,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    min_match: int | None = None,
 ) -> list[tuple[int, float]]:
-    """Vectorized brute-force merge; exact, the distributed kernel."""
+    """Vectorized brute-force merge; exact, the distributed kernel.
+
+    ``min_match`` (Solr mm / Lucene minimumNumberShouldMatch): in the
+    disjunctive path, keep only docs matching at least that many DISTINCT
+    query terms. ``min_match=len(term_lists)`` degenerates to conjunctive;
+    ignored when ``conjunctive=True`` (already the strictest form)."""
     if not term_lists:
         return []
     if conjunctive:
@@ -400,6 +406,12 @@ def exact_topk(
         )
         docs, inv = np.unique(all_ids, return_inverse=True)
         total = np.bincount(inv, weights=all_scores)
+        if min_match is not None and min_match > 1:
+            # postings are per-(term, doc) unique, so the occurrence count
+            # of a doc across lists IS its distinct-matched-term count
+            nm = np.bincount(inv)
+            keep = nm >= min_match
+            docs, total = docs[keep], total[keep]
     return _topk_select(docs, total, k)
 
 
@@ -621,11 +633,12 @@ def query_segments_distributed(
     segments: DataFrame,
     terms_idf: dict[str, float],
     avgdl: float,
-    k: int,
+    k: "int | None",
     conjunctive: bool = True,
     n_query_terms: int | None = None,
     dead_pairs: dict | None = None,
     dead_df: "DataFrame | None" = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Cluster-scale path: decode+score inside each term_bucket partition
     (mapInPandas, vectorized), aggregate per doc, global TakeOrdered.
@@ -693,4 +706,9 @@ def query_segments_distributed(
     )
     if conjunctive:
         per_doc = per_doc.where(F.col("n_matched") == nq)
+    elif min_match is not None and min_match > 1:
+        per_doc = per_doc.where(F.col("n_matched") >= min_match)
+    if k is None:
+        # all-matches form (facet counting): no rank materialization
+        return per_doc
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,205 @@
+"""Solr-parity query features added in round 3: minimum_should_match
+(Solr mm), prefix queries (Lucene PrefixQuery, scoring-boolean rewrite),
+and facet counts over matching docs (Solr faceting; the reference's CKAN
+search UI facets package_search over the same Solr index)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ckanext_extractor_spark.api import ExtractorEngine, ValidationError
+
+DOCS = [
+    # (repo, path, commit, lang, content, metadata)
+    ("r/a", "p0", "c0", "markdown", "alpha beta gamma",
+     {"Source_Name": ["web"], "Lang": ["en"]}),
+    ("r/a", "p1", "c1", "markdown", "alpha beta",
+     {"Source_Name": ["web"], "Lang": ["de"]}),
+    ("r/a", "p2", "c2", "markdown", "alpha delta",
+     {"Source_Name": ["book"], "Lang": ["en"]}),
+    ("r/a", "p3", "c3", "markdown", "beta gamma delta",
+     {"Source_Name": ["book"], "Lang": ["en"]}),
+    ("r/a", "p4", "c4", "markdown", "delta epsilon",
+     {"Source_Name": ["wiki"], "Lang": ["en"]}),
+    ("r/a", "p5", "c5", "markdown", "alphabet alpha soup",
+     {"Source_Name": ["wiki"], "Lang": ["de"]}),
+]
+
+SCHEMA = (
+    "repo string, path string, commit string, lang string, "
+    "content string, metadata map<string, array<string>>"
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("qfeat"))
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=50,
+        indexed_fields=("source-*", "lang"),
+    )
+    eng.extract(spark.createDataFrame(DOCS, SCHEMA), build_id="qf")
+    eng.warm()
+    return eng
+
+
+def _ids(eng):
+    rows = eng.spark.read.parquet(eng._p("doc_stats")).select(
+        "path", "doc_id"
+    ).collect()
+    return {r["path"]: r["doc_id"] for r in rows}
+
+
+# -- minimum_should_match (Solr mm) ------------------------------------------
+
+
+def test_min_match_filters_by_matched_term_count(engine):
+    ids = _ids(engine)
+    q = "alpha beta gamma"
+    got2 = {d for d, _ in engine.search(q, k=10, conjunctive=False,
+                                        min_match=2)}
+    # >=2 of {alpha, beta, gamma}: p0 (3), p1 (2), p3 (2); p2/p5 match
+    # only alpha
+    assert got2 == {ids["p0"], ids["p1"], ids["p3"]}
+    got3 = {d for d, _ in engine.search(q, k=10, conjunctive=False,
+                                        min_match=3)}
+    assert got3 == {d for d, _ in engine.search(q, k=10, conjunctive=True)}
+
+
+def test_min_match_is_a_filter_not_a_rescore(engine):
+    full = dict(engine.search("alpha beta gamma", k=10, conjunctive=False))
+    got = engine.search("alpha beta gamma", k=10, conjunctive=False,
+                        min_match=2)
+    for d, s in got:
+        assert abs(full[d] - s) < 1e-12
+    # min_match=1 is plain OR
+    assert engine.search("alpha beta gamma", k=10, conjunctive=False,
+                         min_match=1) == \
+        engine.search("alpha beta gamma", k=10, conjunctive=False)
+
+
+def test_min_match_slow_path_parity(engine):
+    want = engine.search("alpha beta gamma", k=10, conjunctive=False,
+                         min_match=2)
+    got = engine.search("alpha beta gamma", k=10, conjunctive=False,
+                        min_match=2, mode="slow")
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+
+
+def test_min_match_validation(engine):
+    for bad in (0, -1, 1.5, "2", True):
+        with pytest.raises(ValidationError):
+            engine.search("alpha beta", conjunctive=False, min_match=bad)
+    with pytest.raises(ValidationError):
+        engine.search("alpha beta", conjunctive=True, min_match=2)
+    for mode in ("wand", "maxscore"):
+        with pytest.raises(ValidationError):
+            engine.search("alpha beta", conjunctive=False, min_match=2,
+                          mode=mode)
+
+
+# -- prefix queries (Lucene PrefixQuery) -------------------------------------
+
+
+def test_expand_prefix_warm_and_cold_agree(engine, spark):
+    assert engine.expand_prefix("alp") == ["alpha", "alphabet"]
+    assert engine.expand_prefix("alphab") == ["alphabet"]
+    assert engine.expand_prefix("zzz") == []
+    cold = ExtractorEngine(
+        spark, engine.root, n_buckets=8, salt_threshold=50,
+        indexed_fields=("source-*", "lang"),
+    )
+    assert cold.expand_prefix("alp") == ["alpha", "alphabet"]
+    assert cold.expand_prefix("zzz") == []
+
+
+def test_prefix_search_is_scoring_boolean_over_expansions(engine):
+    got = engine.prefix_search("alp", k=10)
+    # identical to the disjunctive multi-term query over the expansions
+    want = engine.search("alpha alphabet", k=10, conjunctive=False,
+                         mode="exact")
+    assert got == want
+    assert {d for d, _ in got} >= {_ids(engine)["p5"]}
+
+
+def test_prefix_max_expansions_and_validation(engine):
+    with pytest.raises(ValidationError):
+        engine.expand_prefix("a", max_expansions=1)
+    for bad in ("", "  ", "two words", None, 7):
+        with pytest.raises(ValidationError):
+            engine.expand_prefix(bad)
+    # case-normalized like Lucene wildcard terms (lowercased, unanalyzed)
+    assert engine.expand_prefix("ALP") == ["alpha", "alphabet"]
+
+
+# -- facets (Solr faceting over doc_stats metadata) --------------------------
+
+
+def test_facets_counts_and_order(engine):
+    out = engine.facets("alpha", ["source-name", "lang"], k_facet=10)
+    # alpha docs: p0, p1, p2, p5
+    assert out["source-name"] == [("web", 2), ("book", 1), ("wiki", 1)]
+    assert out["lang"] == [("de", 2), ("en", 2)]  # count ties: value asc
+    top1 = engine.facets("alpha", ["source-name"], k_facet=1)
+    assert top1["source-name"] == [("web", 2)]
+
+
+def test_facets_disjunctive_and_min_match(engine):
+    out = engine.facets("alpha delta", ["source-name"], conjunctive=False)
+    # every doc matches alpha or delta
+    assert out["source-name"] == [("book", 2), ("web", 2), ("wiki", 2)]
+    out2 = engine.facets("alpha delta", ["source-name"],
+                         conjunctive=False, min_match=2)
+    # both terms: p2 only
+    assert out2["source-name"] == [("book", 1)]
+
+
+def test_facets_unknown_field_and_validation(engine):
+    out = engine.facets("alpha", ["nope"])
+    assert out == {"nope": []}
+    for bad_fields in ([], "lang", [""], [1]):
+        with pytest.raises(ValidationError):
+            engine.facets("alpha", bad_fields)
+    with pytest.raises(ValidationError):
+        engine.facets("", ["lang"])
+
+
+def test_facets_respect_tombstones(spark, tmp_path):
+    eng = ExtractorEngine(
+        spark, str(tmp_path / "qfdel"), n_buckets=8, salt_threshold=50,
+        indexed_fields=("source-*", "lang"),
+    )
+    eng.extract(spark.createDataFrame(DOCS, SCHEMA), build_id="qf2")
+    ids = _ids(eng)
+    eng.delete([ids["p0"]])
+    out = eng.facets("alpha", ["source-name"])
+    assert out["source-name"] == [("book", 1), ("web", 1), ("wiki", 1)]
+
+
+# -- CLI surface -------------------------------------------------------------
+
+
+def test_cli_prefix_min_match_facets(engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    assert main(["query", "--index", engine.root, "--q", "alp",
+                 "--prefix", "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines and {d for d in (r["doc_id"] for r in lines)} >= {
+        _ids(engine)["p5"]
+    }
+    assert main(["query", "--index", engine.root, "--q",
+                 "alpha beta gamma", "--or", "--min-match", "2",
+                 "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    assert main(["facets", "--index", engine.root, "--q", "alpha",
+                 "--fields", "source-name", "lang", "--buckets", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["source-name"][0] == {"value": "web", "count": 2}
