@@ -54,7 +54,9 @@ def _bm25_sql(tok_cte: str, query_terms: list[str], conjunctive: bool,
               k: int | None,
               exclude_terms: "list[str] | None" = None,
               min_match: int | None = None,
-              terms_like: str | None = None) -> str:
+              terms_like: str | None = None,
+              terms_fuzzy: "tuple[str, int] | None" = None,
+              fq_where: str | None = None) -> str:
     """One BM25 formulation, instantiated per dialect. Shapes (doc_id, score,
     n_matched); rank by rounded score desc, doc_id asc.
 
@@ -70,18 +72,24 @@ def _bm25_sql(tok_cte: str, query_terms: list[str], conjunctive: bool,
         cond = f"HAVING count(*) >= {min_match}"
     else:
         cond = ""
-    term_pred = (
-        f"tf.term LIKE '{terms_like}'" if terms_like
-        else f"tf.term IN ({terms_in})"
-    )
+    if terms_like:
+        term_pred = f"tf.term LIKE '{terms_like}'"
+    elif terms_fuzzy:
+        ft, fn = terms_fuzzy
+        term_pred = f"levenshtein(tf.term, '{ft}') <= {fn}"
+    else:
+        term_pred = f"tf.term IN ({terms_in})"
     limit = f"LIMIT {k}" if k else ""
-    where_ex = ""
+    conds = []
     if exclude_terms:
         ex_in = ", ".join(f"'{t}'" for t in exclude_terms)
-        where_ex = (
-            "WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+        conds.append(
+            "doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
             f"WHERE term IN ({ex_in}))"
         )
+    if fq_where:
+        conds.append(fq_where)
+    where_ex = ("WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
 WITH tok AS ({tok_cte}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -535,6 +543,8 @@ def _engine_segment_topk(
     exclude_terms: "list[str] | None" = None,
     min_match: "int | None" = None,
     prefix: "str | None" = None,
+    pattern: "str | None" = None,
+    fuzzy: "tuple[str, int] | None" = None,
 ) -> DataFrame:
     """kernel -> dictionary -> salted repartition -> segment encode ->
     decode -> top-k, all through the engine's own operators.
@@ -578,6 +588,22 @@ def _engine_segment_topk(
             rows = segments.where(
                 F.col("term").startswith(prefix)
             ).collect()
+            query_terms = sorted({r["term"] for r in rows})
+        elif pattern is not None:
+            # WildcardQuery: glob -> SQL LIKE over the encoded terms
+            like = pattern.replace("*", "%").replace("?", "_")
+            rows = segments.where(F.col("term").like(like)).collect()
+            query_terms = sorted({r["term"] for r in rows})
+        elif fuzzy is not None:
+            # FuzzyQuery: length-window prune + thresholded levenshtein
+            ft, fn = fuzzy
+            rows = (
+                segments.where(
+                    F.length("term").between(len(ft) - fn, len(ft) + fn)
+                )
+                .where(F.levenshtein(F.col("term"), F.lit(ft), fn) >= 0)
+                .collect()
+            )
             query_terms = sorted({r["term"] for r in rows})
         else:
             wanted = list(query_terms) + list(exclude_terms or [])
@@ -1055,6 +1081,102 @@ _PAIRS["q40_prefix_search"] = (
 )
 _PAIRS["q41_facets_engine"] = ("", _FACETS_DUCK)
 
+
+def _q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WildcardQuery 's*m' through the real pipeline: the expansion is a
+    LIKE scan of the encoded dictionary (glob -> 's%m'), then the same
+    scoring-boolean disjunctive BM25 as prefix search (q40 IS the
+    trailing-star special case; oracle: term LIKE 's%m')."""
+    return _engine_segment_topk(
+        spark, sf_dir, [], conjunctive=False, pattern="s*m",
+    )
+
+
+def _q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery 'vektor'~1 through the real pipeline: expansion =
+    encoded terms within Levenshtein distance 1 (length-window prune
+    pushed to the scan, thresholded F.levenshtein), then scoring-boolean
+    disjunctive BM25 with each expansion's own idf (pinned divergence
+    from Lucene's similarity-blended boost; oracle: the same BM25 SQL
+    with levenshtein(term, 'vektor') <= 1)."""
+    return _engine_segment_topk(
+        spark, sf_dir, [], conjunctive=False, fuzzy=("vektor", 1),
+    )
+
+
+def _q_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr fq through the REAL engine: build an index whose corpus
+    carries a metadata map (the EAV sidecar), then
+    search('spark join', fq={'source-name': 'src3'}) — the filter
+    restricts results to docs whose metadata field matches, scores stay
+    the full-corpus BM25 values (a filter clause never rescores;
+    reference analog: package_search fq on the dynamic
+    ckanext-extractor_{id}_{key} fields, plugin.py:40,140). Engine doc
+    ids map back to documents.doc_id via the corpus path."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Source_Name"), F.array(F.col("source")),
+            F.lit("Lang"), F.array(F.col("lang")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_fq_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("source-*", "lang"),
+    )
+    eng.extract(corpus, build_id="entry-fq")
+    hits = eng.search("spark join", k=10**9, conjunctive=True,
+                      fq={"source-name": "src3"})
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_PAIRS["q42_wildcard_search"] = (
+    "",
+    _strip_n_matched(_bm25_sql(DUCK_TOK, [], False, 10, terms_like="s%m")),
+)
+_PAIRS["q43_fuzzy_search"] = (
+    "",
+    _strip_n_matched(
+        _bm25_sql(DUCK_TOK, [], False, 10, terms_fuzzy=("vektor", 1))
+    ),
+)
+_PAIRS["q44_filter_query"] = (
+    "",
+    _strip_n_matched(
+        _bm25_sql(
+            DUCK_TOK, ["spark", "join"], True, 10,
+            fq_where=(
+                "doc_id IN (SELECT doc_id FROM documents "
+                "WHERE source = 'src3')"
+            ),
+        )
+    ),
+)
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -1070,6 +1192,9 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_bm25_min_match": _q_bm25_min_match,
     "q40_prefix_search": _q_prefix_search,
     "q41_facets_engine": _q_facets_engine,
+    "q42_wildcard_search": _q_wildcard_search,
+    "q43_fuzzy_search": _q_fuzzy_search,
+    "q44_filter_query": _q_filter_query,
 }
 
 

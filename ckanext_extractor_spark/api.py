@@ -145,6 +145,36 @@ def _require_k(k) -> int:
     return k
 
 
+def _edit_distance_leq(a: str, b: str, n: int) -> bool:
+    """Levenshtein(a, b) <= n, with the length gate and an early-exit
+    band (every DP row whose minimum exceeds n can never recover). The
+    driver-side analog of the thresholded F.levenshtein the cold
+    expansion path pushes into the cluster."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > n:
+        return False
+    if a == b:
+        return True
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ai = a[i - 1]
+        cur = [i]
+        row_min = i
+        for j in range(1, lb + 1):
+            c = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ai != b[j - 1]),
+            )
+            cur.append(c)
+            if c < row_min:
+                row_min = c
+        if row_min > n:
+            return False
+        prev = cur
+    return prev[lb] <= n
+
+
 def _require_slop(slop) -> int:
     if isinstance(slop, bool) or not isinstance(slop, int) or slop < 0:
         raise ValidationError(
@@ -209,6 +239,7 @@ class ExtractorEngine:
         ignore_where: str | None = None,
         indexed_fields: Iterable[str] = ("*",),
         store_content: bool = False,
+        store_offsets: bool = False,
         auth_context: dict | None = None,
     ):
         """``ignore_where``: SQL predicate over corpus columns marking docs
@@ -229,6 +260,15 @@ class ExtractorEngine:
         extractor_show returns it) — enables show()['fulltext'] and
         snippets().
 
+        ``store_offsets``: also store a per-doc token-position ->
+        char-offset blob in doc_store (Lucene
+        IndexOptions..AND_OFFSETS / term vectors with offsets,
+        FastVectorHighlighter's input): snippets() then anchors
+        highlights with a point varbyte decode instead of re-analyzing
+        the text at query time. Computed in the same scan that writes
+        doc_store; opt-in because every stored doc pays ~1 byte/token.
+        Requires store_content.
+
         ``auth_context``: per-action authorization principal, e.g.
         ``{"user": "alice", "sysadmin": False}`` (reference
         logic/auth.py:39-42 — extract/delete sysadmin-only, list/show
@@ -245,6 +285,7 @@ class ExtractorEngine:
         self.ignore_where = ignore_where
         self.indexed_fields = tuple(indexed_fields)
         self.store_content = store_content
+        self.store_offsets = store_offsets
         self.auth_context = auth_context
         # serving caches (warm()): raw segment rows + LRU decoded postings
         self._rows_cache: dict[str, list] | None = None
@@ -279,6 +320,9 @@ class ExtractorEngine:
             self.store_content = bool(
                 meta.get("store_content", self.store_content)
             )
+            self.store_offsets = bool(
+                meta.get("store_offsets", self.store_offsets)
+            )
             # the analyzer contract is INDEX state too (custom stopword
             # sets are not persisted — pass the same analyzer explicitly
             # for those); a reopened engine must analyze queries with the
@@ -291,6 +335,11 @@ class ExtractorEngine:
                 self.analyzer = _dc_replace(SIMPLE_CONFIG, stem=stem)
             elif (mode, stem) != (self.analyzer.mode, self.analyzer.stem):
                 self.analyzer = AnalyzerConfig(mode=mode, stem=stem)
+        if self.store_offsets and not self.store_content:
+            raise ValidationError(
+                "store_offsets requires store_content=True (offsets live "
+                "in the doc_store rows)"
+            )
 
     def _meta_path(self) -> str:
         return os.path.join(self.root, "index_meta.json")
@@ -311,6 +360,7 @@ class ExtractorEngine:
                     "analyzer_stem": self.analyzer.stem,
                     "bm25": {"k1": 1.2, "b": 0.75},
                     "store_content": self.store_content,
+                    "store_offsets": self.store_offsets,
                     "seq": self._seq,
                     "generations": self._gens,
                 }
@@ -627,6 +677,16 @@ class ExtractorEngine:
             batch_store = prepared.join(
                 to_index_ids, "doc_id", "left_semi"
             ).select("doc_id", "content")
+            if self.store_offsets:
+                # position->char offsets ride the same scan (offsets.py;
+                # Lucene IndexOptions..AND_OFFSETS computed at index time)
+                from ckanext_extractor_spark.operators.offsets import (
+                    offsets_udf,
+                )
+
+                batch_store = batch_store.withColumn(
+                    "pos_offsets", offsets_udf(self.analyzer)(F.col("content"))
+                )
             prev_store = self._read_or_none("doc_store")
             if prev_store is not None:
                 dropped_st = to_index_ids.unionByName(
@@ -634,9 +694,12 @@ class ExtractorEngine:
                         F.col("status") == STATUS_IGNORED
                     ).select("doc_id")
                 )
+                # allowMissingColumns: a store written before (or after)
+                # offsets were enabled merges with null blobs — snippet
+                # lookups fall back to the analyzer re-scan for those docs
                 batch_store = prev_store.join(
                     dropped_st, "doc_id", "left_anti"
-                ).unionByName(batch_store)
+                ).unionByName(batch_store, allowMissingColumns=True)
             # fulltext compresses ~3-5x under zstd and the doc store is
             # read only for show()/snippets() point lookups — storage
             # cost, not scan cost, dominates it at corpus scale
@@ -964,10 +1027,15 @@ class ExtractorEngine:
                                    mode=mode)
         if not hits:
             return []
-        texts = {
-            int(r["doc_id"]): r["content"]
-            for r in self._doc_store_rows([d for d, _ in hits])
-        }
+        store_rows = self._doc_store_rows([d for d, _ in hits])
+        texts = {int(r["doc_id"]): r["content"] for r in store_rows}
+        blobs: dict[int, bytes] = {}
+        if store_rows and "pos_offsets" in store_rows[0].__fields__:
+            blobs = {
+                int(r["doc_id"]): r["pos_offsets"]
+                for r in store_rows
+                if r["pos_offsets"]
+            }
         qterms = analyze_query(query, config=query_config_for(self.analyzer))
         # primary anchor source: the INDEX's positions for the query terms
         # in each hit doc (first = earliest analyzed match) — correct
@@ -987,7 +1055,20 @@ class ExtractorEngine:
             low = text.lower()
             fp = first_pos.get(int(d))
             if fp is not None:
-                at = self._char_of_position(text, fp)
+                # stored-offsets fast path (point varbyte decode); docs
+                # stored before offsets were enabled re-scan instead
+                from ckanext_extractor_spark.operators.offsets import (
+                    char_of_position_blob,
+                )
+
+                blob = blobs.get(int(d))
+                at = (
+                    char_of_position_blob(bytes(blob), fp)
+                    if blob is not None
+                    else None
+                )
+                if at is None:
+                    at = self._char_of_position(text, fp)
             else:
                 at = next(
                     (p for p in (low.find(t) for t in probes) if p >= 0), 0
@@ -1279,8 +1360,21 @@ class ExtractorEngine:
         synonyms: dict[str, list[str]] | None = None,
         exclude: str | None = None,
         min_match: int | None = None,
+        fq: dict[str, str] | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 over the encoded segments.
+
+        ``fq`` (Solr filter query / Lucene FILTER clause — the
+        reference's package_search always narrows by fq on the dynamic
+        metadata fields, plugin.py:40,140): ``{field: value_query}``
+        restricts results to docs whose metadata ``field`` contains ALL
+        analyzed tokens of ``value_query`` (multiple fields AND
+        together). Filters never change surviving docs' scores — idf and
+        avgdl stay the full-corpus values. Kernel modes restrict the
+        decoded lists pre-scoring (one searchsorted per list — sound for
+        WAND/MaxScore since block maxima stay valid loose bounds); the
+        slow path left-semi-joins the filter match DataFrame so the
+        filter set never touches the driver. An fq forces eager decode.
 
         ``min_match`` (Solr ``mm`` / Lucene minimumNumberShouldMatch):
         with ``conjunctive=False``, keep only docs matching at least that
@@ -1346,8 +1440,23 @@ class ExtractorEngine:
                     "min_match is supported by mode='auto'/'exact'/'slow' "
                     "only (WAND/MaxScore pruning assumes unfiltered top-k)"
                 )
+        if fq is not None:
+            if (
+                not isinstance(fq, dict)
+                or not fq
+                or not all(
+                    isinstance(f, str) and f.strip()
+                    and isinstance(v, str) and v.strip()
+                    for f, v in fq.items()
+                )
+            ):
+                raise ValidationError(
+                    "fq must be a non-empty {field: value_query} dict of "
+                    f"non-empty strings, got {fq!r}"
+                )
+        fq_key = tuple(sorted(fq.items())) if fq else None
         ck = (
-            (query, k, conjunctive, mode, exclude, min_match)
+            (query, k, conjunctive, mode, exclude, min_match, fq_key)
             if synonyms is None
             else None
         )
@@ -1357,7 +1466,7 @@ class ExtractorEngine:
                 self._query_cache.move_to_end(ck)
                 return list(hit)
         out = self._search_uncached(query, k, conjunctive, mode, synonyms,
-                                    exclude, min_match)
+                                    exclude, min_match, fq)
         if ck is not None:
             self._query_cache[ck] = list(out)
             if len(self._query_cache) > self.QUERY_CACHE_ENTRIES:
@@ -1378,8 +1487,12 @@ class ExtractorEngine:
         synonyms: dict[str, list[str]] | None,
         exclude: str | None = None,
         min_match: int | None = None,
+        fq: dict[str, str] | None = None,
     ) -> list[tuple[int, float]]:
         st = self.corpus_stats()
+        fq_df = self._fq_match_df(fq)
+        if fq is not None and fq_df is None:
+            return []
         ex_terms: list[str] = (
             list(
                 dict.fromkeys(
@@ -1395,6 +1508,10 @@ class ExtractorEngine:
             if ex_terms:
                 raise ValidationError(
                     "exclude is not supported together with synonyms"
+                )
+            if fq is not None:
+                raise ValidationError(
+                    "fq is not supported together with synonyms"
                 )
             from ckanext_extractor_spark.operators.query import (
                 bm25_search_synonyms,
@@ -1439,6 +1556,7 @@ class ExtractorEngine:
             if (
                 not ex_ids.size
                 and min_match is None
+                and fq_df is None
                 and not conjunctive
                 and mode in ("auto", "maxscore")
                 and self._tombstone_count() == 0
@@ -1460,6 +1578,23 @@ class ExtractorEngine:
                 )
 
                 tls = [exclude_docs(tp, ex_ids) for tp in tls]
+            if fq_df is not None:
+                # warm/kernel path: the filter match set comes to the
+                # driver as a sorted id array (bounded by the metadata
+                # match df — use mode='slow' for filters matching a
+                # large corpus fraction at cluster scale: it semi-joins
+                # without driver materialization)
+                from ckanext_extractor_spark.operators.wand import (
+                    restrict_docs,
+                )
+
+                fq_ids = np.array(
+                    sorted(r["doc_id"] for r in fq_df.collect()),
+                    dtype=np.int64,
+                )
+                if not fq_ids.size:
+                    return []
+                tls = [restrict_docs(tp, fq_ids) for tp in tls]
             tls = [tp for tp in tls if len(tp.doc_ids)]
             if conjunctive and len(tls) < len(terms):
                 return []
@@ -1489,6 +1624,7 @@ class ExtractorEngine:
             config=query_config_for(self.analyzer),
             exclude_terms=ex_terms or None,
             min_match=min_match,
+            include_df=fq_df,
         ).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
@@ -1668,6 +1804,28 @@ class ExtractorEngine:
         rows = search_field(fp, field, query).collect()
         return sorted(int(r["doc_id"]) for r in rows)
 
+    def _fq_match_df(self, fq: dict[str, str] | None) -> DataFrame | None:
+        """doc_id DataFrame matching ALL fq clauses (Solr filter-query
+        semantics: each ``{field: value_query}`` is an unscored AND over
+        the field's analyzed tokens; multiple fields intersect). None
+        when no fq was given OR the index has no metadata sidecar (the
+        caller treats the latter as an empty match). The per-field
+        matches are aggregates over the pushed-filter field_postings
+        scan; the intersection is doc_id equi-joins (AQE broadcasts the
+        small side) — nothing here materializes on the driver."""
+        if not fq:
+            return None
+        from ckanext_extractor_spark.operators.fields import search_field
+
+        fp = self._read_or_none("field_postings")
+        if fp is None:
+            return None
+        out: DataFrame | None = None
+        for field, q in sorted(fq.items()):
+            m = search_field(fp, field, q).select("doc_id")
+            out = m if out is None else out.join(m, "doc_id")
+        return out
+
     PREFIX_MAX_EXPANSIONS = 1024  # Lucene maxClauseCount parity
 
     def _normalize_prefix(self, prefix) -> str:
@@ -1737,9 +1895,17 @@ class ExtractorEngine:
         like a disjunctive multi-term query."""
         self._check_access("extractor_search")
         _require_k(k)
+        terms = self.expand_prefix(prefix, max_expansions)
+        return self._expanded_topk(terms, k)
+
+    def _expanded_topk(
+        self, terms: list[str], k: int
+    ) -> list[tuple[int, float]]:
+        """Scoring-boolean disjunctive top-k over an already-expanded
+        term set (the shared tail of prefix/wildcard/fuzzy queries —
+        Lucene SCORING_BOOLEAN_REWRITE)."""
         from ckanext_extractor_spark.operators.wand import exact_topk
 
-        terms = self.expand_prefix(prefix, max_expansions)
         if not terms:
             return []
         st = self.corpus_stats()
@@ -1748,6 +1914,144 @@ class ExtractorEngine:
         if not tls:
             return []
         return exact_topk(tls, k, st["avgdl"], conjunctive=False)
+
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Index terms matching a ``*``/``?`` glob (Lucene WildcardQuery
+        term expansion). Warm mode fnmatches the cached term dictionary;
+        cold mode scans distinct segment terms with the leading literal
+        run pushed as a StringStartsWith parquet filter (the terms-dict
+        seek Lucene gets from its FST — row-group min/max on term prune
+        everything before the first wildcard). Caps like expand_prefix."""
+        self._check_access("extractor_search")
+        if not isinstance(pattern, str) or not pattern.strip():
+            raise ValidationError("pattern must be a non-empty string")
+        import fnmatch
+        import re
+
+        p = pattern.lower().strip()
+        if not re.fullmatch(r"[a-z0-9*?]+", p):
+            raise ValidationError(
+                "pattern may contain only [a-z0-9], '*' and '?', got "
+                f"{pattern!r}"
+            )
+        if not re.search(r"[a-z0-9]", p):
+            raise ValidationError(
+                f"pattern needs at least one literal character: {pattern!r}"
+            )
+        cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
+        if self._rows_cache is not None and not self._lazy_serve:
+            terms = sorted(fnmatch.filter(self._rows_cache, p))
+        else:
+            seg = self._segments_union()
+            if seg is None:
+                return []
+            lead = re.match(r"[a-z0-9]*", p).group(0)
+            scan = seg.select("term")
+            if lead:
+                scan = scan.where(F.col("term").startswith(lead))
+            like = p.replace("*", "%").replace("?", "_")
+            rows = (
+                scan.where(F.col("term").like(like))
+                .distinct()
+                .orderBy("term")
+                .limit(cap + 1)
+                .collect()
+            )
+            terms = [r["term"] for r in rows]
+        if len(terms) > cap:
+            raise ValidationError(
+                f"pattern {pattern!r} expands to more than {cap} terms; "
+                "narrow it or raise max_expansions"
+            )
+        return terms
+
+    def wildcard_search(
+        self, pattern: str, k: int = 10,
+        max_expansions: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k for a glob term query (Solr/Lucene WildcardQuery) —
+        scoring-boolean OR over the expansion, per-term idf, same
+        rewrite-and-score shape as prefix_search (a prefix query IS the
+        ``p*`` special case)."""
+        self._check_access("extractor_search")
+        _require_k(k)
+        return self._expanded_topk(self.expand_wildcard(
+            pattern, max_expansions), k)
+
+    FUZZY_MAX_EDITS = 2  # Lucene LevenshteinAutomata ceiling
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 1,
+        max_expansions: int | None = None,
+    ) -> list[str]:
+        """Index terms within ``max_edits`` Levenshtein distance of
+        ``term`` (Lucene FuzzyQuery expansion; edit ceiling 2 matches
+        LevenshteinAutomata). Warm mode runs a banded DP over the cached
+        dictionary; cold mode scans distinct segment terms with a pushed
+        length-window filter, then Spark's built-in thresholded
+        levenshtein — the candidate set never leaves the cluster
+        unfiltered."""
+        self._check_access("extractor_search")
+        if not (
+            isinstance(max_edits, int)
+            and not isinstance(max_edits, bool)
+            and 1 <= max_edits <= self.FUZZY_MAX_EDITS
+        ):
+            raise ValidationError(
+                f"max_edits must be 1..{self.FUZZY_MAX_EDITS}, "
+                f"got {max_edits!r}"
+            )
+        p = self._normalize_prefix(term)  # one lowercase [a-z0-9] token
+        cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
+        if self._rows_cache is not None and not self._lazy_serve:
+            terms = sorted(
+                t for t in self._rows_cache
+                if _edit_distance_leq(p, t, max_edits)
+            )
+        else:
+            seg = self._segments_union()
+            if seg is None:
+                return []
+            rows = (
+                seg.select("term")
+                .where(
+                    F.length("term").between(
+                        len(p) - max_edits, len(p) + max_edits
+                    )
+                )
+                .distinct()
+                .where(
+                    F.levenshtein(F.col("term"), F.lit(p), max_edits) >= 0
+                )
+                .orderBy("term")
+                .limit(cap + 1)
+                .collect()
+            )
+            terms = [r["term"] for r in rows]
+        if len(terms) > cap:
+            raise ValidationError(
+                f"fuzzy {term!r}~{max_edits} expands to more than {cap} "
+                "terms; narrow it or raise max_expansions"
+            )
+        return terms
+
+    def fuzzy_search(
+        self, term: str, k: int = 10, max_edits: int = 1,
+        max_expansions: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k for a fuzzy term query ``term~n`` (Solr/Lucene
+        FuzzyQuery). Rewrite: scoring-boolean OR with each expansion's
+        own idf — deliberately NOT Lucene's similarity-blended boost
+        (TopTermsBlendedFreqScoringRewrite), which would make scores
+        depend on the expansion set; per-term idf keeps the semantics
+        SQL-expressible (levenshtein(term, q) <= n inside the same BM25
+        formulation) and the divergence is pinned here."""
+        self._check_access("extractor_search")
+        _require_k(k)
+        return self._expanded_topk(
+            self.expand_fuzzy(term, max_edits, max_expansions), k)
 
     def facets(
         self,

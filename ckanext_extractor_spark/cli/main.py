@@ -82,10 +82,20 @@ def cmd_query(args) -> int:
                                  slop=args.slop)
     elif args.prefix:
         hits = eng.prefix_search(args.q, k=args.k)
+    elif args.wildcard:
+        hits = eng.wildcard_search(args.q, k=args.k)
+    elif args.fuzzy is not None:
+        hits = eng.fuzzy_search(args.q, k=args.k, max_edits=args.fuzzy)
     else:
+        fq = None
+        if args.fq:
+            fq = {}
+            for spec in args.fq:
+                field, _, val = spec.partition("=")
+                fq[field] = val
         hits = eng.search(
             args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode,
-            exclude=args.exclude, min_match=args.min_match,
+            exclude=args.exclude, min_match=args.min_match, fq=fq,
         )
     if args.snippets:
         # window the hits we JUST computed (phrase/--or/--mode respected),
@@ -179,6 +189,17 @@ def main(argv=None) -> int:
     q.add_argument("--prefix", action="store_true",
                    help="treat --q as a term prefix (PrefixQuery, "
                         "scoring-boolean rewrite over index terms)")
+    q.add_argument("--wildcard", action="store_true",
+                   help="treat --q as a */? glob over index terms "
+                        "(WildcardQuery)")
+    q.add_argument("--fuzzy", type=int, default=None, metavar="N",
+                   help="treat --q as a fuzzy term with edit distance "
+                        "<= N (FuzzyQuery term~N)")
+    q.add_argument("--fq", action="append", default=None,
+                   metavar="FIELD=QUERY",
+                   help="filter query on a metadata field (Solr fq; "
+                        "repeatable, fields AND together; never changes "
+                        "scores)")
     q.add_argument("--phrase", action="store_true",
                    help="consecutive-phrase match (positions-aware)")
     q.add_argument("--slop", type=int, default=0,

@@ -78,7 +78,9 @@ def varbyte_decode(buf: bytes, offset: int = 0, count: int | None = None):
         return np.array([], dtype=np.uint64), offset
     is_last = (raw & 0x80) == 0
     n_avail = int(is_last.sum())
-    n = n_avail if count is None else count
+    # clamp: a short read returns what's there (callers that need an
+    # exact count check the returned size)
+    n = n_avail if count is None else min(count, n_avail)
     if n == 0:
         return np.array([], dtype=np.uint64), offset
     # positions of value terminators; the n-th terminator bounds our read

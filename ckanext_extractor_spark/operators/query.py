@@ -64,6 +64,7 @@ def bm25_search(
     config=QUERY_CONFIG,
     exclude_terms: "list[str] | None" = None,
     min_match: int | None = None,
+    include_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Analyze `query` (query-mode chain, catenation off) and return the
     top-k ``(doc_id, score, n_matched)`` ranked score desc, doc_id asc.
@@ -81,6 +82,12 @@ def bm25_search(
 
     ``min_match`` (Solr mm): with ``conjunctive=False``, keep only docs
     matching at least that many distinct query terms (HAVING count >= m).
+
+    ``include_df``: one-column ``doc_id`` DataFrame of allowed docs
+    (Solr fq / Lucene FILTER clause): a left-semi join applied after
+    scoring — filters restrict the result set, never the scores (idf
+    stays the full-corpus value). At cluster scale the filter set never
+    touches the driver; AQE broadcasts it when small.
     """
     terms = list(dict.fromkeys(analyze_query(query, lang, config)))
     spark = postings.sparkSession
@@ -110,6 +117,10 @@ def bm25_search(
             .distinct()
         )
         per_doc = per_doc.join(ex, "doc_id", "left_anti")
+    if include_df is not None:
+        per_doc = per_doc.join(
+            include_df.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

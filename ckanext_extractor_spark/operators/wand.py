@@ -368,6 +368,35 @@ def exclude_docs(tp: TermPostings, ex_ids: "np.ndarray") -> TermPostings:
     )
 
 
+def restrict_docs(tp: TermPostings, allowed: "np.ndarray") -> TermPostings:
+    """``tp`` restricted to postings of ``allowed`` (sorted asc) — the
+    filter-query (Solr fq / Lucene FILTER clause) pre-score restriction.
+    Like :func:`exclude_docs`, idf and block-max arrays are KEPT: a
+    filter clause never changes surviving docs' scores (idf stays the
+    full-corpus value), and block maxima remain valid loose upper bounds
+    after row removal, so WAND/MaxScore pruning stays sound."""
+    n = len(tp.doc_ids)
+    if n == 0:
+        return tp
+    if allowed.size == 0:
+        e = np.empty(0, dtype=tp.doc_ids.dtype)
+        return TermPostings(
+            tp.term, tp.idf, e, e.astype(tp.tfs.dtype),
+            e.astype(tp.doc_lens.dtype), tp.block_last_doc,
+            tp.block_max_tfn,
+        )
+    idx = np.searchsorted(allowed, tp.doc_ids)
+    keep = np.zeros(n, dtype=bool)
+    inb = idx < allowed.size
+    keep[inb] = allowed[idx[inb]] == tp.doc_ids[inb]
+    if keep.all():
+        return tp
+    return TermPostings(
+        tp.term, tp.idf, tp.doc_ids[keep], tp.tfs[keep],
+        tp.doc_lens[keep], tp.block_last_doc, tp.block_max_tfn,
+    )
+
+
 def exact_topk(
     term_lists: list[TermPostings],
     k: int,

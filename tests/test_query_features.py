@@ -1,7 +1,10 @@
 """Solr-parity query features added in round 3: minimum_should_match
 (Solr mm), prefix queries (Lucene PrefixQuery, scoring-boolean rewrite),
-and facet counts over matching docs (Solr faceting; the reference's CKAN
-search UI facets package_search over the same Solr index)."""
+facet counts over matching docs (Solr faceting; the reference's CKAN
+search UI facets package_search over the same Solr index), filter
+queries (Solr fq — the reference's package_search always narrows on the
+dynamic metadata fields), wildcard queries (Lucene WildcardQuery), and
+fuzzy queries (Lucene FuzzyQuery)."""
 
 from __future__ import annotations
 
@@ -180,7 +183,192 @@ def test_facets_respect_tombstones(spark, tmp_path):
     assert out["source-name"] == [("book", 1), ("web", 1), ("wiki", 1)]
 
 
+# -- filter queries (Solr fq) ------------------------------------------------
+
+
+def test_fq_restricts_without_rescoring(engine):
+    ids = _ids(engine)
+    full = dict(engine.search("alpha", k=10))
+    got = engine.search("alpha", k=10, fq={"source-name": "web"})
+    assert {d for d, _ in got} == {ids["p0"], ids["p1"]}
+    for d, s in got:
+        assert abs(full[d] - s) < 1e-12  # filters never rescore
+    both = engine.search("alpha", k=10,
+                         fq={"source-name": "web", "lang": "en"})
+    assert {d for d, _ in both} == {ids["p0"]}  # fields AND together
+    assert engine.search("alpha", k=10, fq={"source-name": "nosuch"}) == []
+    assert engine.search("alpha", k=10, fq={"nofield": "web"}) == []
+
+
+def test_fq_mode_parity(engine):
+    fq = {"source-name": "wiki"}
+    want = engine.search("alpha delta", k=10, conjunctive=False,
+                         mode="exact", fq=fq)
+    assert want  # p4 (delta), p5 (alpha)
+    for mode in ("wand", "maxscore", "slow", "auto"):
+        got = engine.search("alpha delta", k=10, conjunctive=False,
+                            mode=mode, fq=fq)
+        assert [d for d, _ in got] == [d for d, _ in want], mode
+        for (_, a), (_, b) in zip(got, want):
+            assert abs(a - b) < 1e-9
+
+
+def test_fq_composes_with_min_match(engine):
+    ids = _ids(engine)
+    got = engine.search("alpha beta gamma", k=10, conjunctive=False,
+                        min_match=2, fq={"lang": "en"})
+    assert {d for d, _ in got} == {ids["p0"], ids["p3"]}  # p1 is de
+
+
+def test_fq_validation(engine):
+    for bad in ({}, [], "lang=en", {"": "x"}, {"lang": ""}, {"lang": 3},
+                {3: "en"}):
+        with pytest.raises(ValidationError):
+            engine.search("alpha", fq=bad)
+    with pytest.raises(ValidationError):
+        engine.search("alpha", fq={"lang": "en"},
+                      synonyms={"alpha": ["beta"]})
+
+
+# -- wildcard queries (Lucene WildcardQuery) ---------------------------------
+
+
+def test_expand_wildcard_warm_and_cold_agree(engine, spark):
+    assert engine.expand_wildcard("alpha*") == ["alpha", "alphabet"]
+    assert engine.expand_wildcard("*eta") == ["beta"]
+    assert engine.expand_wildcard("?eta") == ["beta"]
+    assert engine.expand_wildcard("a*t") == ["alphabet"]
+    assert engine.expand_wildcard("zzz*") == []
+    cold = ExtractorEngine(
+        spark, engine.root, n_buckets=8, salt_threshold=50,
+        indexed_fields=("source-*", "lang"),
+    )
+    assert cold.expand_wildcard("a*t") == ["alphabet"]
+    assert cold.expand_wildcard("?eta") == ["beta"]
+    assert cold.expand_wildcard("zzz*") == []
+
+
+def test_wildcard_search_is_scoring_boolean(engine):
+    got = engine.wildcard_search("alph*", k=10)
+    want = engine.search("alpha alphabet", k=10, conjunctive=False,
+                         mode="exact")
+    assert got == want
+
+
+def test_wildcard_validation(engine):
+    for bad in ("", "  ", "a b*", "UP PER", "a%b", None, 7, "*", "?*"):
+        with pytest.raises(ValidationError):
+            engine.expand_wildcard(bad)
+    with pytest.raises(ValidationError):
+        engine.expand_wildcard("*a*", max_expansions=2)
+
+
+# -- fuzzy queries (Lucene FuzzyQuery) ---------------------------------------
+
+
+def test_expand_fuzzy_warm_and_cold_agree(engine, spark):
+    assert engine.expand_fuzzy("alphq", 1) == ["alpha"]
+    assert engine.expand_fuzzy("betq", 1) == ["beta"]
+    assert engine.expand_fuzzy("gamm", 2) == ["gamma"]
+    assert engine.expand_fuzzy("zzzzz", 2) == []
+    # exact term is distance 0 of itself
+    assert "delta" in engine.expand_fuzzy("delta", 1)
+    cold = ExtractorEngine(
+        spark, engine.root, n_buckets=8, salt_threshold=50,
+        indexed_fields=("source-*", "lang"),
+    )
+    assert cold.expand_fuzzy("alphq", 1) == ["alpha"]
+    assert cold.expand_fuzzy("gamm", 2) == ["gamma"]
+    assert cold.expand_fuzzy("zzzzz", 2) == []
+
+
+def test_fuzzy_search_is_scoring_boolean(engine):
+    got = engine.fuzzy_search("alphq", k=10, max_edits=1)
+    want = engine.search("alpha", k=10, conjunctive=False, mode="exact")
+    assert got == want
+
+
+def test_fuzzy_validation(engine):
+    for bad_edits in (0, 3, -1, True, 1.5, "1"):
+        with pytest.raises(ValidationError):
+            engine.expand_fuzzy("alpha", bad_edits)
+    for bad_term in ("", "two words", None, 7):
+        with pytest.raises(ValidationError):
+            engine.expand_fuzzy(bad_term, 1)
+
+
+def test_edit_distance_matches_full_dp():
+    import itertools
+
+    from ckanext_extractor_spark.api import _edit_distance_leq
+
+    def full_dp(a, b):
+        la, lb = len(a), len(b)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i][j] = min(
+                    d[i - 1][j] + 1, d[i][j - 1] + 1,
+                    d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[la][lb]
+
+    words = ["".join(w) for n in range(4)
+             for w in itertools.product("abc", repeat=n)]
+    for a in words:
+        for b in words:
+            want = full_dp(a, b)
+            for n in (1, 2):
+                assert _edit_distance_leq(a, b, n) == (want <= n), (a, b, n)
+
+
+def test_restrict_docs_unit():
+    import numpy as np
+
+    from ckanext_extractor_spark.operators.wand import (
+        TermPostings, restrict_docs,
+    )
+
+    tp = TermPostings(
+        "t", 1.0, np.array([1, 5, 9, 12]), np.array([1, 2, 3, 4]),
+        np.array([10, 10, 10, 10]), np.array([12]), np.array([0.4]),
+    )
+    r = restrict_docs(tp, np.array([5, 12, 99]))
+    assert r.doc_ids.tolist() == [5, 12]
+    assert r.tfs.tolist() == [2, 4]
+    assert r.idf == tp.idf  # scores untouched
+    assert restrict_docs(tp, np.array([], dtype=np.int64)).doc_ids.size == 0
+    assert restrict_docs(
+        tp, np.array([1, 5, 9, 12])
+    ).doc_ids.tolist() == [1, 5, 9, 12]
+
+
 # -- CLI surface -------------------------------------------------------------
+
+
+def test_cli_fq_wildcard_fuzzy(engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    ids = _ids(engine)
+    assert main(["query", "--index", engine.root, "--q", "alpha",
+                 "--fq", "source-name=web", "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert {r["doc_id"] for r in lines} == {ids["p0"], ids["p1"]}
+    assert main(["query", "--index", engine.root, "--q", "a*t",
+                 "--wildcard", "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert {r["doc_id"] for r in lines} == {ids["p5"]}
+    assert main(["query", "--index", engine.root, "--q", "alphq",
+                 "--fuzzy", "1", "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines and lines[0]["doc_id"] in set(ids.values())
 
 
 def test_cli_prefix_min_match_facets(engine, capsys):
