@@ -545,6 +545,7 @@ def _engine_segment_topk(
     prefix: "str | None" = None,
     pattern: "str | None" = None,
     fuzzy: "tuple[str, int] | None" = None,
+    expr: "str | None" = None,
 ) -> DataFrame:
     """kernel -> dictionary -> salted repartition -> segment encode ->
     decode -> top-k, all through the engine's own operators.
@@ -605,6 +606,17 @@ def _engine_segment_topk(
                 .collect()
             )
             query_terms = sorted({r["term"] for r in rows})
+        elif expr is not None:
+            # boolean query language: fetch every token the AST mentions
+            # (positive AND negated leaves)
+            from ckanext_extractor_spark.operators.boolquery import (
+                all_tokens,
+                parse_query,
+            )
+
+            _ast = parse_query(expr, lambda t: [t.lower()])
+            wanted = all_tokens(_ast)
+            rows = segments.where(F.col("term").isin(wanted)).collect()
         else:
             wanted = list(query_terms) + list(exclude_terms or [])
             rows = segments.where(F.col("term").isin(wanted)).collect()
@@ -627,7 +639,19 @@ def _engine_segment_topk(
             if ex_tls
             else _np.array([], dtype=_np.int64)
         )
-    if mode == "maxscore_lazy":
+    if expr is not None:
+        from ckanext_extractor_spark.operators.boolquery import (
+            eval_topk,
+            parse_query,
+        )
+
+        ast = parse_query(expr, lambda t: [t.lower()])
+        pmap = {
+            t: term_postings_from_rows(t, rs, n_docs, avgdl)
+            for t, rs in by_term.items()
+        }
+        hits = eval_topk(ast, pmap, k, avgdl)
+    elif mode == "maxscore_lazy":
         # block-offset lazy decode: non-essential lists decode only the
         # blocks their candidates touch (operators/wand.py
         # LazyTermPostings) — rank/score identity vs the same disjunctive
@@ -1164,6 +1188,83 @@ _PAIRS["q43_fuzzy_search"] = (
         _bm25_sql(DUCK_TOK, [], False, 10, terms_fuzzy=("vektor", 1))
     ),
 )
+def _q_bool_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene classic-QueryParser boolean query through the real
+    pipeline: '(vector OR stream) AND batch -join' parses to an AST and
+    evaluates in ONE vectorized pass over the decoded lists (mask
+    algebra over the candidate universe; a matching doc's score sums
+    ONLY the scoring clauses it matches — an OR adds only the matching
+    side; NOT filters, never scores)."""
+    return _engine_segment_topk(
+        spark, sf_dir, [], conjunctive=False,
+        expr="(vector OR stream) AND batch -join",
+    )
+
+
+def _q_bool_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term boosts (Lucene 'term^2'): the boosted term's BM25
+    contribution is multiplied before summation, disjunctive merge
+    otherwise unchanged."""
+    return _engine_segment_topk(
+        spark, sf_dir, [], conjunctive=False, expr="vector^2 OR stream",
+    )
+
+
+def _bool_scored_cte() -> str:
+    """Shared CTE prefix: per-(doc, term) BM25 contributions with the
+    term carried through (the boolean oracles need per-clause flags)."""
+    return f"""
+WITH tok AS ({DUCK_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM (SELECT d.doc_id, COALESCE(dl.doc_len, 0) AS doc_len
+        FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) x),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / s.avgdl))
+           AS term_score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s)
+"""
+
+
+_BOOL_EXPR_DUCK = f"""
+{_bool_scored_cte()},
+agg AS (
+  SELECT doc_id, sum(term_score) AS score,
+         max(CASE WHEN term IN ('vector', 'stream') THEN 1 ELSE 0 END) AS m_vs,
+         max(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) AS m_b
+  FROM scored WHERE term IN ('vector', 'stream', 'batch')
+  GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM agg
+WHERE m_vs = 1 AND m_b = 1
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'join')
+ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+_BOOL_BOOST_DUCK = f"""
+{_bool_scored_cte()},
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'vector' THEN 2.0 * term_score
+                  ELSE term_score END) AS score
+  FROM scored WHERE term IN ('vector', 'stream')
+  GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM agg
+ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
+_PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
+
 _PAIRS["q44_filter_query"] = (
     "",
     _strip_n_matched(
@@ -1195,6 +1296,8 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_wildcard_search": _q_wildcard_search,
     "q43_fuzzy_search": _q_fuzzy_search,
     "q44_filter_query": _q_filter_query,
+    "q45_bool_expr": _q_bool_expr,
+    "q46_bool_boost": _q_bool_boost,
 }
 
 

@@ -1898,6 +1898,42 @@ class ExtractorEngine:
         terms = self.expand_prefix(prefix, max_expansions)
         return self._expanded_topk(terms, k)
 
+    def search_expr(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k for a boolean query-language expression — nested
+        AND/OR/NOT with parentheses, ``-term`` negation, and ``term^2``
+        boosts (the Lucene classic-QueryParser subset Solr's default
+        ``lucene`` defType exposes; the reference's index answers exactly
+        this syntax through package_search q). Scoring is BooleanQuery
+        semantics: a doc's score sums the BM25 contributions of the
+        scoring clauses it matches (an OR adds only the matching side;
+        NOT filters, never scores), each times its boost. Terms run
+        through the query analyzer; a multi-token surface term becomes a
+        conjunctive group. Evaluation is one vectorized mask-algebra pass
+        over the union of the positive leaves' postings
+        (operators/boolquery.py) — no per-doc Python."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        from ckanext_extractor_spark.operators.boolquery import (
+            QuerySyntaxError,
+            all_tokens,
+            eval_topk,
+            parse_query,
+        )
+
+        def analyze(t: str) -> list[str]:
+            return analyze_query(t, config=query_config_for(self.analyzer))
+
+        try:
+            ast = parse_query(query, analyze)
+        except QuerySyntaxError as e:
+            raise ValidationError(str(e)) from e
+        st = self.corpus_stats()
+        tls = self._term_postings(all_tokens(ast), st)
+        return eval_topk(
+            ast, {tp.term: tp for tp in tls}, k, st["avgdl"]
+        )
+
     def _expanded_topk(
         self, terms: list[str], k: int
     ) -> list[tuple[int, float]]:

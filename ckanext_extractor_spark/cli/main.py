@@ -80,6 +80,8 @@ def cmd_query(args) -> int:
         hits = eng.phrase_search(args.q, k=args.k,
                                  distributed=args.distributed,
                                  slop=args.slop)
+    elif args.expr:
+        hits = eng.search_expr(args.q, k=args.k)
     elif args.prefix:
         hits = eng.prefix_search(args.q, k=args.k)
     elif args.wildcard:
@@ -189,6 +191,9 @@ def main(argv=None) -> int:
     q.add_argument("--prefix", action="store_true",
                    help="treat --q as a term prefix (PrefixQuery, "
                         "scoring-boolean rewrite over index terms)")
+    q.add_argument("--expr", action="store_true",
+                   help="treat --q as a boolean query-language expression "
+                        "(AND/OR/NOT, parentheses, -term, term^boost)")
     q.add_argument("--wildcard", action="store_true",
                    help="treat --q as a */? glob over index terms "
                         "(WildcardQuery)")

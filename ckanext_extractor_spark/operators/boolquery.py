@@ -1,0 +1,302 @@
+"""Boolean query language: nested AND/OR/NOT with parentheses and term
+boosts (the Lucene classic QueryParser subset Solr exposes as the
+default ``lucene`` defType — the reference's index answers exactly this
+syntax through CKAN's package_search q parameter).
+
+Grammar (default operator AND, reference parity schema.xml:166)::
+
+    expr    := andExpr (OR andExpr)*
+    andExpr := unary (AND? unary)*          # juxtaposition = AND
+    unary   := (NOT | '-') unary | atom
+    atom    := '(' expr ')' | TERM ('^' NUMBER)?
+
+Each TERM runs through the query-mode analyzer; a term that analyzes to
+several tokens (``camelCase`` under the code analyzer) becomes a
+conjunctive group, consistent with the engine's default-AND. Scoring is
+Lucene BooleanQuery semantics: a matching doc's score is the sum of the
+BM25 contributions of the scoring clauses it matches (an OR adds only
+the matching side), each multiplied by its ``^boost``; NOT clauses
+filter and never score. A query with no positive clause is rejected
+(Lucene parity: pure negation has no result set to score).
+
+Evaluation is a single vectorized pass, no per-doc Python: the candidate
+universe is the union of the positive leaves' posting doc_ids (sorted,
+deduped); every leaf materializes a (match-mask, score-vector) pair over
+that universe via one searchsorted; AND/OR/NOT combine masks with numpy
+boolean algebra while score vectors add (leaf vectors are zero outside
+their own matches, so a non-matching clause contributes nothing). At
+cluster scale the same leaf vectors come out of the per-bucket decode
+kernel — the AST evaluation itself is O(universe) per node.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from ckanext_extractor_spark.operators.wand import (
+    BM25_B,
+    BM25_K1,
+    TermPostings,
+    _topk_select,
+)
+
+
+class QuerySyntaxError(ValueError):
+    pass
+
+
+# -- AST --------------------------------------------------------------------
+
+
+@dataclass
+class Term:
+    tokens: list[str]  # >1 = conjunctive group from one surface term
+    boost: float = 1.0
+
+
+@dataclass
+class And:
+    parts: list
+
+
+@dataclass
+class Or:
+    parts: list
+
+
+@dataclass
+class Not:
+    child: object
+
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<op>AND\b|OR\b|NOT\b|&&|\|\|)"
+    r"|(?P<neg>-)|(?P<term>[^\s()^-][^\s()^]*)(?:\^(?P<boost>\d+(?:\.\d+)?))?)"
+)
+
+
+def _lex(q: str) -> list[tuple[str, object]]:
+    out: list[tuple[str, object]] = []
+    i = 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m or m.end() == i:
+            raise QuerySyntaxError(f"cannot lex query at: {q[i:]!r}")
+        i = m.end()
+        if m.group("lp"):
+            out.append(("(", None))
+        elif m.group("rp"):
+            out.append((")", None))
+        elif m.group("op"):
+            op = m.group("op")
+            out.append(("OP", {"&&": "AND", "||": "OR"}.get(op, op)))
+        elif m.group("neg"):
+            out.append(("NEG", None))
+        elif m.group("term"):
+            out.append(("TERM", (m.group("term"), float(m.group("boost") or 1.0))))
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, object]], analyze):
+        self.toks = toks
+        self.pos = 0
+        self.analyze = analyze  # surface term -> list[str] analyzed tokens
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek()[0] is not None:
+            raise QuerySyntaxError(
+                f"unexpected trailing input at token {self.pos}"
+            )
+        return node
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() == ("OP", "OR"):
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    def and_expr(self):
+        parts = [self.unary()]
+        while True:
+            kind, val = self.peek()
+            if kind == "OP" and val == "AND":
+                self.next()
+                parts.append(self.unary())
+            elif kind in ("(", "NEG", "TERM") or (kind == "OP" and val == "NOT"):
+                parts.append(self.unary())  # juxtaposition = default AND
+            else:
+                break
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            raise QuerySyntaxError("empty clause")
+        return parts[0] if len(parts) == 1 else And(parts)
+
+    def unary(self):
+        kind, val = self.peek()
+        if kind == "NEG" or (kind == "OP" and val == "NOT"):
+            self.next()
+            child = self.unary()
+            if child is None:
+                raise QuerySyntaxError("dangling NOT")
+            return Not(child)
+        return self.atom()
+
+    def atom(self):
+        kind, val = self.next()
+        if kind == "(":
+            node = self.or_expr()
+            if self.next()[0] != ")":
+                raise QuerySyntaxError("unbalanced parenthesis")
+            return node
+        if kind == "TERM":
+            surface, boost = val
+            tokens = self.analyze(surface)
+            if not tokens:
+                return None  # pure-stopword term: drops out of its clause
+            return Term(tokens, boost)
+        raise QuerySyntaxError(f"unexpected token {kind!r}")
+
+
+def parse_query(q: str, analyze) -> object:
+    """Parse ``q`` into an AST; ``analyze`` maps one surface term to its
+    analyzed tokens. Raises QuerySyntaxError on malformed input or when
+    no positive (scoring) clause survives analysis."""
+    if not isinstance(q, str) or not q.strip():
+        raise QuerySyntaxError("empty query")
+    node = _Parser(_lex(q), analyze).parse()
+    if node is None or not positive_tokens(node):
+        raise QuerySyntaxError(
+            "query needs at least one positive term (pure negation has "
+            "no result set to score)"
+        )
+    return node
+
+
+def positive_tokens(node) -> list[str]:
+    """Analyzed tokens of every scoring (non-negated) leaf, dedup-stable."""
+    out: list[str] = []
+
+    def walk(n, neg: bool):
+        if n is None:
+            return
+        if isinstance(n, Term):
+            if not neg:
+                out.extend(n.tokens)
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        else:
+            for p in n.parts:
+                walk(p, neg)
+
+    walk(node, False)
+    return list(dict.fromkeys(out))
+
+
+def all_tokens(node) -> list[str]:
+    out: list[str] = []
+
+    def walk(n):
+        if n is None:
+            return
+        if isinstance(n, Term):
+            out.extend(n.tokens)
+        elif isinstance(n, Not):
+            walk(n.child)
+        else:
+            for p in n.parts:
+                walk(p)
+
+    walk(node)
+    return list(dict.fromkeys(out))
+
+
+# -- vectorized evaluation --------------------------------------------------
+
+
+def eval_topk(
+    node,
+    postings: dict[str, TermPostings],
+    k: int,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score) for a parsed boolean query. ``postings``
+    maps analyzed token -> TermPostings (absent token = empty list)."""
+    pos = positive_tokens(node)
+    arrs = [postings[t].doc_ids for t in pos if t in postings]
+    arrs = [a for a in arrs if a.size]
+    if not arrs:
+        return []
+    universe = np.unique(np.concatenate(arrs))
+
+    def tok_mask_score(tok: str, boost: float):
+        tp = postings.get(tok)
+        mask = np.zeros(universe.size, dtype=bool)
+        score = np.zeros(universe.size, dtype=np.float64)
+        if tp is None or not len(tp.doc_ids):
+            return mask, score
+        idx = np.searchsorted(universe, tp.doc_ids)
+        inb = idx < universe.size
+        hit = inb.copy()
+        hit[inb] = universe[idx[inb]] == tp.doc_ids[inb]
+        uidx = idx[hit]
+        mask[uidx] = True
+        tf = tp.tfs[hit].astype(np.float64)
+        dl = tp.doc_lens[hit].astype(np.float64)
+        score[uidx] = boost * (
+            tp.idf * tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+        return mask, score
+
+    def ev(n):
+        if isinstance(n, Term):
+            mask = np.ones(universe.size, dtype=bool)
+            score = np.zeros(universe.size, dtype=np.float64)
+            for tok in n.tokens:  # conjunctive group from one surface term
+                m, s = tok_mask_score(tok, n.boost)
+                mask &= m
+                score += s
+            if len(n.tokens) > 1:
+                score = np.where(mask, score, 0.0)
+            return mask, score
+        if isinstance(n, And):
+            mask = np.ones(universe.size, dtype=bool)
+            score = np.zeros(universe.size, dtype=np.float64)
+            for p in n.parts:
+                m, s = ev(p)
+                mask &= m
+                score += s
+            return mask, np.where(mask, score, 0.0)
+        if isinstance(n, Or):
+            mask = np.zeros(universe.size, dtype=bool)
+            score = np.zeros(universe.size, dtype=np.float64)
+            for p in n.parts:
+                m, s = ev(p)
+                mask |= m
+                score += s  # non-matching side is zero there already
+            return mask, np.where(mask, score, 0.0)
+        if isinstance(n, Not):
+            m, _ = ev(n.child)
+            return ~m, np.zeros(universe.size, dtype=np.float64)
+        raise TypeError(f"bad node {n!r}")
+
+    mask, score = ev(node)
+    if not mask.any():
+        return []
+    return _topk_select(universe[mask], score[mask], k)

@@ -347,7 +347,101 @@ def test_restrict_docs_unit():
     ).doc_ids.tolist() == [1, 5, 9, 12]
 
 
+# -- boolean query language (Lucene classic QueryParser subset) --------------
+
+
+def _same_hits(a, b, tol=1e-9):
+    assert [d for d, _ in a] == [d for d, _ in b]
+    for (_, x), (_, y) in zip(a, b):
+        assert abs(x - y) < tol
+
+
+def test_expr_equivalent_to_flat_queries(engine):
+    _same_hits(
+        engine.search_expr("alpha AND beta"),
+        engine.search("alpha beta", conjunctive=True, mode="exact"),
+    )
+    _same_hits(  # juxtaposition = default AND (schema parity)
+        engine.search_expr("alpha beta"),
+        engine.search_expr("alpha AND beta"),
+    )
+    _same_hits(
+        engine.search_expr("alpha OR epsilon"),
+        engine.search("alpha epsilon", conjunctive=False, mode="exact"),
+    )
+
+
+def test_expr_nested_with_negation(engine):
+    ids = _ids(engine)
+    got = engine.search_expr("(alpha OR delta) AND beta -gamma")
+    # (alpha|delta)&beta: p0, p1, p3; -gamma drops p0 and p3
+    assert [d for d, _ in got] == [ids["p1"]]
+    # score sums exactly the matched scoring clauses (alpha + beta)
+    base = dict(engine.search("alpha beta", conjunctive=True, mode="exact"))
+    assert abs(got[0][1] - base[ids["p1"]]) < 1e-9
+    # NOT spelled out behaves like '-'
+    _same_hits(
+        engine.search_expr("(alpha OR delta) AND beta NOT gamma"), got)
+
+
+def test_expr_or_scores_only_matching_side(engine):
+    ids = _ids(engine)
+    got = dict(engine.search_expr("alpha OR beta"))
+    only_alpha = dict(engine.search("alpha", k=10, mode="exact"))
+    # p2 ("alpha delta") matches only the alpha side
+    assert abs(got[ids["p2"]] - only_alpha[ids["p2"]]) < 1e-9
+
+
+def test_expr_boost_multiplies_contribution(engine):
+    ids = _ids(engine)
+    plain = dict(engine.search("alpha", k=10, mode="exact"))
+    boosted = dict(engine.search_expr("alpha^2 OR epsilon"))
+    assert abs(boosted[ids["p2"]] - 2.0 * plain[ids["p2"]]) < 1e-9
+
+
+def test_expr_multitoken_term_is_conjunctive_group(engine):
+    # 'alpha-beta' analyzes to [alpha, beta] under the code-aware query
+    # chain -> conjunctive group, same as the AND form
+    _same_hits(
+        engine.search_expr("alpha-beta"),
+        engine.search_expr("alpha AND beta"),
+    )
+
+
+def test_expr_syntax_and_pure_negation_rejected(engine):
+    for bad in ("", "   ", "-alpha", "NOT alpha", "alpha AND", "(alpha",
+                "alpha)", "AND", "alpha OR"):
+        with pytest.raises(ValidationError):
+            engine.search_expr(bad)
+
+
+def test_expr_respects_tombstones(spark, tmp_path):
+    eng = ExtractorEngine(
+        spark, str(tmp_path / "exprdel"), n_buckets=8, salt_threshold=50,
+        indexed_fields=("source-*", "lang"),
+    )
+    eng.extract(spark.createDataFrame(DOCS, SCHEMA), build_id="ex")
+    ids = _ids(eng)
+    before = {d for d, _ in eng.search_expr("alpha OR delta")}
+    assert ids["p2"] in before
+    eng.delete([ids["p2"]])
+    after = {d for d, _ in eng.search_expr("alpha OR delta")}
+    assert after == before - {ids["p2"]}
+
+
 # -- CLI surface -------------------------------------------------------------
+
+
+def test_cli_expr(engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    ids = _ids(engine)
+    assert main(["query", "--index", engine.root, "--q",
+                 "(alpha OR delta) AND beta -gamma", "--expr",
+                 "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in lines] == [ids["p1"]]
 
 
 def test_cli_fq_wildcard_fuzzy(engine, capsys):
