@@ -614,7 +614,7 @@ def _engine_segment_topk(
                 parse_query,
             )
 
-            _ast = parse_query(expr, lambda t: [t.lower()])
+            _ast = parse_query(expr, lambda t: t.lower().split())
             wanted = all_tokens(_ast)
             rows = segments.where(F.col("term").isin(wanted)).collect()
         else:
@@ -640,17 +640,38 @@ def _engine_segment_topk(
             else _np.array([], dtype=_np.int64)
         )
     if expr is not None:
+        import numpy as _np
+
         from ckanext_extractor_spark.operators.boolquery import (
             eval_topk,
             parse_query,
         )
+        from ckanext_extractor_spark.operators.phrase import (
+            phrase_filter_docs,
+        )
 
-        ast = parse_query(expr, lambda t: [t.lower()])
+        ast = parse_query(expr, lambda t: t.lower().split())
         pmap = {
             t: term_postings_from_rows(t, rs, n_docs, avgdl)
             for t, rs in by_term.items()
         }
-        hits = eval_topk(ast, pmap, k, avgdl)
+
+        def _phrase_cb(tokens, slop):
+            uniq = list(dict.fromkeys(tokens))
+            if any(t not in pmap for t in uniq):
+                return _np.empty(0, dtype=_np.int64)
+            cand = pmap[uniq[0]].doc_ids
+            for t in uniq[1:]:
+                cand = _np.intersect1d(
+                    cand, pmap[t].doc_ids, assume_unique=True
+                )
+            keep = phrase_filter_docs(
+                [int(d) for d in cand],
+                {t: by_term.get(t, []) for t in uniq}, tokens, slop=slop,
+            )
+            return _np.array(sorted(keep), dtype=_np.int64)
+
+        hits = eval_topk(ast, pmap, k, avgdl, phrase_cb=_phrase_cb)
     elif mode == "maxscore_lazy":
         # block-offset lazy decode: non-essential lists decode only the
         # blocks their candidates touch (operators/wand.py
@@ -1262,8 +1283,50 @@ SELECT doc_id, ROUND(score, 4) AS score FROM agg
 ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
 """
 
+def _q_bool_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase clause inside the boolean language:
+    '\"scan fast\" OR vector' — the phrase leaf resolves via the per-gap
+    positions verify (same kernel as phrase search) and scores the
+    conjunctive BM25 sum of its distinct terms on phrase-matching docs;
+    the OR adds only the matching side's contribution."""
+    return _engine_segment_topk(
+        spark, sf_dir, [], conjunctive=False,
+        expr='"scan fast" OR vector',
+    )
+
+
+_BOOL_PHRASE_DUCK = f"""
+{_bool_scored_cte()},
+t2 AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+ptok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+         FROM t2),
+ph AS (SELECT DISTINCT a.doc_id FROM ptok a
+       JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'scan' AND b.term = 'fast'),
+agg AS (
+  SELECT doc_id,
+         COALESCE(sum(CASE WHEN term IN ('scan', 'fast')
+                           THEN term_score END), 0) AS s_ph,
+         COALESCE(sum(CASE WHEN term = 'vector'
+                           THEN term_score END), 0) AS s_v,
+         max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS m_v
+  FROM scored WHERE term IN ('scan', 'fast', 'vector')
+  GROUP BY doc_id),
+j AS (
+  SELECT a.doc_id,
+         (CASE WHEN ph.doc_id IS NOT NULL THEN s_ph ELSE 0 END)
+           + (CASE WHEN m_v = 1 THEN s_v ELSE 0 END) AS score,
+         (CASE WHEN ph.doc_id IS NOT NULL THEN 1 ELSE 0 END) + m_v AS m
+  FROM agg a LEFT JOIN ph ON a.doc_id = ph.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM j WHERE m >= 1
+ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
+"""
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
+_PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
 
 _PAIRS["q44_filter_query"] = (
     "",
@@ -1298,6 +1361,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_filter_query": _q_filter_query,
     "q45_bool_expr": _q_bool_expr,
     "q46_bool_boost": _q_bool_boost,
+    "q47_bool_phrase": _q_bool_phrase,
 }
 
 

@@ -1900,10 +1900,14 @@ class ExtractorEngine:
 
     def search_expr(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Top-k for a boolean query-language expression — nested
-        AND/OR/NOT with parentheses, ``-term`` negation, and ``term^2``
-        boosts (the Lucene classic-QueryParser subset Solr's default
-        ``lucene`` defType exposes; the reference's index answers exactly
-        this syntax through package_search q). Scoring is BooleanQuery
+        AND/OR/NOT with parentheses, ``-term`` negation, ``term^2``
+        boosts, and quoted phrases ``"a b"~slop^boost`` (the Lucene
+        classic-QueryParser subset Solr's default ``lucene`` defType
+        exposes; the reference's index answers exactly this syntax
+        through package_search q). A phrase clause matches the ordered
+        per-gap proximity semantics of phrase_search and scores the
+        conjunctive BM25 sum of its distinct terms on matching docs
+        (engine-pinned phrase scoring). Scoring is BooleanQuery
         semantics: a doc's score sums the BM25 contributions of the
         scoring clauses it matches (an OR adds only the matching side;
         NOT filters, never scores), each times its boost. Terms run
@@ -1928,10 +1932,44 @@ class ExtractorEngine:
             ast = parse_query(query, analyze)
         except QuerySyntaxError as e:
             raise ValidationError(str(e)) from e
+        from ckanext_extractor_spark.operators.boolquery import has_phrase
+
+        if has_phrase(ast) and not self.with_positions:
+            raise ValidationError(
+                "phrase clauses need an index built with "
+                "with_positions=True"
+            )
         st = self.corpus_stats()
         tls = self._term_postings(all_tokens(ast), st)
+        pmap = {tp.term: tp for tp in tls}
+
+        def phrase_cb(tokens: list[str], slop: int):
+            """Sorted doc ids containing the analyzed phrase — candidate
+            intersection over the (already fetched) posting lists, then
+            the same per-gap positions verify the phrase path uses."""
+            from ckanext_extractor_spark.operators.phrase import (
+                phrase_filter_docs,
+            )
+
+            uniq = list(dict.fromkeys(tokens))
+            if any(t not in pmap for t in uniq):
+                return np.empty(0, dtype=np.int64)
+            cand = pmap[uniq[0]].doc_ids
+            for t in uniq[1:]:
+                cand = np.intersect1d(
+                    cand, pmap[t].doc_ids, assume_unique=True
+                )
+            if not cand.size:
+                return cand.astype(np.int64)
+            rows_by_term = {t: self._segment_rows(t) for t in uniq}
+            keep = phrase_filter_docs(
+                [int(d) for d in cand], rows_by_term, tokens,
+                self._dead_docs(), slop=slop,
+            )
+            return np.array(sorted(keep), dtype=np.int64)
+
         return eval_topk(
-            ast, {tp.term: tp for tp in tls}, k, st["avgdl"]
+            ast, pmap, k, st["avgdl"], phrase_cb=phrase_cb
         )
 
     def _expanded_topk(

@@ -58,6 +58,13 @@ class Term:
 
 
 @dataclass
+class Phrase:
+    tokens: list[str]  # analyzed, order preserved (duplicates kept)
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass
 class And:
     parts: list
 
@@ -74,6 +81,8 @@ class Not:
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<op>AND\b|OR\b|NOT\b|&&|\|\|)"
+    r"|(?P<phrase>\"[^\"]*\")(?:~(?P<slop>\d+))?"
+    r"(?:\^(?P<pboost>\d+(?:\.\d+)?))?"
     r"|(?P<neg>-)|(?P<term>[^\s()^-][^\s()^]*)(?:\^(?P<boost>\d+(?:\.\d+)?))?)"
 )
 
@@ -93,6 +102,15 @@ def _lex(q: str) -> list[tuple[str, object]]:
         elif m.group("op"):
             op = m.group("op")
             out.append(("OP", {"&&": "AND", "||": "OR"}.get(op, op)))
+        elif m.group("phrase") is not None:
+            out.append((
+                "PHRASE",
+                (
+                    m.group("phrase")[1:-1],
+                    int(m.group("slop") or 0),
+                    float(m.group("pboost") or 1.0),
+                ),
+            ))
         elif m.group("neg"):
             out.append(("NEG", None))
         elif m.group("term"):
@@ -136,7 +154,9 @@ class _Parser:
             if kind == "OP" and val == "AND":
                 self.next()
                 parts.append(self.unary())
-            elif kind in ("(", "NEG", "TERM") or (kind == "OP" and val == "NOT"):
+            elif kind in ("(", "NEG", "TERM", "PHRASE") or (
+                kind == "OP" and val == "NOT"
+            ):
                 parts.append(self.unary())  # juxtaposition = default AND
             else:
                 break
@@ -168,6 +188,14 @@ class _Parser:
             if not tokens:
                 return None  # pure-stopword term: drops out of its clause
             return Term(tokens, boost)
+        if kind == "PHRASE":
+            surface, slop, boost = val
+            tokens = self.analyze(surface)  # ordered, duplicates kept
+            if not tokens:
+                return None
+            if len(tokens) == 1:
+                return Term(tokens, boost)  # one-word "phrase" = term
+            return Phrase(tokens, slop, boost)
         raise QuerySyntaxError(f"unexpected token {kind!r}")
 
 
@@ -193,7 +221,7 @@ def positive_tokens(node) -> list[str]:
     def walk(n, neg: bool):
         if n is None:
             return
-        if isinstance(n, Term):
+        if isinstance(n, (Term, Phrase)):
             if not neg:
                 out.extend(n.tokens)
         elif isinstance(n, Not):
@@ -212,7 +240,7 @@ def all_tokens(node) -> list[str]:
     def walk(n):
         if n is None:
             return
-        if isinstance(n, Term):
+        if isinstance(n, (Term, Phrase)):
             out.extend(n.tokens)
         elif isinstance(n, Not):
             walk(n.child)
@@ -227,6 +255,16 @@ def all_tokens(node) -> list[str]:
 # -- vectorized evaluation --------------------------------------------------
 
 
+def has_phrase(node) -> bool:
+    if isinstance(node, Phrase):
+        return True
+    if isinstance(node, Not):
+        return has_phrase(node.child)
+    if isinstance(node, (And, Or)):
+        return any(has_phrase(p) for p in node.parts)
+    return False
+
+
 def eval_topk(
     node,
     postings: dict[str, TermPostings],
@@ -234,9 +272,17 @@ def eval_topk(
     avgdl: float,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    phrase_cb=None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a parsed boolean query. ``postings``
-    maps analyzed token -> TermPostings (absent token = empty list)."""
+    maps analyzed token -> TermPostings (absent token = empty list).
+
+    ``phrase_cb(tokens, slop) -> sorted int64 doc_id array`` resolves
+    quoted-phrase leaves (positions live in segment rows, not in
+    TermPostings — the caller owns that access path). A phrase leaf
+    scores like the engine's pinned phrase semantics: the conjunctive
+    BM25 sum of its distinct terms, on phrase-matching docs only,
+    times the leaf boost."""
     pos = positive_tokens(node)
     arrs = [postings[t].doc_ids for t in pos if t in postings]
     arrs = [a for a in arrs if a.size]
@@ -265,6 +311,26 @@ def eval_topk(
         return mask, score
 
     def ev(n):
+        if isinstance(n, Phrase):
+            if phrase_cb is None:
+                raise QuerySyntaxError(
+                    "phrase clauses need a positions-aware index "
+                    "(no phrase resolver available)"
+                )
+            ids = np.asarray(phrase_cb(n.tokens, n.slop), dtype=np.int64)
+            mask = np.zeros(universe.size, dtype=bool)
+            score = np.zeros(universe.size, dtype=np.float64)
+            if ids.size:
+                idx = np.searchsorted(universe, ids)
+                inb = idx < universe.size
+                hit = inb.copy()
+                hit[inb] = universe[idx[inb]] == ids[inb]
+                mask[idx[hit]] = True
+                for tok in dict.fromkeys(n.tokens):
+                    _, s = tok_mask_score(tok, n.boost)
+                    score += s
+                score = np.where(mask, score, 0.0)
+            return mask, score
         if isinstance(n, Term):
             mask = np.ones(universe.size, dtype=bool)
             score = np.zeros(universe.size, dtype=np.float64)

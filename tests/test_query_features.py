@@ -415,6 +415,34 @@ def test_expr_syntax_and_pure_negation_rejected(engine):
             engine.search_expr(bad)
 
 
+def test_expr_quoted_phrase_clause(engine):
+    ids = _ids(engine)
+    # "beta gamma" adjacent in p0 and p3 only (p1 has beta, no gamma)
+    got = engine.search_expr('"beta gamma"')
+    assert {d for d, _ in got} == {ids["p0"], ids["p3"]}
+    # phrase scores = conjunctive BM25 of its terms on matching docs
+    base = dict(engine.search("beta gamma", conjunctive=True, mode="exact"))
+    for d, s in got:
+        assert abs(s - base[d]) < 1e-9
+    # composes: phrase OR term adds only the matching side
+    both = engine.search_expr('"beta gamma" OR epsilon')
+    assert {d for d, _ in both} == {ids["p0"], ids["p3"], ids["p4"]}
+    # negated phrase filters
+    neg = engine.search_expr('beta -"beta gamma"')
+    assert {d for d, _ in neg} == {ids["p1"]}
+
+
+def test_expr_phrase_slop_and_boost(engine):
+    ids = _ids(engine)
+    # "alpha gamma" non-adjacent in p0 (alpha beta gamma): slop 1 matches
+    assert engine.search_expr('"alpha gamma"') == []
+    got = engine.search_expr('"alpha gamma"~1')
+    assert {d for d, _ in got} == {ids["p0"]}
+    base = dict(engine.search("alpha gamma", conjunctive=True, mode="exact"))
+    boosted = engine.search_expr('"alpha gamma"~1^3')
+    assert abs(boosted[0][1] - 3.0 * base[ids["p0"]]) < 1e-9
+
+
 def test_expr_respects_tombstones(spark, tmp_path):
     eng = ExtractorEngine(
         spark, str(tmp_path / "exprdel"), n_buckets=8, salt_threshold=50,
