@@ -1324,9 +1324,64 @@ SELECT doc_id, ROUND(score, 4) AS score FROM j WHERE m >= 1
 ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
 """
 
+def _q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr sort=field through the REAL engine: build a metadata-carrying
+    index, then search_sorted('spark join', 'source-name') — the k=None
+    match kernel semi-joins the exploded metadata rows and a global
+    TakeOrdered materializes only the k-window (docs ordered by field
+    value, not score). Engine doc ids map back via the corpus path; the
+    driver-side re-sort uses original ids so value-ties break
+    deterministically for the oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Source_Name"), F.array(F.col("source")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_sort_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("source-*",),
+    )
+    eng.extract(corpus, build_id="entry-sort")
+    hits = eng.search_sorted("spark join", "source-name", k=10**9)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], v) for d, v in hits), key=lambda x: (x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), str(v)) for d, v in ranked], "doc_id long, value string"
+    )
+
+
+_SORTED_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT doc_id FROM tok WHERE term IN ('spark', 'join')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT d.doc_id, d.source AS value FROM documents d JOIN m USING (doc_id)
+ORDER BY value ASC, d.doc_id ASC LIMIT 10
+"""
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
+_PAIRS["q48_sorted_search"] = ("", _SORTED_DUCK)
 
 _PAIRS["q44_filter_query"] = (
     "",
@@ -1362,6 +1417,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_bool_expr": _q_bool_expr,
     "q46_bool_boost": _q_bool_boost,
     "q47_bool_phrase": _q_bool_phrase,
+    "q48_sorted_search": _q_sorted_search,
 }
 
 

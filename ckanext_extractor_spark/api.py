@@ -1361,8 +1361,15 @@ class ExtractorEngine:
         exclude: str | None = None,
         min_match: int | None = None,
         fq: dict[str, str] | None = None,
+        start: int = 0,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 over the encoded segments.
+
+        ``start`` (Solr pagination ``start``/``rows``): skip the first
+        ``start`` ranked hits — the engine retrieves the top
+        ``start + k`` window and slices, exactly Solr's deep-paging cost
+        model (and why result windows, not pages, are what the query
+        cache keys on).
 
         ``fq`` (Solr filter query / Lucene FILTER clause — the
         reference's package_search always narrows by fq on the dynamic
@@ -1454,9 +1461,17 @@ class ExtractorEngine:
                     "fq must be a non-empty {field: value_query} dict of "
                     f"non-empty strings, got {fq!r}"
                 )
+        if (
+            isinstance(start, bool)
+            or not isinstance(start, int)
+            or start < 0
+        ):
+            raise ValidationError(
+                f"start must be a non-negative integer, got {start!r}"
+            )
         fq_key = tuple(sorted(fq.items())) if fq else None
         ck = (
-            (query, k, conjunctive, mode, exclude, min_match, fq_key)
+            (query, k, conjunctive, mode, exclude, min_match, fq_key, start)
             if synonyms is None
             else None
         )
@@ -1465,8 +1480,10 @@ class ExtractorEngine:
             if hit is not None:
                 self._query_cache.move_to_end(ck)
                 return list(hit)
-        out = self._search_uncached(query, k, conjunctive, mode, synonyms,
-                                    exclude, min_match, fq)
+        out = self._search_uncached(query, k + start, conjunctive, mode,
+                                    synonyms, exclude, min_match, fq)
+        if start:
+            out = out[start:]
         if ck is not None:
             self._query_cache[ck] = list(out)
             if len(self._query_cache) > self.QUERY_CACHE_ENTRIES:
@@ -2163,35 +2180,12 @@ class ExtractorEngine:
                 f"fields must be a non-empty list of strings, got {fields!r}"
             )
         empty: dict[str, list[tuple[str, int]]] = {f: [] for f in fields}
-        ds = self._read_or_none("doc_stats")
-        if ds is None or "metadata" not in ds.columns:
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
             return empty
-        dm = ds.select(
-            "doc_id", F.explode(F.col("metadata")).alias("field", "value")
-        )
-        terms = list(
-            dict.fromkeys(
-                analyze_query(query, config=query_config_for(self.analyzer))
-            )
-        )
-        if not terms:
-            return empty
-        seg = self._segments_union(terms)
-        if seg is None:
-            return empty
+        per_doc, dm = mm
         from pyspark.sql.window import Window
 
-        from ckanext_extractor_spark.operators.wand import (
-            query_segments_distributed,
-        )
-
-        st = self.corpus_stats()
-        dead_pairs, dead_df = self._dead_for_distributed()
-        per_doc = query_segments_distributed(
-            self.spark, seg, {t: 1.0 for t in terms}, st["avgdl"],
-            k=None, conjunctive=conjunctive, n_query_terms=len(terms),
-            dead_pairs=dead_pairs, dead_df=dead_df, min_match=min_match,
-        )
         counts = (
             dm.where(F.col("field").isin(list(fields)))
             .join(per_doc.select("doc_id"), "doc_id", "left_semi")
@@ -2210,6 +2204,92 @@ class ExtractorEngine:
         for r in sorted(rows, key=lambda r: (r["field"], r["_rn"])):
             out[r["field"]].append((r["value"], int(r["count"])))
         return out
+
+    def _match_and_meta(
+        self, query: str, conjunctive: bool, min_match: int | None
+    ):
+        """Shared head of the metadata-consuming distributed query plans
+        (facets, field-sorted search): (per-doc match DataFrame from the
+        bucket-pruned decode kernel in its k=None all-matches form,
+        metadata map exploded to EAV rows). None when the index lacks a
+        metadata sidecar or the query analyzes to nothing. Nothing here
+        materializes on the driver."""
+        ds = self._read_or_none("doc_stats")
+        if ds is None or "metadata" not in ds.columns:
+            return None
+        dm = ds.select(
+            "doc_id", F.explode(F.col("metadata")).alias("field", "value")
+        )
+        terms = list(
+            dict.fromkeys(
+                analyze_query(query, config=query_config_for(self.analyzer))
+            )
+        )
+        if not terms:
+            return None
+        seg = self._segments_union(terms)
+        if seg is None:
+            return None
+        from ckanext_extractor_spark.operators.wand import (
+            query_segments_distributed,
+        )
+
+        st = self.corpus_stats()
+        dead_pairs, dead_df = self._dead_for_distributed()
+        per_doc = query_segments_distributed(
+            self.spark, seg, {t: 1.0 for t in terms}, st["avgdl"],
+            k=None, conjunctive=conjunctive, n_query_terms=len(terms),
+            dead_pairs=dead_pairs, dead_df=dead_df, min_match=min_match,
+        )
+        return per_doc, dm
+
+    def search_sorted(
+        self,
+        query: str,
+        sort_field: str,
+        k: int = 10,
+        ascending: bool = True,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, str]]:
+        """Matching docs ordered by a metadata field value instead of
+        score (Solr ``sort=field asc|desc`` — CKAN's package_search sorts
+        on dynamic metadata fields this way). Returns
+        ``[(doc_id, value)]``, ties broken doc_id asc.
+
+        Docs missing the field are excluded (an inner join — the
+        sortMissingLast debate resolved the SQL-expressible way, pinned
+        here). Fully distributed: the k=None match kernel joins the
+        exploded metadata rows and a global TakeOrdered materializes only
+        the k-window — doc ids never reach the driver before the limit."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("ascending", ascending)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(sort_field, str) or not sort_field.strip():
+            raise ValidationError(
+                f"sort_field must be a non-empty string, got {sort_field!r}"
+            )
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        vals = (
+            dm.where(F.col("field") == sort_field)
+            .join(per_doc.select("doc_id"), "doc_id", "left_semi")
+        )
+        order = (
+            F.asc("value") if ascending else F.desc("value"),
+            F.asc("doc_id"),
+        )
+        # clamp: TakeOrdered sizes its per-partition heap by the LIMIT
+        # literal, so an all-matches k (10**9) must not reach the plan
+        lim = min(k, int(self.corpus_stats()["n_docs"]))
+        if lim <= 0:
+            return []
+        rows = vals.orderBy(*order).limit(lim).collect()
+        return [(int(r["doc_id"]), r["value"]) for r in rows]
 
     def phrase_search(
         self, query: str, k: int = 10, distributed: bool = False,

@@ -76,6 +76,15 @@ def cmd_status(args) -> int:
 
 def cmd_query(args) -> int:
     eng = _engine(args)
+    if args.sort:
+        for rank, (doc_id, value) in enumerate(
+            eng.search_sorted(args.q, args.sort, k=args.k,
+                              ascending=not args.desc,
+                              conjunctive=not args.use_or), 1
+        ):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "value": value}))
+        return 0
     if args.phrase:
         hits = eng.phrase_search(args.q, k=args.k,
                                  distributed=args.distributed,
@@ -98,6 +107,7 @@ def cmd_query(args) -> int:
         hits = eng.search(
             args.q, k=args.k, conjunctive=not args.use_or, mode=args.mode,
             exclude=args.exclude, min_match=args.min_match, fq=fq,
+            start=args.start,
         )
     if args.snippets:
         # window the hits we JUST computed (phrase/--or/--mode respected),
@@ -191,6 +201,14 @@ def main(argv=None) -> int:
     q.add_argument("--prefix", action="store_true",
                    help="treat --q as a term prefix (PrefixQuery, "
                         "scoring-boolean rewrite over index terms)")
+    q.add_argument("--start", type=int, default=0,
+                   help="skip the first N ranked hits (Solr start/rows "
+                        "pagination)")
+    q.add_argument("--sort", default=None, metavar="FIELD",
+                   help="order matches by a metadata field value instead "
+                        "of score (Solr sort=field)")
+    q.add_argument("--desc", action="store_true",
+                   help="with --sort: descending order")
     q.add_argument("--expr", action="store_true",
                    help="treat --q as a boolean query-language expression "
                         "(AND/OR/NOT, parentheses, -term, term^boost)")

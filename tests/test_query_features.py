@@ -457,7 +457,63 @@ def test_expr_respects_tombstones(spark, tmp_path):
     assert after == before - {ids["p2"]}
 
 
+# -- pagination (Solr start/rows) --------------------------------------------
+
+
+def test_start_paginates_the_ranked_window(engine):
+    full = engine.search("alpha delta", k=10, conjunctive=False)
+    assert len(full) >= 4
+    for s in range(len(full) + 1):
+        assert engine.search("alpha delta", k=10, conjunctive=False,
+                             start=s) == full[s:]
+    page2 = engine.search("alpha delta", k=2, conjunctive=False, start=2)
+    assert page2 == full[2:4]
+    for bad in (-1, 1.5, "0", True):
+        with pytest.raises(ValidationError):
+            engine.search("alpha", start=bad)
+
+
+# -- sort by metadata field (Solr sort=field) --------------------------------
+
+
+def test_search_sorted_orders_by_field_value(engine):
+    ids = _ids(engine)
+    got = engine.search_sorted("alpha", "source-name")
+    # alpha docs: p0/p1 (web), p2 (book), p5 (wiki); asc by value, id
+    assert [v for _, v in got] == ["book", "web", "web", "wiki"]
+    assert got[0][0] == ids["p2"] and got[3][0] == ids["p5"]
+    assert {got[1][0], got[2][0]} == {ids["p0"], ids["p1"]}
+    assert got[1][0] < got[2][0]  # value ties break doc_id asc
+    desc = engine.search_sorted("alpha", "source-name", ascending=False)
+    assert [v for _, v in desc] == ["wiki", "web", "web", "book"]
+    assert engine.search_sorted("alpha", "source-name", k=2) == got[:2]
+
+
+def test_search_sorted_missing_field_and_validation(engine):
+    assert engine.search_sorted("alpha", "nope") == []
+    with pytest.raises(ValidationError):
+        engine.search_sorted("alpha", "")
+    with pytest.raises(ValidationError):
+        engine.search_sorted("", "lang")
+
+
 # -- CLI surface -------------------------------------------------------------
+
+
+def test_cli_start_and_sort(engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    full = engine.search("alpha delta", k=10, conjunctive=False)
+    assert main(["query", "--index", engine.root, "--q", "alpha delta",
+                 "--or", "--start", "2", "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in lines] == [d for d, _ in full[2:]]
+    assert main(["query", "--index", engine.root, "--q", "alpha",
+                 "--sort", "source-name", "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [r["value"] for r in lines] == ["book", "web", "web", "wiki"]
 
 
 def test_cli_expr(engine, capsys):
