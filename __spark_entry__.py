@@ -1378,10 +1378,83 @@ SELECT d.doc_id, d.source AS value FROM documents d JOIN m USING (doc_id)
 ORDER BY value ASC, d.doc_id ASC LIMIT 10
 """
 
+def _q_dismax_qf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr (e)dismax qf through the REAL operators: metadata sidecar ->
+    build_field_postings -> dismax_search_fields with per-field boosts
+    and tie=0.3 (Lucene DisjunctionMaxQuery: per term, max boosted
+    per-field BM25 + tie * rest, summed over terms; per-field df/N/avgdl
+    like Lucene's per-field norms). 'en' lives in BOTH fields so the max
+    and the tie fraction are exercised, not just a relabeled BM25."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.operators.fields import (
+        build_field_postings,
+        dismax_search_fields,
+    )
+    from ckanext_extractor_spark.operators.normalize import (
+        clean_metadata_keys,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prepared = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        clean_metadata_keys(
+            F.create_map(
+                F.lit("Field_A"),
+                F.concat(F.col("source"), F.lit(" "), F.col("lang")),
+                F.lit("Field_B"),
+                F.col("lang"),
+            )
+        ).alias("metadata"),
+    )
+    fp = build_field_postings(prepared)
+    out = dismax_search_fields(
+        fp, "src13 en", {"field-a": 2.0, "field-b": 1.0}, k=10, tie=0.3
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_DISMAX_DUCK = """
+WITH fp0 AS (
+  SELECT doc_id, 'field-a' AS field,
+         unnest(list_filter(string_split_regex(lower(source || ' ' || lang),
+             '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'field-b' AS field,
+         unnest(list_filter(string_split_regex(lower(lang),
+             '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+fp AS (SELECT doc_id, field, term, count(*) AS tf FROM fp0 GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, field, sum(tf) AS dl FROM fp GROUP BY 1, 2),
+st AS (SELECT field, CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+       FROM dl GROUP BY 1),
+dft AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM fp
+        WHERE term IN ('src13', 'en') GROUP BY 1, 2),
+sc AS (
+  SELECT fp.doc_id, fp.term,
+         (CASE WHEN fp.field = 'field-a' THEN 2.0 ELSE 1.0 END)
+         * ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (fp.tf * 2.2)
+           / (fp.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM fp
+  JOIN dl ON fp.doc_id = dl.doc_id AND fp.field = dl.field
+  JOIN st ON fp.field = st.field
+  JOIN dft ON fp.field = dft.field AND fp.term = dft.term
+),
+dm AS (SELECT doc_id, term, max(s) + 0.3 * (sum(s) - max(s)) AS ds
+       FROM sc GROUP BY 1, 2)
+SELECT doc_id, ROUND(SUM(ds), 4) AS score FROM dm GROUP BY doc_id
+ORDER BY ROUND(SUM(ds), 6) DESC, doc_id ASC LIMIT 10
+"""
+
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
 _PAIRS["q48_sorted_search"] = ("", _SORTED_DUCK)
+_PAIRS["q49_dismax_qf"] = ("", _DISMAX_DUCK)
 
 _PAIRS["q44_filter_query"] = (
     "",
@@ -1418,6 +1491,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_bool_boost": _q_bool_boost,
     "q47_bool_phrase": _q_bool_phrase,
     "q48_sorted_search": _q_sorted_search,
+    "q49_dismax_qf": _q_dismax_qf,
 }
 
 

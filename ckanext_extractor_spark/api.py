@@ -1821,6 +1821,53 @@ class ExtractorEngine:
         rows = search_field(fp, field, query).collect()
         return sorted(int(r["doc_id"]) for r in rows)
 
+    def dismax_search(
+        self,
+        query: str,
+        qf: dict[str, float],
+        k: int = 10,
+        tie: float = 0.0,
+    ) -> list[tuple[int, float]]:
+        """Scored multi-field metadata search — Solr (e)dismax ``qf``
+        per-field boosts with ``tie`` breaker (Lucene
+        DisjunctionMaxQuery: per query term, max boosted per-field BM25
+        plus tie * the rest; summed over terms). The reference's CKAN
+        package_search runs exactly this parser shape over the dynamic
+        metadata fields (plugin.py:40,140). Returns [(doc_id, score)],
+        score desc, doc_id asc."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        if (
+            not isinstance(qf, dict)
+            or not qf
+            or not all(
+                isinstance(f, str) and f.strip()
+                and isinstance(w, (int, float)) and not isinstance(w, bool)
+                and w > 0
+                for f, w in qf.items()
+            )
+        ):
+            raise ValidationError(
+                "qf must be a non-empty {field: positive boost} dict, "
+                f"got {qf!r}"
+            )
+        if (
+            isinstance(tie, bool)
+            or not isinstance(tie, (int, float))
+            or not 0.0 <= tie <= 1.0
+        ):
+            raise ValidationError(f"tie must be in [0, 1], got {tie!r}")
+        from ckanext_extractor_spark.operators.fields import (
+            dismax_search_fields,
+        )
+
+        fp = self._read_or_none("field_postings")
+        if fp is None:
+            return []
+        rows = dismax_search_fields(fp, query, qf, k=k, tie=tie).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def _fq_match_df(self, fq: dict[str, str] | None) -> DataFrame | None:
         """doc_id DataFrame matching ALL fq clauses (Solr filter-query
         semantics: each ``{field: value_query}`` is an unscored AND over

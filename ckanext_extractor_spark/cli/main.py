@@ -85,7 +85,13 @@ def cmd_query(args) -> int:
             print(json.dumps({"rank": rank, "doc_id": doc_id,
                               "value": value}))
         return 0
-    if args.phrase:
+    if args.qf:
+        qf = {}
+        for spec in args.qf:
+            field, _, w = spec.partition("^")
+            qf[field] = float(w) if w else 1.0
+        hits = eng.dismax_search(args.q, qf, k=args.k, tie=args.tie)
+    elif args.phrase:
         hits = eng.phrase_search(args.q, k=args.k,
                                  distributed=args.distributed,
                                  slop=args.slop)
@@ -218,6 +224,12 @@ def main(argv=None) -> int:
     q.add_argument("--fuzzy", type=int, default=None, metavar="N",
                    help="treat --q as a fuzzy term with edit distance "
                         "<= N (FuzzyQuery term~N)")
+    q.add_argument("--qf", action="append", default=None,
+                   metavar="FIELD[^BOOST]",
+                   help="score over metadata fields with dismax (Solr qf; "
+                        "repeatable, e.g. --qf title^4 --qf tags)")
+    q.add_argument("--tie", type=float, default=0.0,
+                   help="dismax tie breaker in [0,1] (default 0)")
     q.add_argument("--fq", action="append", default=None,
                    metavar="FIELD=QUERY",
                    help="filter query on a metadata field (Solr fq; "

@@ -497,7 +497,90 @@ def test_search_sorted_missing_field_and_validation(engine):
         engine.search_sorted("", "lang")
 
 
+# -- dismax multi-field scoring (Solr qf / Lucene DisjunctionMaxQuery) -------
+
+
+OVERLAP_DOCS = [
+    # 'spark' appears in BOTH fields of d0 so max-vs-sum is observable
+    ("r/b", "d0", "c0", "markdown", "x",
+     {"Title": ["spark engine"], "Tags": ["spark fast"]}),
+    ("r/b", "d1", "c1", "markdown", "x",
+     {"Title": ["spark spark engine"], "Tags": ["slow"]}),
+    ("r/b", "d2", "c2", "markdown", "x",
+     {"Title": ["other thing"], "Tags": ["spark"]}),
+    ("r/b", "d3", "c3", "markdown", "x",
+     {"Title": ["nothing"], "Tags": ["none here"]}),
+]
+
+
+@pytest.fixture(scope="module")
+def dismax_engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dismax"))
+    eng = ExtractorEngine(spark, root, n_buckets=4, salt_threshold=50,
+                          indexed_fields=("title", "tags"))
+    eng.extract(spark.createDataFrame(OVERLAP_DOCS, SCHEMA), build_id="dm")
+    return eng
+
+
+def test_dismax_is_max_plus_tie_times_rest(dismax_engine):
+    eng = dismax_engine
+    s_title = dict(eng.dismax_search("spark", {"title": 1.0}, k=10))
+    s_tags = dict(eng.dismax_search("spark", {"tags": 1.0}, k=10))
+    assert s_title and s_tags
+    both = dict(eng.dismax_search("spark", {"title": 1.0, "tags": 1.0},
+                                  k=10))
+    assert set(both) == set(s_title) | set(s_tags)
+    for d, s in both.items():
+        assert s == pytest.approx(
+            max(s_title.get(d, 0.0), s_tags.get(d, 0.0)), rel=1e-9)
+    tied = dict(eng.dismax_search("spark", {"title": 1.0, "tags": 1.0},
+                                  k=10, tie=1.0))
+    for d, s in tied.items():
+        assert s == pytest.approx(
+            s_title.get(d, 0.0) + s_tags.get(d, 0.0), rel=1e-9)
+
+
+def test_dismax_boost_scales_field_scores(dismax_engine):
+    eng = dismax_engine
+    s1 = dict(eng.dismax_search("spark engine", {"title": 1.0}, k=10))
+    s2 = dict(eng.dismax_search("spark engine", {"title": 2.0}, k=10))
+    assert set(s1) == set(s2) and s1
+    for d in s1:
+        assert s2[d] == pytest.approx(2 * s1[d], rel=1e-12)
+
+
+def test_dismax_engine_ranking_and_validation(engine):
+    ids = _ids(engine)
+    got = engine.dismax_search("web en", {"source-name": 2.0, "lang": 1.0})
+    assert {d for d, _ in got} == {ids[p] for p in
+                                   ("p0", "p1", "p2", "p3", "p4")}
+    # p0 is the only doc matching both terms -> strictly on top
+    assert got[0][0] == ids["p0"]
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)
+    for bad_qf in ({}, {"f": -1.0}, {"": 1.0}, {"f": True}, "f", None):
+        with pytest.raises(ValidationError):
+            engine.dismax_search("web", bad_qf)
+    for bad_tie in (-0.1, 1.5, "0", True):
+        with pytest.raises(ValidationError):
+            engine.dismax_search("web", {"lang": 1.0}, tie=bad_tie)
+    assert engine.dismax_search("???", {"lang": 1.0}) == []
+
+
 # -- CLI surface -------------------------------------------------------------
+
+
+def test_cli_qf_dismax(engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    want = engine.dismax_search("web en", {"source-name": 2.0, "lang": 1.0})
+    assert main(["query", "--index", engine.root, "--q", "web en",
+                 "--qf", "source-name^2", "--qf", "lang",
+                 "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in lines] == [d for d, _ in want]
+    assert [r["score"] for r in lines] == [round(s, 6) for _, s in want]
 
 
 def test_cli_start_and_sort(engine, capsys):
