@@ -1456,6 +1456,80 @@ _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
 _PAIRS["q48_sorted_search"] = ("", _SORTED_DUCK)
 _PAIRS["q49_dismax_qf"] = ("", _DISMAX_DUCK)
 
+
+def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MoreLikeThis through the REAL engine: store_content index,
+    seed = original doc 7, term selection tf * (1 + ln(N/(df+1)))
+    (ClassicSimilarity idf, df from segment n_postings metadata, ties
+    term-asc, top 25 with df >= 2), disjunctive BM25 over the selected
+    terms, seed dropped. Engine doc ids map back via the stored path;
+    ties re-broken on original ids for the oracle (q35 pattern)."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_mlt_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, store_content=True,
+    )
+    eng.extract(corpus, build_id="entry-mlt")
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    seed = next(e for e, o in pmap.items() if o == 7)
+    hits = eng.more_like_this(seed, k=10**9)
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_MLT_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tfx AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM (SELECT d.doc_id, COALESCE(dl.doc_len, 0) AS doc_len
+        FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) x),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfx GROUP BY term),
+sel AS (
+  SELECT t.term
+  FROM tfx t JOIN dfx ON t.term = dfx.term CROSS JOIN stats s
+  WHERE t.doc_id = 7 AND t.tf >= 1 AND dfx.df >= 2
+  ORDER BY t.tf * (1.0 + ln(s.n_docs / (dfx.df + 1.0))) DESC, t.term ASC
+  LIMIT 25),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS term_score
+  FROM tfx tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM sel) AND tf.doc_id <> 7)
+SELECT doc_id, ROUND(sum(term_score), 4) AS score FROM scored
+GROUP BY doc_id
+ORDER BY ROUND(sum(term_score), 6) DESC, doc_id ASC LIMIT 10
+"""
+
+
+_PAIRS["q50_more_like_this"] = ("", _MLT_DUCK)
+
 _PAIRS["q44_filter_query"] = (
     "",
     _strip_n_matched(
@@ -1492,6 +1566,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_bool_phrase": _q_bool_phrase,
     "q48_sorted_search": _q_sorted_search,
     "q49_dismax_qf": _q_dismax_qf,
+    "q50_more_like_this": _q_mlt,
 }
 
 

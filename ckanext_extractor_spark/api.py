@@ -1868,6 +1868,132 @@ class ExtractorEngine:
         rows = dismax_search_fields(fp, query, qf, k=k, tie=tie).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
+    def _df_for_terms(self, terms: list[str]) -> dict[str, int]:
+        """Per-term document frequency from segment-row ``n_postings``
+        metadata — no posting-blob decode. Like Lucene's pre-merge
+        ``docFreq``, tombstoned docs still count until compaction (MLT
+        term selection tolerates that, exactly as Lucene MLT does).
+
+        Warm path: a sum over the cached raw rows. Cold path: one
+        column-pruned segments scan (term + n_postings only) joined to a
+        broadcast of the candidate terms — candidate lists can be a
+        doc's whole vocabulary, too wide for an In-pushdown but tiny as
+        a broadcast build side."""
+        if not terms:
+            return {}
+        if self._rows_cache is not None and not self._lazy_serve:
+            return {
+                t: sum(
+                    int(r["n_postings"]) for r in self._rows_cache.get(t, [])
+                )
+                for t in terms
+            }
+        seg = self._segments_union()
+        if seg is None:
+            return {}
+        cand = self.spark.createDataFrame(
+            [(t,) for t in terms], "term string"
+        )
+        rows = (
+            seg.select("term", "n_postings")
+            .join(F.broadcast(cand), "term")
+            .groupBy("term")
+            .agg(F.sum("n_postings").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+    ) -> list[tuple[int, float]]:
+        """Find-similar — Lucene MoreLikeThis. The seed doc's stored
+        fulltext is re-analyzed with the index chain (what MLT does for
+        fields without term vectors), its terms ranked by
+        ``tf * (1 + ln(N / (df + 1)))`` (ClassicSimilarity idf, ties
+        term-asc), the top ``max_query_terms`` survivors (``tf >=
+        min_term_freq``, ``df >= min_doc_freq``) run as a disjunctive
+        BM25 query, and the seed itself is dropped from the hits.
+        Requires ``store_content=True``. Returns [(doc_id, score)].
+
+        df comes from segment metadata (:meth:`_df_for_terms`) — one
+        column-pruned scan, no blob decode; the retrieval tail is the
+        same auto-routed exact/MaxScore kernel as :meth:`search`."""
+        self._check_access("extractor_search")
+        if isinstance(doc_id, bool) or not isinstance(doc_id, int):
+            raise ValidationError(f"doc_id must be an integer, got {doc_id!r}")
+        _require_k(k)
+        for name, v in (("max_query_terms", max_query_terms),
+                        ("min_term_freq", min_term_freq),
+                        ("min_doc_freq", min_doc_freq)):
+            if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                raise ValidationError(
+                    f"{name} must be a positive integer, got {v!r}"
+                )
+        if not self.store_content:
+            raise ValidationError(
+                "more_like_this requires store_content=True (the seed "
+                "doc's fulltext is re-analyzed, as Lucene MLT does for "
+                "fields without term vectors)"
+            )
+        rows = self._doc_store_rows([doc_id])
+        if not rows:
+            return []
+        import math
+
+        import pandas as pd
+
+        from ckanext_extractor_spark.analysis.tokenizer import analyze_batch
+
+        lang = None
+        ds = self._read_or_none("doc_stats")
+        if ds is not None and "lang" in ds.columns:
+            lrows = ds.where(F.col("doc_id") == doc_id).select("lang").collect()
+            lang = lrows[0]["lang"] if lrows else None
+        toks = analyze_batch(
+            pd.Series([rows[0]["content"]]),
+            pd.Series([lang]) if lang is not None else None,
+            self.analyzer,
+        )
+        if toks.empty:
+            return []
+        vc = toks["term"].value_counts()
+        cand = [str(t) for t, c in vc.items() if int(c) >= min_term_freq]
+        dfm = self._df_for_terms(cand)
+        st = self.corpus_stats()
+        n = float(st["n_docs"])
+        scored = []
+        for t in cand:
+            d = dfm.get(t, 0)
+            if d < min_doc_freq:
+                continue
+            scored.append((float(vc[t]) * (1.0 + math.log(n / (d + 1.0))), t))
+        if not scored:
+            return []
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        sel = [t for _, t in scored[:max_query_terms]]
+        from ckanext_extractor_spark.operators.wand import (
+            exact_topk,
+            maxscore_topk,
+        )
+
+        tls = [
+            tp for tp in self._term_postings(sel, st) if len(tp.doc_ids)
+        ]
+        if not tls:
+            return []
+        fn = (
+            maxscore_topk
+            if sum(len(tp.doc_ids) for tp in tls) > self.MAXSCORE_AUTO_ROWS
+            else exact_topk
+        )
+        hits = fn(tls, k + 1, st["avgdl"], conjunctive=False)  # room to
+        return [(d, s) for d, s in hits if d != doc_id][:k]    # drop seed
+
     def _fq_match_df(self, fq: dict[str, str] | None) -> DataFrame | None:
         """doc_id DataFrame matching ALL fq clauses (Solr filter-query
         semantics: each ``{field: value_query}`` is an unscored AND over

@@ -142,6 +142,19 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_mlt(args) -> int:
+    eng = _engine(args)
+    for rank, (doc_id, score) in enumerate(
+        eng.more_like_this(args.doc_id, k=args.k,
+                           max_query_terms=args.max_terms,
+                           min_term_freq=args.min_tf,
+                           min_doc_freq=args.min_df), 1
+    ):
+        print(json.dumps({"rank": rank, "doc_id": doc_id,
+                          "score": round(score, 6)}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     eng = _engine(args)
     eng.delete(args.doc_ids)
@@ -256,6 +269,18 @@ def main(argv=None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("doc_id", type=int)
     s.set_defaults(fn=cmd_show)
+
+    m = sub.add_parser(
+        "mlt", help="find docs similar to a seed doc (Lucene MoreLikeThis)"
+    )
+    m.add_argument("--index", required=True)
+    m.add_argument("doc_id", type=int)
+    m.add_argument("--k", type=int, default=10)
+    m.add_argument("--max-terms", dest="max_terms", type=int, default=25)
+    m.add_argument("--min-tf", dest="min_tf", type=int, default=1)
+    m.add_argument("--min-df", dest="min_df", type=int, default=2)
+    m.add_argument("--buckets", type=int, default=64)
+    m.set_defaults(fn=cmd_mlt)
 
     d = sub.add_parser("delete", help="tombstone docs")
     d.add_argument("--index", required=True)

@@ -567,6 +567,75 @@ def test_dismax_engine_ranking_and_validation(engine):
     assert engine.dismax_search("???", {"lang": 1.0}) == []
 
 
+# -- MoreLikeThis (Lucene MLT) ------------------------------------------------
+
+
+MLT_DOCS = [
+    ("r/c", "m0", "c0", "markdown", "rust tokio async runtime executor", {}),
+    ("r/c", "m1", "c1", "markdown", "rust tokio async network", {}),
+    ("r/c", "m2", "c2", "markdown", "python asyncio loop", {}),
+    ("r/c", "m3", "c3", "markdown", "java threads", {}),
+    ("r/c", "m4", "c4", "markdown", "rust tokio async runtime", {}),
+]
+
+
+@pytest.fixture(scope="module")
+def mlt_engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mlt"))
+    eng = ExtractorEngine(spark, root, n_buckets=4, salt_threshold=50,
+                          store_content=True)
+    eng.extract(spark.createDataFrame(MLT_DOCS, SCHEMA), build_id="mlt")
+    return eng
+
+
+def test_mlt_ranks_similar_docs_and_drops_seed(mlt_engine):
+    ids = _ids(mlt_engine)
+    got = mlt_engine.more_like_this(ids["m0"])
+    assert [d for d, _ in got] == [ids["m4"], ids["m1"]]
+    assert ids["m0"] not in {d for d, _ in got}
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+    # warm serving path selects the same terms (df from cached rows)
+    mlt_engine.warm()
+    assert mlt_engine.more_like_this(ids["m0"]) == got
+    mlt_engine.cool()
+
+
+def test_mlt_term_selection_knobs(mlt_engine):
+    ids = _ids(mlt_engine)
+    # max_query_terms=1 keeps only the top tf*idf term: 'runtime'
+    # (df=2 beats the df=3 terms at equal tf) -> only m4 matches
+    one = mlt_engine.more_like_this(ids["m0"], max_query_terms=1)
+    assert [d for d, _ in one] == [ids["m4"]]
+    # min_doc_freq above the corpus max df selects nothing
+    assert mlt_engine.more_like_this(ids["m0"], min_doc_freq=4) == []
+    # unknown doc -> no hits
+    assert mlt_engine.more_like_this(999999999) == []
+
+
+def test_mlt_validation(mlt_engine, engine):
+    with pytest.raises(ValidationError):
+        engine.more_like_this(1)  # engine fixture: store_content=False
+    for bad in ("7", 1.5, True):
+        with pytest.raises(ValidationError):
+            mlt_engine.more_like_this(bad)
+    for kw in ("max_query_terms", "min_term_freq", "min_doc_freq"):
+        with pytest.raises(ValidationError):
+            mlt_engine.more_like_this(1, **{kw: 0})
+
+
+def test_cli_mlt(mlt_engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    ids = _ids(mlt_engine)
+    want = mlt_engine.more_like_this(ids["m0"])
+    assert main(["mlt", "--index", mlt_engine.root, str(ids["m0"]),
+                 "--buckets", "4"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in lines] == [d for d, _ in want]
+
+
 # -- CLI surface -------------------------------------------------------------
 
 
