@@ -1530,6 +1530,177 @@ ORDER BY ROUND(sum(term_score), 6) DESC, doc_id ASC LIMIT 10
 
 _PAIRS["q50_more_like_this"] = ("", _MLT_DUCK)
 
+
+def _q_grouped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr result grouping (group.field) through the REAL engine:
+    metadata-carrying index, grouped_search('spark join', 'source-name')
+    — k=None match kernel (scores) ⋈ metadata EAV, group ranking by best
+    doc score with value-asc ties. Output is group-level (value, best,
+    n) — no engine-doc-id dependence, so ties are exact both sides."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Source_Name"), F.array(F.col("source")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_group_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("source-*",),
+    )
+    eng.extract(corpus, build_id="entry-group")
+    groups = eng.grouped_search("spark join", "source-name", k=10)
+    return spark.createDataFrame(
+        [(v, float(round(best, 4)), int(n)) for v, best, n, _ in groups],
+        "value string, best double, n long",
+    )
+
+
+_GROUPED_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tfx AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM (SELECT d.doc_id, COALESCE(dl.doc_len, 0) AS doc_len
+        FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) x),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfx GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS term_score
+  FROM tfx tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'join')),
+m AS (SELECT doc_id, sum(term_score) AS score FROM scored
+      GROUP BY doc_id HAVING count(*) = 2)
+SELECT d.source AS value, ROUND(max(m.score), 4) AS best,
+       count(*) AS n
+FROM m JOIN documents d ON m.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY ROUND(max(m.score), 6) DESC, value ASC LIMIT 10
+"""
+
+
+_PAIRS["q51_grouped_search"] = ("", _GROUPED_DUCK)
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spellcheck through the REAL engine: suggest('datt') — fuzzy
+    dictionary expansion (edit <= 2) ranked (distance asc, df desc,
+    term asc), df from segment n_postings metadata. 'datt' is absent
+    from the corpus and has both a distance-1 and distance-2 candidates,
+    so the two-level ranking is exercised."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_suggest_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+    )
+    eng.extract(corpus, build_id="entry-suggest")
+    sugg = eng.suggest("datt", max_suggestions=5)["datt"]
+    return spark.createDataFrame(
+        [(t, int(df)) for t, df in sugg], "term string, df long"
+    )
+
+
+_SUGGEST_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM d
+WHERE levenshtein(term, 'datt') <= 2
+ORDER BY levenshtein(term, 'datt') ASC, df DESC, term ASC LIMIT 5
+"""
+
+
+_PAIRS["q52_spellcheck_suggest"] = ("", _SUGGEST_DUCK)
+
+
+def _q_fq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr range filter query through the REAL engine (q44's corpus,
+    fq value in range syntax): search('spark join',
+    fq={'source-name': '[src10 TO src19]'}) — lexicographic comparison
+    on the RAW collapsed metadata value (the reference's dynamic fields
+    are Solr strings, schema.xml:161); restrict-never-rescore like any
+    filter clause."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Source_Name"), F.array(F.col("source")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_fqrange_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("source-*",),
+    )
+    eng.extract(corpus, build_id="entry-fqrange")
+    hits = eng.search("spark join", k=10**9, conjunctive=True,
+                      fq={"source-name": "[src10 TO src19]"})
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_PAIRS["q53_fq_range"] = (
+    "",
+    _strip_n_matched(
+        _bm25_sql(
+            DUCK_TOK, ["spark", "join"], True, 10,
+            fq_where=(
+                "doc_id IN (SELECT doc_id FROM documents "
+                "WHERE source >= 'src10' AND source <= 'src19')"
+            ),
+        )
+    ),
+)
+
 _PAIRS["q44_filter_query"] = (
     "",
     _strip_n_matched(
@@ -1567,6 +1738,9 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_sorted_search": _q_sorted_search,
     "q49_dismax_qf": _q_dismax_qf,
     "q50_more_like_this": _q_mlt,
+    "q51_grouped_search": _q_grouped_search,
+    "q52_spellcheck_suggest": _q_suggest,
+    "q53_fq_range": _q_fq_range,
 }
 
 

@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections import OrderedDict
@@ -131,6 +132,27 @@ def _require_doc_ids(doc_ids) -> list[int]:
             raise ValidationError(f"doc_ids entries must be integers, got {d!r}")
         out.append(int(d))
     return out
+
+
+_FQ_RANGE_RE = re.compile(r"^([\[\{])\s*(\S+|\*)\s+TO\s+(\S+|\*)\s*([\]\}])$")
+
+
+def _parse_fq_range(q) -> "tuple | None":
+    """Solr range-query syntax inside an fq value: ``[a TO b]`` /
+    ``{a TO b}`` / ``[* TO b]`` (``{``/``}`` exclusive, ``*`` open).
+    Returns (lo, hi, lo_inclusive, hi_inclusive), or None when the value
+    is not range syntax (then it's an analyzed-token match). Bounds are
+    single tokens — the reference's dynamic fields are strings whose
+    useful ranges (dates, identifiers) have no spaces."""
+    if not isinstance(q, str):
+        return None
+    m = _FQ_RANGE_RE.match(q.strip())
+    if not m:
+        return None
+    lo = None if m.group(2) == "*" else m.group(2)
+    hi = None if m.group(3) == "*" else m.group(3)
+    # '[* TO *]' = field-exists, exactly Solr's field:[* TO *]
+    return lo, hi, m.group(1) == "[", m.group(4) == "]"
 
 
 def _require_query(query) -> str:
@@ -2012,9 +2034,39 @@ class ExtractorEngine:
             return None
         out: DataFrame | None = None
         for field, q in sorted(fq.items()):
-            m = search_field(fp, field, q).select("doc_id")
+            rng = _parse_fq_range(q)
+            if rng is not None:
+                m = self._fq_range_df(field, *rng)
+                if m is None:
+                    return fp.select("doc_id").limit(0)
+            else:
+                m = search_field(fp, field, q).select("doc_id")
             out = m if out is None else out.join(m, "doc_id")
         return out
+
+    def _fq_range_df(self, field: str, lo, hi, lo_inc: bool,
+                     hi_inc: bool) -> DataFrame | None:
+        """Docs whose RAW metadata value for ``field`` falls in the range
+        (Solr ``fq=field:[a TO b]`` — the reference's dynamic extractor
+        fields are Solr strings, schema.xml:161, so comparison is
+        lexicographic on the collapsed value, not on analyzed tokens).
+        ``*`` bounds are open; ``{`` / ``}`` exclusive. One pushed-filter
+        EAV scan; None when the index has no metadata sidecar."""
+        ds = self._read_or_none("doc_stats")
+        if ds is None or "metadata" not in ds.columns:
+            return None
+        dm = ds.select(
+            "doc_id", F.explode(F.col("metadata")).alias("f", "v")
+        ).where(F.col("f") == field)
+        if lo is not None:
+            dm = dm.where(
+                F.col("v") >= lo if lo_inc else F.col("v") > lo
+            )
+        if hi is not None:
+            dm = dm.where(
+                F.col("v") <= hi if hi_inc else F.col("v") < hi
+            )
+        return dm.select("doc_id").distinct()
 
     PREFIX_MAX_EXPANSIONS = 1024  # Lucene maxClauseCount parity
 
@@ -2379,14 +2431,22 @@ class ExtractorEngine:
         return out
 
     def _match_and_meta(
-        self, query: str, conjunctive: bool, min_match: int | None
+        self, query: str, conjunctive: bool, min_match: int | None,
+        scored: bool = False,
     ):
         """Shared head of the metadata-consuming distributed query plans
-        (facets, field-sorted search): (per-doc match DataFrame from the
-        bucket-pruned decode kernel in its k=None all-matches form,
-        metadata map exploded to EAV rows). None when the index lacks a
-        metadata sidecar or the query analyzes to nothing. Nothing here
-        materializes on the driver."""
+        (facets, field-sorted search, grouping): (per-doc match DataFrame
+        from the bucket-pruned decode kernel in its k=None all-matches
+        form, metadata map exploded to EAV rows). None when the index
+        lacks a metadata sidecar or the query analyzes to nothing.
+        Nothing here materializes on the driver.
+
+        ``scored=False`` ships idf=1 (callers that only consume the
+        match SET — facets, sort-by-field); ``scored=True`` ships real
+        BM25 idf with df from segment ``n_postings`` metadata — like
+        Lucene's ``docFreq``, tombstoned docs count until compaction
+        (Lucene scores with pre-merge docFreq too), a pinned divergence
+        from the decode-exact df the warm kernel paths use."""
         ds = self._read_or_none("doc_stats")
         if ds is None or "metadata" not in ds.columns:
             return None
@@ -2408,9 +2468,21 @@ class ExtractorEngine:
         )
 
         st = self.corpus_stats()
+        if scored:
+            dfm = self._df_for_terms(terms)
+            n = float(st["n_docs"])
+            terms_idf = {
+                t: float(
+                    np.log(1.0 + (n - dfm.get(t, 0) + 0.5)
+                           / (dfm.get(t, 0) + 0.5))
+                )
+                for t in terms
+            }
+        else:
+            terms_idf = {t: 1.0 for t in terms}
         dead_pairs, dead_df = self._dead_for_distributed()
         per_doc = query_segments_distributed(
-            self.spark, seg, {t: 1.0 for t in terms}, st["avgdl"],
+            self.spark, seg, terms_idf, st["avgdl"],
             k=None, conjunctive=conjunctive, n_query_terms=len(terms),
             dead_pairs=dead_pairs, dead_df=dead_df, min_match=min_match,
         )
@@ -2463,6 +2535,148 @@ class ExtractorEngine:
             return []
         rows = vals.orderBy(*order).limit(lim).collect()
         return [(int(r["doc_id"]), r["value"]) for r in rows]
+
+    def suggest(
+        self,
+        query: str,
+        max_suggestions: int = 5,
+        max_edits: int = 2,
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Spellcheck — Solr's spellcheck component over the index's own
+        dictionary (IndexBasedSpellChecker). For each analyzed query
+        term that is NOT in the index, candidate corrections within
+        ``max_edits`` (the FuzzyQuery expansion machinery) ranked by
+        (edit distance asc, df desc, term asc) — Solr's default
+        score-then-frequency comparator. Indexed terms suggest nothing.
+        Returns ``{term: [(suggestion, df), ...]}``.
+
+        df comes from segment n_postings metadata (no blob decode);
+        candidates are dictionary-bounded by the fuzzy expansion cap, so
+        nothing here scales with the corpus' doc count."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        if (
+            isinstance(max_suggestions, bool)
+            or not isinstance(max_suggestions, int)
+            or max_suggestions < 1
+        ):
+            raise ValidationError(
+                "max_suggestions must be a positive integer, "
+                f"got {max_suggestions!r}"
+            )
+        terms = list(
+            dict.fromkeys(
+                analyze_query(query, config=query_config_for(self.analyzer))
+            )
+        )
+        out: dict[str, list[tuple[str, int]]] = {}
+        for t in terms:
+            cands = self.expand_fuzzy(t, max_edits=max_edits)
+            if t in cands:  # distance 0: the term is indexed
+                out[t] = []
+                continue
+            dfm = self._df_for_terms(cands)
+
+            def dist(c: str, _t: str = t) -> int:
+                for e in range(1, max_edits + 1):
+                    if _edit_distance_leq(_t, c, e):
+                        return e
+                return max_edits  # unreachable: cands are <= max_edits
+
+            ranked = sorted(
+                ((dist(c), -dfm.get(c, 0), c) for c in cands),
+            )[:max_suggestions]
+            out[t] = [(c, -negdf) for _, negdf, c in ranked]
+        return out
+
+    def grouped_search(
+        self,
+        query: str,
+        group_field: str,
+        k: int = 10,
+        group_limit: int = 1,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[str, float, int, list[tuple[int, float]]]]:
+        """Result grouping / field collapse (Solr ``group.field`` /
+        collapse parser — one result row per distinct metadata value):
+        the top ``k`` groups of matching docs by ``group_field`` value,
+        groups ranked by their best doc's BM25 score (Solr's default
+        group sort), ties value asc; each group carries its matching-doc
+        count and its top ``group_limit`` docs (score desc, doc_id asc).
+        Docs without the field are dropped (the null-group-excluded
+        form). Returns [(value, best_score, n_matching, [(doc_id,
+        score), ...])].
+
+        Distributed shape: the k=None match kernel (scores included) ⋈
+        metadata EAV rows on doc_id; the group ranking is one hash
+        aggregate + TakeOrdered over DISTINCT VALUES (not docs); the
+        per-group doc window prunes to ``group_limit`` rows per value
+        before anything reaches the driver — materialization is bounded
+        by k * group_limit + k, never by the match count."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(group_field, str) or not group_field.strip():
+            raise ValidationError(
+                f"group_field must be a non-empty string, got {group_field!r}"
+            )
+        if (
+            isinstance(group_limit, bool)
+            or not isinstance(group_limit, int)
+            or group_limit < 1
+        ):
+            raise ValidationError(
+                f"group_limit must be a positive integer, got {group_limit!r}"
+            )
+        mm = self._match_and_meta(query, conjunctive, min_match,
+                                  scored=True)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        j = per_doc.select("doc_id", "score").join(
+            dm.where(F.col("field") == group_field)
+            .select("doc_id", "value"),
+            "doc_id",
+        )
+        # two passes read the scored match set (group ranking, then the
+        # per-group doc window) — persist so the decode kernel runs once
+        j = j.persist()
+        try:
+            groups = (
+                j.groupBy("value")
+                .agg(F.max("score").alias("best"), F.count("*").alias("n"))
+                .orderBy(F.desc("best"), F.asc("value"))
+                .limit(k)
+                .collect()
+            )
+            if not groups:
+                return []
+            from pyspark.sql.window import Window
+
+            keep = [r["value"] for r in groups]
+            w = Window.partitionBy("value").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            rows = (
+                j.where(F.col("value").isin(keep))
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= group_limit)
+                .collect()
+            )
+        finally:
+            j.unpersist()
+        by_val: dict[str, list[tuple[int, float]]] = {}
+        for r in sorted(rows, key=lambda r: (r["value"], r["_rn"])):
+            by_val.setdefault(r["value"], []).append(
+                (int(r["doc_id"]), float(r["score"]))
+            )
+        return [
+            (r["value"], float(r["best"]), int(r["n"]),
+             by_val.get(r["value"], []))
+            for r in groups
+        ]
 
     def phrase_search(
         self, query: str, k: int = 10, distributed: bool = False,

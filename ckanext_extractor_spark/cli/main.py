@@ -76,6 +76,19 @@ def cmd_status(args) -> int:
 
 def cmd_query(args) -> int:
     eng = _engine(args)
+    if args.group:
+        for rank, (value, best, n, docs) in enumerate(
+            eng.grouped_search(args.q, args.group, k=args.k,
+                               group_limit=args.group_limit,
+                               conjunctive=not args.use_or), 1
+        ):
+            print(json.dumps({
+                "rank": rank, "value": value, "best": round(best, 6),
+                "n": n,
+                "docs": [{"doc_id": d, "score": round(s, 6)}
+                         for d, s in docs],
+            }))
+        return 0
     if args.sort:
         for rank, (doc_id, value) in enumerate(
             eng.search_sorted(args.q, args.sort, k=args.k,
@@ -155,6 +168,16 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    eng = _engine(args)
+    for term, sugg in eng.suggest(args.q, max_suggestions=args.k,
+                                  max_edits=args.max_edits).items():
+        print(json.dumps({"term": term,
+                          "suggestions": [{"term": s, "df": d}
+                                          for s, d in sugg]}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     eng = _engine(args)
     eng.delete(args.doc_ids)
@@ -223,6 +246,11 @@ def main(argv=None) -> int:
     q.add_argument("--start", type=int, default=0,
                    help="skip the first N ranked hits (Solr start/rows "
                         "pagination)")
+    q.add_argument("--group", default=None, metavar="FIELD",
+                   help="collapse results by a metadata field (Solr "
+                        "group.field): top groups by best-doc score")
+    q.add_argument("--group-limit", dest="group_limit", type=int, default=1,
+                   help="docs shown per group (Solr group.limit)")
     q.add_argument("--sort", default=None, metavar="FIELD",
                    help="order matches by a metadata field value instead "
                         "of score (Solr sort=field)")
@@ -281,6 +309,16 @@ def main(argv=None) -> int:
     m.add_argument("--min-df", dest="min_df", type=int, default=2)
     m.add_argument("--buckets", type=int, default=64)
     m.set_defaults(fn=cmd_mlt)
+
+    sg = sub.add_parser(
+        "suggest", help="spellcheck suggestions from the index dictionary"
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--q", required=True)
+    sg.add_argument("--k", type=int, default=5)
+    sg.add_argument("--max-edits", dest="max_edits", type=int, default=2)
+    sg.add_argument("--buckets", type=int, default=64)
+    sg.set_defaults(fn=cmd_suggest)
 
     d = sub.add_parser("delete", help="tombstone docs")
     d.add_argument("--index", required=True)

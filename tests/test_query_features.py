@@ -567,6 +567,125 @@ def test_dismax_engine_ranking_and_validation(engine):
     assert engine.dismax_search("???", {"lang": 1.0}) == []
 
 
+# -- result grouping / field collapse (Solr group.field) ----------------------
+
+
+def test_grouped_search_collapses_by_field(engine):
+    ids = _ids(engine)
+    got = engine.grouped_search("alpha", "source-name")
+    # alpha docs: p0,p1 (web), p2 (book), p5 (wiki); best scores:
+    # p1==p2 (doc_len 2) > p0==p5 (doc_len 3); group ties break value asc
+    assert [(v, n) for v, _, n, _ in got] == [
+        ("book", 1), ("web", 2), ("wiki", 1)]
+    assert got[0][1] == pytest.approx(got[1][1], rel=1e-12)
+    assert got[2][1] < got[0][1]
+    # group best == the representative doc's search() BM25 (idf parity
+    # holds on a tombstone-free index)
+    full = dict(engine.search("alpha", k=10))
+    assert got[1][1] == pytest.approx(full[ids["p1"]], rel=1e-12)
+    # group_limit=1: the representative is the group's best doc
+    assert [d for _, _, _, docs in got for d, _ in docs] == [
+        ids["p2"], ids["p1"], ids["p5"]]
+    two = engine.grouped_search("alpha", "source-name", group_limit=2)
+    assert [d for d, _ in two[1][3]] == [ids["p1"], ids["p0"]]
+    assert engine.grouped_search("alpha", "source-name", k=2) == got[:2]
+    assert engine.grouped_search("alpha", "nope") == []
+
+
+def test_grouped_search_validation(engine):
+    for bad in ("", None, 7):
+        with pytest.raises(ValidationError):
+            engine.grouped_search("alpha", bad)
+    for bad in (0, -1, True, 1.5):
+        with pytest.raises(ValidationError):
+            engine.grouped_search("alpha", "lang", group_limit=bad)
+
+
+def test_cli_group(engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    want = engine.grouped_search("alpha", "source-name", group_limit=2)
+    assert main(["query", "--index", engine.root, "--q", "alpha",
+                 "--group", "source-name", "--group-limit", "2",
+                 "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [(r["value"], r["n"]) for r in lines] == [
+        (v, n) for v, _, n, _ in want]
+    assert [[d["doc_id"] for d in r["docs"]] for r in lines] == [
+        [d for d, _ in docs] for _, _, _, docs in want]
+
+
+# -- range filter queries (Solr fq field:[a TO b]) ----------------------------
+
+
+def test_fq_range_restricts_lexicographically(engine):
+    ids = _ids(engine)
+    # alpha docs: p0,p1 (web), p2 (book), p5 (wiki); [book TO web] keeps
+    # book+web, excludes wiki
+    got = {d for d, _ in engine.search(
+        "alpha", k=10, fq={"source-name": "[book TO web]"})}
+    assert got == {ids["p0"], ids["p1"], ids["p2"]}
+    # exclusive bounds drop the endpoints entirely
+    assert engine.search(
+        "alpha", k=10, fq={"source-name": "{book TO web}"}) == []
+    # open upper bound
+    got = {d for d, _ in engine.search(
+        "alpha", k=10, fq={"source-name": "[web TO *]"})}
+    assert got == {ids["p0"], ids["p1"], ids["p5"]}
+    # [* TO *] = field exists (every doc here has source-name)
+    full = engine.search("alpha", k=10)
+    assert engine.search(
+        "alpha", k=10, fq={"source-name": "[* TO *]"}) == full
+
+
+def test_fq_range_never_rescores_and_composes(engine):
+    ids = _ids(engine)
+    full = dict(engine.search("alpha", k=10))
+    got = engine.search("alpha", k=10,
+                        fq={"source-name": "[book TO web]"})
+    for d, s in got:
+        assert abs(full[d] - s) < 1e-12
+    # range clause composes (ANDs) with a token fq on another field
+    both = {d for d, _ in engine.search(
+        "alpha", k=10,
+        fq={"source-name": "[book TO web]", "lang": "en"})}
+    assert both == {ids["p0"], ids["p2"]}
+    # unknown field: range matches nothing
+    assert engine.search("alpha", k=10, fq={"nope": "[a TO z]"}) == []
+
+
+# -- spellcheck suggestions (Solr spellcheck) ---------------------------------
+
+
+def test_suggest_spellcheck(engine):
+    got = engine.suggest("alpa beta")
+    # 'alpa' -> alpha (distance 1, df 4); 'beta' is indexed -> no entry
+    assert got["alpa"][0] == ("alpha", 4)
+    assert got["beta"] == []
+    # distance-1 candidate outranks any distance-2 one
+    assert engine.suggest("gama")["gama"][0][0] == "gamma"
+    # nothing within max_edits
+    assert engine.suggest("zzzzzzzz") == {"zzzzzzzz": []}
+    # warm path agrees (banded-DP dictionary expansion)
+    engine.warm()
+    assert engine.suggest("alpa beta") == got
+    engine.cool()
+    for bad in (0, -1, True, "5"):
+        with pytest.raises(ValidationError):
+            engine.suggest("alpa", max_suggestions=bad)
+
+
+def test_cli_suggest(engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    assert main(["suggest", "--index", engine.root, "--q", "alpa",
+                 "--buckets", "8"]) == 0
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["term"] == "alpa"
+    assert line["suggestions"][0] == {"term": "alpha", "df": 4}
+
+
 # -- MoreLikeThis (Lucene MLT) ------------------------------------------------
 
 

@@ -25,6 +25,7 @@ def main() -> None:
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 9000.0
     max_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_docs = sys.argv[3] if len(sys.argv) > 3 else "1000000"
+    prefix = sys.argv[4] if len(sys.argv) > 4 else "BENCH/scaling_r3_pair"
     deadline = time.time() + budget
     pair_i = 0
     while time.time() < deadline and pair_i < max_pairs:
@@ -40,7 +41,7 @@ def main() -> None:
         print(f"[sentinel] probe delivered_efficiency={eff}", flush=True)
         if eff >= PROBE_GATE:
             pair_i += 1
-            out = f"BENCH/scaling_r3_pair{pair_i}.json"
+            out = f"{prefix}{pair_i}.json"
             print(f"[sentinel] calm window -> pair {pair_i} ({out})",
                   flush=True)
             subprocess.run(
