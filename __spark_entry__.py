@@ -1688,6 +1688,63 @@ def _q_fq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr StatsComponent through the REAL engine: a numeric-valued
+    string metadata field (size-bytes = length(text)), stats over the
+    conjunctive 'spark join' matches — count/missing, lexicographic
+    min/max on the raw string values (Solr string field), numeric
+    sum/mean via try_cast."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Size_Bytes"),
+            F.array(F.length("text").cast("string")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_stats_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("size-*",),
+    )
+    eng.extract(corpus, build_id="entry-stats")
+    st = eng.field_stats("spark join", "size-bytes")
+    return spark.createDataFrame(
+        [(int(st["count"]), int(st["missing"]), st["min"], st["max"],
+          float(round(st["sum"], 4)), float(round(st["mean"], 4)))],
+        "cnt long, missing long, min_v string, max_v string, "
+        "sum_v double, mean_v double",
+    )
+
+
+_FIELD_STATS_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT doc_id FROM tok WHERE term IN ('spark', 'join')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+v AS (SELECT m.doc_id, CAST(length(d.text) AS VARCHAR) AS val
+      FROM m JOIN documents d ON m.doc_id = d.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       CAST((SELECT count(*) FROM m) - count(*) AS BIGINT) AS missing,
+       min(val) AS min_v, max(val) AS max_v,
+       ROUND(SUM(CAST(val AS DOUBLE)), 4) AS sum_v,
+       ROUND(AVG(CAST(val AS DOUBLE)), 4) AS mean_v
+FROM v
+"""
+
+
+_PAIRS["q54_field_stats"] = ("", _FIELD_STATS_DUCK)
+
 _PAIRS["q53_fq_range"] = (
     "",
     _strip_n_matched(
@@ -1741,6 +1798,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_grouped_search": _q_grouped_search,
     "q52_spellcheck_suggest": _q_suggest,
     "q53_fq_range": _q_fq_range,
+    "q54_field_stats": _q_field_stats,
 }
 
 

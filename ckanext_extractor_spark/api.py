@@ -2536,6 +2536,66 @@ class ExtractorEngine:
         rows = vals.orderBy(*order).limit(lim).collect()
         return [(int(r["doc_id"]), r["value"]) for r in rows]
 
+    def field_stats(
+        self,
+        query: str,
+        field: str,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> dict:
+        """Solr StatsComponent (``stats.field``) over the matching docs:
+        ``count`` (docs carrying the field), ``missing`` (matching docs
+        without it), lexicographic ``min``/``max`` (the reference's
+        dynamic fields are Solr strings), and ``sum``/``mean`` when
+        every present value parses as a number (Solr numeric stats),
+        else None. One distributed aggregate over the match ⋈ EAV join —
+        a single row reaches the driver."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(field, str) or not field.strip():
+            raise ValidationError(
+                f"field must be a non-empty string, got {field!r}"
+            )
+        empty = {"count": 0, "missing": 0, "min": None, "max": None,
+                 "sum": None, "mean": None}
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
+            return empty
+        per_doc, dm = mm
+        vals = dm.where(F.col("field") == field).join(
+            per_doc.select("doc_id"), "doc_id", "left_semi"
+        )
+        # try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW
+        # on non-numeric strings; stats must degrade to string-only
+        num = F.col("value").try_cast("double")
+        row = (
+            per_doc.join(
+                vals.select("doc_id", "value"), "doc_id", "left"
+            )
+            .agg(
+                F.count("value").alias("cnt"),
+                F.sum(F.col("value").isNull().cast("long")).alias("miss"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+                F.count(num).alias("numeric_cnt"),
+                F.sum(num).alias("sm"),
+                F.avg(num).alias("mean"),
+            )
+            .collect()[0]
+        )
+        if row["cnt"] == 0:
+            return {**empty, "missing": int(row["miss"] or 0)}
+        numeric = int(row["numeric_cnt"]) == int(row["cnt"])
+        return {
+            "count": int(row["cnt"]),
+            "missing": int(row["miss"] or 0),
+            "min": row["mn"],
+            "max": row["mx"],
+            "sum": float(row["sm"]) if numeric else None,
+            "mean": float(row["mean"]) if numeric else None,
+        }
+
     def suggest(
         self,
         query: str,
@@ -2570,12 +2630,22 @@ class ExtractorEngine:
             )
         )
         out: dict[str, list[tuple[str, int]]] = {}
+        cands_by_term = {
+            t: self.expand_fuzzy(t, max_edits=max_edits) for t in terms
+        }
+        # ONE df lookup for the union of all terms' candidates — cold
+        # mode is a Spark job, so a multi-term query must not fan out
+        # one job per term
+        need = sorted(
+            {c for t, cs in cands_by_term.items() if t not in cs
+             for c in cs}
+        )
+        dfm = self._df_for_terms(need)
         for t in terms:
-            cands = self.expand_fuzzy(t, max_edits=max_edits)
+            cands = cands_by_term[t]
             if t in cands:  # distance 0: the term is indexed
                 out[t] = []
                 continue
-            dfm = self._df_for_terms(cands)
 
             def dist(c: str, _t: str = t) -> int:
                 for e in range(1, max_edits + 1):

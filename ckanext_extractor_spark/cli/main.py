@@ -168,6 +168,13 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    eng = _engine(args)
+    st = eng.field_stats(args.q, args.field, conjunctive=not args.use_or)
+    print(json.dumps(st, default=str))
+    return 0
+
+
 def cmd_suggest(args) -> int:
     eng = _engine(args)
     for term, sugg in eng.suggest(args.q, max_suggestions=args.k,
@@ -309,6 +316,16 @@ def main(argv=None) -> int:
     m.add_argument("--min-df", dest="min_df", type=int, default=2)
     m.add_argument("--buckets", type=int, default=64)
     m.set_defaults(fn=cmd_mlt)
+
+    sx = sub.add_parser(
+        "stats", help="field stats over matching docs (Solr stats.field)"
+    )
+    sx.add_argument("--index", required=True)
+    sx.add_argument("--q", required=True)
+    sx.add_argument("--field", required=True)
+    sx.add_argument("--or", dest="use_or", action="store_true")
+    sx.add_argument("--buckets", type=int, default=64)
+    sx.set_defaults(fn=cmd_stats)
 
     sg = sub.add_parser(
         "suggest", help="spellcheck suggestions from the index dictionary"

@@ -501,14 +501,15 @@ def test_search_sorted_missing_field_and_validation(engine):
 
 
 OVERLAP_DOCS = [
-    # 'spark' appears in BOTH fields of d0 so max-vs-sum is observable
-    ("r/b", "d0", "c0", "markdown", "x",
-     {"Title": ["spark engine"], "Tags": ["spark fast"]}),
-    ("r/b", "d1", "c1", "markdown", "x",
-     {"Title": ["spark spark engine"], "Tags": ["slow"]}),
-    ("r/b", "d2", "c2", "markdown", "x",
-     {"Title": ["other thing"], "Tags": ["spark"]}),
-    ("r/b", "d3", "c3", "markdown", "x",
+    # 'spark' appears in BOTH fields of d0 so max-vs-sum is observable;
+    # 'Num' is a numeric-valued string field for the stats tests
+    ("r/b", "d0", "c0", "markdown", "spark engine",
+     {"Title": ["spark engine"], "Tags": ["spark fast"], "Num": ["4"]}),
+    ("r/b", "d1", "c1", "markdown", "spark spark engine",
+     {"Title": ["spark spark engine"], "Tags": ["slow"], "Num": ["10"]}),
+    ("r/b", "d2", "c2", "markdown", "other thing spark",
+     {"Title": ["other thing"], "Tags": ["spark"], "Num": ["7"]}),
+    ("r/b", "d3", "c3", "markdown", "nothing",
      {"Title": ["nothing"], "Tags": ["none here"]}),
 ]
 
@@ -517,7 +518,7 @@ OVERLAP_DOCS = [
 def dismax_engine(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("dismax"))
     eng = ExtractorEngine(spark, root, n_buckets=4, salt_threshold=50,
-                          indexed_fields=("title", "tags"))
+                          indexed_fields=("title", "tags", "num"))
     eng.extract(spark.createDataFrame(OVERLAP_DOCS, SCHEMA), build_id="dm")
     return eng
 
@@ -653,6 +654,42 @@ def test_fq_range_never_rescores_and_composes(engine):
     assert both == {ids["p0"], ids["p2"]}
     # unknown field: range matches nothing
     assert engine.search("alpha", k=10, fq={"nope": "[a TO z]"}) == []
+
+
+# -- field stats over matches (Solr StatsComponent) ---------------------------
+
+
+def test_field_stats_string_field(engine):
+    st = engine.field_stats("alpha", "source-name")
+    assert st == {"count": 4, "missing": 0, "min": "book", "max": "wiki",
+                  "sum": None, "mean": None}
+    assert engine.field_stats("alpha", "nope") == {
+        "count": 0, "missing": 4, "min": None, "max": None,
+        "sum": None, "mean": None}
+    with pytest.raises(ValidationError):
+        engine.field_stats("alpha", "")
+
+
+def test_field_stats_numeric_field(dismax_engine):
+    # 'spark' (OR) matches d0/d1/d2: Num values '4','10','7' — min/max
+    # lexicographic on the raw strings, sum/mean numeric
+    st = dismax_engine.field_stats("spark", "num", conjunctive=False)
+    assert st["count"] == 3 and st["missing"] == 0
+    assert (st["min"], st["max"]) == ("10", "7")
+    assert st["sum"] == pytest.approx(21.0)
+    assert st["mean"] == pytest.approx(7.0)
+    # 'nothing' matches only d3, which lacks Num
+    st2 = dismax_engine.field_stats("nothing", "num")
+    assert st2["count"] == 0 and st2["missing"] == 1
+
+
+def test_cli_stats(dismax_engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    assert main(["stats", "--index", dismax_engine.root, "--q", "spark",
+                 "--field", "num", "--or", "--buckets", "4"]) == 0
+    st = json.loads(capsys.readouterr().out.strip())
+    assert st["count"] == 3 and st["sum"] == 21.0
 
 
 # -- spellcheck suggestions (Solr spellcheck) ---------------------------------
