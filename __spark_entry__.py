@@ -1745,6 +1745,69 @@ FROM v
 
 _PAIRS["q54_field_stats"] = ("", _FIELD_STATS_DUCK)
 
+
+def _q_pivot_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.pivot through the REAL engine: nested
+    source-name x lang counts over the conjunctive 'spark join' matches,
+    each level ranked count desc / value asc and pruned to 5; the tree
+    is flattened to (v0, n0, v1, n1) rows for the oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Source_Name"), F.array(F.col("source")),
+            F.lit("Lang"), F.array(F.col("lang")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_pivot_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("source-*", "lang"),
+    )
+    eng.extract(corpus, build_id="entry-pivot")
+    tree = eng.pivot_facets("spark join", ["source-name", "lang"],
+                            k_per_level=5)
+    rows = [
+        (v0, int(n0), v1, int(n1))
+        for v0, n0, kids in tree
+        for v1, n1, _ in kids
+    ]
+    return spark.createDataFrame(
+        rows, "v0 string, n0 long, v1 string, n1 long"
+    )
+
+
+_PIVOT_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT doc_id FROM tok WHERE term IN ('spark', 'join')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+j AS (SELECT m.doc_id, d.source AS v0, d.lang AS v1
+      FROM m JOIN documents d ON m.doc_id = d.doc_id),
+c1 AS (SELECT v0, count(*) AS n0 FROM j GROUP BY v0),
+p1 AS (SELECT v0, n0 FROM c1
+       QUALIFY row_number() OVER (ORDER BY n0 DESC, v0 ASC) <= 5),
+c2 AS (SELECT v0, v1, count(*) AS n1 FROM j GROUP BY v0, v1)
+SELECT p1.v0, CAST(p1.n0 AS BIGINT) AS n0, c2.v1,
+       CAST(c2.n1 AS BIGINT) AS n1
+FROM c2 JOIN p1 ON c2.v0 = p1.v0
+QUALIFY row_number() OVER (PARTITION BY c2.v0
+                           ORDER BY c2.n1 DESC, c2.v1 ASC) <= 5
+"""
+
+
+_PAIRS["q55_pivot_facets"] = ("", _PIVOT_DUCK)
+
 _PAIRS["q53_fq_range"] = (
     "",
     _strip_n_matched(
@@ -1799,6 +1862,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_spellcheck_suggest": _q_suggest,
     "q53_fq_range": _q_fq_range,
     "q54_field_stats": _q_field_stats,
+    "q55_pivot_facets": _q_pivot_facets,
 }
 
 

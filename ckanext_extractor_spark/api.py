@@ -2536,6 +2536,101 @@ class ExtractorEngine:
         rows = vals.orderBy(*order).limit(lim).collect()
         return [(int(r["doc_id"]), r["value"]) for r in rows]
 
+    def pivot_facets(
+        self,
+        query: str,
+        fields: list[str],
+        k_per_level: int = 5,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list:
+        """Nested facet counts — Solr ``facet.pivot=f1,f2,...``. Returns
+        the pivot tree ``[(value, count, children), ...]``, each level
+        ranked count desc / value asc and pruned to ``k_per_level``
+        (children only under surviving parents, as Solr prunes).
+
+        Distributed shape: one match kernel + one metadata-EAV join per
+        level feed a single deepest-level hash aggregate; every
+        shallower level is a re-aggregate of that (no second pass over
+        postings), pruning is window row_number per parent prefix, and
+        only the pruned pivot rows (<= k^depth) reach the driver."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_bool("conjunctive", conjunctive)
+        if (
+            not isinstance(fields, (list, tuple))
+            or not fields
+            or not all(isinstance(f, str) and f.strip() for f in fields)
+        ):
+            raise ValidationError(
+                f"fields must be a non-empty list of strings, got {fields!r}"
+            )
+        if (
+            isinstance(k_per_level, bool)
+            or not isinstance(k_per_level, int)
+            or k_per_level < 1
+        ):
+            raise ValidationError(
+                f"k_per_level must be a positive integer, got {k_per_level!r}"
+            )
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        from pyspark.sql.window import Window
+
+        j = per_doc.select("doc_id")
+        vcols = [f"_v{i}" for i in range(len(fields))]
+        for i, f in enumerate(fields):
+            ev = (
+                dm.where(F.col("field") == f)
+                .select("doc_id", F.col("value").alias(vcols[i]))
+            )
+            j = j.join(ev, "doc_id")
+        deep = j.groupBy(*vcols).agg(F.count("*").alias("_cnt"))
+        # one job per level re-reads the deepest aggregate — persist so
+        # the match kernel runs once, not depth times
+        deep = deep.persist()
+        try:
+            pruned = None
+            levels = []
+            for i in range(len(fields)):
+                pre = vcols[: i + 1]
+                lvl = deep.groupBy(*pre).agg(F.sum("_cnt").alias("_n"))
+                if pruned is not None:
+                    lvl = lvl.join(pruned, vcols[:i], "left_semi")
+                w = (
+                    Window.partitionBy(*vcols[:i]) if i
+                    else Window.partitionBy()
+                ).orderBy(F.desc("_n"), F.asc(vcols[i]))
+                pruned = (
+                    lvl.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= k_per_level)
+                    .drop("_rn")
+                )
+                levels.append(pruned.collect())
+        finally:
+            deep.unpersist()
+
+        def build(depth: int, prefix: tuple) -> list:
+            if depth == len(fields):
+                return []
+            rows = [
+                r for r in levels[depth]
+                if tuple(r[c] for c in vcols[:depth]) == prefix
+            ]
+            rows.sort(key=lambda r: (-r["_n"], r[vcols[depth]]))
+            return [
+                (
+                    r[vcols[depth]],
+                    int(r["_n"]),
+                    build(depth + 1, prefix + (r[vcols[depth]],)),
+                )
+                for r in rows
+            ]
+
+        return build(0, ())
+
     def field_stats(
         self,
         query: str,

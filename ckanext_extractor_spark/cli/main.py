@@ -194,6 +194,14 @@ def cmd_delete(args) -> int:
 
 def cmd_facets(args) -> int:
     eng = _engine(args)
+    if args.pivot:
+        def as_json(node):
+            return [{"value": v, "count": n, "pivot": as_json(kids)}
+                    for v, n, kids in node]
+        print(json.dumps(as_json(eng.pivot_facets(
+            args.q, args.fields, k_per_level=args.k,
+            conjunctive=not args.use_or))))
+        return 0
     out = eng.facets(
         args.q, args.fields, k_facet=args.k,
         conjunctive=not args.use_or,
@@ -351,6 +359,9 @@ def main(argv=None) -> int:
                     help="metadata fields (doc_meta keys) to facet on")
     fc.add_argument("-k", type=int, default=10,
                     help="top values per field (count desc, value asc)")
+    fc.add_argument("--pivot", action="store_true",
+                    help="nested pivot counts in --fields order "
+                         "(Solr facet.pivot)")
     fc.add_argument("--or", dest="use_or", action="store_true")
     fc.add_argument("--buckets", type=int, default=64)
     fc.set_defaults(fn=cmd_facets)

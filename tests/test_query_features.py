@@ -656,6 +656,47 @@ def test_fq_range_never_rescores_and_composes(engine):
     assert engine.search("alpha", k=10, fq={"nope": "[a TO z]"}) == []
 
 
+# -- pivot facets (Solr facet.pivot) ------------------------------------------
+
+
+def test_pivot_facets_nested_counts(engine):
+    got = engine.pivot_facets("alpha", ["source-name", "lang"])
+    # alpha docs: p0 (web,en), p1 (web,de), p2 (book,en), p5 (wiki,de)
+    assert [(v, n) for v, n, _ in got] == [
+        ("web", 2), ("book", 1), ("wiki", 1)]
+    assert [(v, n) for v, n, _ in got[0][2]] == [("de", 1), ("en", 1)]
+    assert got[1][2] == [("en", 1, [])]
+    assert got[2][2] == [("de", 1, [])]
+    # pruning: children only under surviving parents
+    top1 = engine.pivot_facets("alpha", ["source-name", "lang"],
+                               k_per_level=1)
+    assert top1 == [("web", 2, [("de", 1, [])])]
+    # single-level pivot == flat facets
+    flat = engine.pivot_facets("alpha", ["source-name"])
+    assert [(v, n) for v, n, _ in flat] == [
+        ("web", 2), ("book", 1), ("wiki", 1)]
+    assert engine.pivot_facets("alpha", ["nope", "lang"]) == []
+
+
+def test_pivot_facets_validation(engine):
+    for bad in ([], ["", "lang"], "lang", [1]):
+        with pytest.raises(ValidationError):
+            engine.pivot_facets("alpha", bad)
+    with pytest.raises(ValidationError):
+        engine.pivot_facets("alpha", ["lang"], k_per_level=0)
+
+
+def test_cli_pivot(engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    assert main(["facets", "--index", engine.root, "--q", "alpha",
+                 "--fields", "source-name", "lang", "--pivot",
+                 "--buckets", "8"]) == 0
+    tree = json.loads(capsys.readouterr().out.strip())
+    assert tree[0]["value"] == "web" and tree[0]["count"] == 2
+    assert [c["value"] for c in tree[0]["pivot"]] == ["de", "en"]
+
+
 # -- field stats over matches (Solr StatsComponent) ---------------------------
 
 
