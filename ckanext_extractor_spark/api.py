@@ -1849,14 +1849,17 @@ class ExtractorEngine:
         qf: dict[str, float],
         k: int = 10,
         tie: float = 0.0,
+        min_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """Scored multi-field metadata search — Solr (e)dismax ``qf``
         per-field boosts with ``tie`` breaker (Lucene
         DisjunctionMaxQuery: per query term, max boosted per-field BM25
         plus tie * the rest; summed over terms). The reference's CKAN
         package_search runs exactly this parser shape over the dynamic
-        metadata fields (plugin.py:40,140). Returns [(doc_id, score)],
-        score desc, doc_id asc."""
+        metadata fields (plugin.py:40,140). ``min_match`` is edismax mm
+        over the dismax clauses: keep docs matching at least that many
+        distinct query terms in any field (filter, never a rescore).
+        Returns [(doc_id, score)], score desc, doc_id asc."""
         self._check_access("extractor_search")
         _require_query(query)
         _require_k(k)
@@ -1880,6 +1883,14 @@ class ExtractorEngine:
             or not 0.0 <= tie <= 1.0
         ):
             raise ValidationError(f"tie must be in [0, 1], got {tie!r}")
+        if min_match is not None and (
+            isinstance(min_match, bool)
+            or not isinstance(min_match, int)
+            or min_match < 1
+        ):
+            raise ValidationError(
+                f"min_match must be a positive integer, got {min_match!r}"
+            )
         from ckanext_extractor_spark.operators.fields import (
             dismax_search_fields,
         )
@@ -1887,7 +1898,9 @@ class ExtractorEngine:
         fp = self._read_or_none("field_postings")
         if fp is None:
             return []
-        rows = dismax_search_fields(fp, query, qf, k=k, tie=tie).collect()
+        rows = dismax_search_fields(
+            fp, query, qf, k=k, tie=tie, min_match=min_match
+        ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     def _df_for_terms(self, terms: list[str]) -> dict[str, int]:

@@ -103,7 +103,8 @@ def cmd_query(args) -> int:
         for spec in args.qf:
             field, _, w = spec.partition("^")
             qf[field] = float(w) if w else 1.0
-        hits = eng.dismax_search(args.q, qf, k=args.k, tie=args.tie)
+        hits = eng.dismax_search(args.q, qf, k=args.k, tie=args.tie,
+                                 min_match=args.min_match)
     elif args.phrase:
         hits = eng.phrase_search(args.q, k=args.k,
                                  distributed=args.distributed,

@@ -71,6 +71,7 @@ def dismax_search_fields(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    min_match: "int | None" = None,
 ) -> DataFrame:
     """Scored multi-field search — Solr (e)dismax ``qf`` with per-field
     boosts and ``tie`` breaker (Lucene DisjunctionMaxQuery).
@@ -143,9 +144,16 @@ def dismax_search_fields(
             F.max("s") + F.lit(float(tie)) * (F.sum("s") - F.max("s"))
         ).alias("ds")
     )
+    agg = per_term.groupBy(id_col).agg(
+        F.sum("ds").alias("score"), F.count("*").alias("_m")
+    )
+    if min_match is not None:
+        # edismax mm over the dismax clauses: a doc must match at least
+        # min_match DISTINCT query terms (in any field) — a filter on
+        # the matched-term count, never a rescore
+        agg = agg.where(F.col("_m") >= int(min_match))
     return (
-        per_term.groupBy(id_col)
-        .agg(F.sum("ds").alias("score"))
+        agg.select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(int(k))
     )

@@ -541,6 +541,21 @@ def test_dismax_is_max_plus_tie_times_rest(dismax_engine):
             s_title.get(d, 0.0) + s_tags.get(d, 0.0), rel=1e-9)
 
 
+def test_dismax_min_match_filters_not_rescores(dismax_engine):
+    eng = dismax_engine
+    qf = {"title": 1.0, "tags": 1.0}
+    full = dict(eng.dismax_search("spark engine", qf, k=10))
+    got = eng.dismax_search("spark engine", qf, k=10, min_match=2)
+    # d2 matches only 'spark' (tags) -> dropped; survivors keep scores
+    assert len(got) == len(full) - 1
+    for d, s in got:
+        assert s == pytest.approx(full[d], rel=1e-12)
+    assert eng.dismax_search("spark engine", qf, min_match=3) == []
+    for bad in (0, -1, True, 1.5):
+        with pytest.raises(ValidationError):
+            eng.dismax_search("spark", qf, min_match=bad)
+
+
 def test_dismax_boost_scales_field_scores(dismax_engine):
     eng = dismax_engine
     s1 = dict(eng.dismax_search("spark engine", {"title": 1.0}, k=10))
