@@ -1808,6 +1808,87 @@ QUALIFY row_number() OVER (PARTITION BY c2.v0
 
 _PAIRS["q55_pivot_facets"] = ("", _PIVOT_DUCK)
 
+
+def _q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax bf (additive function-query boost) through the REAL
+    engine: score' = BM25 + 0.01 * numeric(size-bytes metadata) over the
+    conjunctive 'spark join' matches — the weight keeps BM25 and the
+    boost the same order of magnitude so the re-ranking is exercised.
+    Engine ids map back via the stored path (q35 pattern)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Size_Bytes"),
+            F.array(F.length("text").cast("string")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_bf_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("size-*",),
+    )
+    eng.extract(corpus, build_id="entry-bf")
+    hits = eng.boosted_search("spark join", "size-bytes", k=10**9,
+                              weight=0.01)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_BOOSTED_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tfx AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM (SELECT d.doc_id, COALESCE(dl.doc_len, 0) AS doc_len
+        FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) x),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfx GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS term_score
+  FROM tfx tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'join')),
+m AS (SELECT doc_id, sum(term_score) AS score FROM scored
+      GROUP BY doc_id HAVING count(*) = 2)
+SELECT m.doc_id,
+       ROUND(m.score + 0.01 * length(d.text), 4) AS score
+FROM m JOIN documents d ON m.doc_id = d.doc_id
+ORDER BY ROUND(m.score + 0.01 * length(d.text), 6) DESC, m.doc_id ASC
+LIMIT 10
+"""
+
+
+_PAIRS["q56_boosted_search"] = ("", _BOOSTED_DUCK)
+
 _PAIRS["q53_fq_range"] = (
     "",
     _strip_n_matched(
@@ -1863,6 +1944,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_fq_range": _q_fq_range,
     "q54_field_stats": _q_field_stats,
     "q55_pivot_facets": _q_pivot_facets,
+    "q56_boosted_search": _q_boosted_search,
 }
 
 

@@ -2549,6 +2549,72 @@ class ExtractorEngine:
         rows = vals.orderBy(*order).limit(lim).collect()
         return [(int(r["doc_id"]), r["value"]) for r in rows]
 
+    def boosted_search(
+        self,
+        query: str,
+        boost_field: str,
+        k: int = 10,
+        weight: float = 1.0,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Function-query boosting — edismax ``bf`` (additive boost):
+        ``score' = BM25 + weight * numeric(metadata[boost_field])``, the
+        way CKAN-style installs boost fresher/more-popular datasets.
+        Docs whose field is missing or non-numeric get boost 0 (Solr
+        returns 0 for missing function values). Returns
+        [(doc_id, score)], boosted score desc, doc_id asc.
+
+        Distributed: the scored k=None match kernel left-joins the EAV
+        rows (try_cast to double), one TakeOrdered materializes k rows.
+        BM25 idf follows the pre-merge docFreq convention of the scored
+        distributed head (:meth:`_match_and_meta`)."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(boost_field, str) or not boost_field.strip():
+            raise ValidationError(
+                f"boost_field must be a non-empty string, got {boost_field!r}"
+            )
+        if isinstance(weight, bool) or not isinstance(weight, (int, float)):
+            raise ValidationError(
+                f"weight must be a number, got {weight!r}"
+            )
+        mm = self._match_and_meta(query, conjunctive, min_match,
+                                  scored=True)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        bf = (
+            dm.where(F.col("field") == boost_field)
+            .select(
+                "doc_id",
+                F.col("value").try_cast("double").alias("_bv"),
+            )
+        )
+        # clamp: TakeOrdered sizes its per-partition heap by the LIMIT
+        # literal (the r2 all-matches-phrase OOM class) — an all-matches
+        # k must not reach the plan
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        rows = (
+            per_doc.select("doc_id", "score")
+            .join(bf, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("score")
+                    + F.lit(float(weight)) * F.coalesce("_bv", F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def pivot_facets(
         self,
         query: str,
@@ -2766,6 +2832,21 @@ class ExtractorEngine:
             )[:max_suggestions]
             out[t] = [(c, -negdf) for _, negdf, c in ranked]
         return out
+
+    def collate(self, query: str, max_edits: int = 2) -> str:
+        """Solr ``spellcheck.collate``: the query with every unindexed
+        term replaced by its top suggestion; indexed terms and terms
+        with no candidate stay verbatim. Term order is the analyzer's
+        (duplicates collapse, like :meth:`suggest`)."""
+        sugg = self.suggest(query, max_suggestions=1, max_edits=max_edits)
+        terms = list(
+            dict.fromkeys(
+                analyze_query(query, config=query_config_for(self.analyzer))
+            )
+        )
+        return " ".join(
+            sugg[t][0][0] if sugg.get(t) else t for t in terms
+        )
 
     def grouped_search(
         self,

@@ -183,6 +183,10 @@ def cmd_suggest(args) -> int:
         print(json.dumps({"term": term,
                           "suggestions": [{"term": s, "df": d}
                                           for s, d in sugg]}))
+    if args.collate:
+        print(json.dumps(
+            {"collation": eng.collate(args.q, max_edits=args.max_edits)}
+        ))
     return 0
 
 
@@ -343,6 +347,9 @@ def main(argv=None) -> int:
     sg.add_argument("--q", required=True)
     sg.add_argument("--k", type=int, default=5)
     sg.add_argument("--max-edits", dest="max_edits", type=int, default=2)
+    sg.add_argument("--collate", action="store_true",
+                    help="also print the corrected query "
+                         "(Solr spellcheck.collate)")
     sg.add_argument("--buckets", type=int, default=64)
     sg.set_defaults(fn=cmd_suggest)
 

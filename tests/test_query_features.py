@@ -779,6 +779,53 @@ def test_cli_suggest(engine, capsys):
     assert line["suggestions"][0] == {"term": "alpha", "df": 4}
 
 
+# -- function-query boosting (edismax bf) -------------------------------------
+
+
+def test_boosted_search_additive_bf(dismax_engine):
+    eng = dismax_engine
+    ids = _ids(eng)
+    base = dict(eng.search("spark", k=10, conjunctive=False))
+    num = {ids["d0"]: 4.0, ids["d1"]: 10.0, ids["d2"]: 7.0}
+    got = eng.boosted_search("spark", "num", conjunctive=False, weight=1.0)
+    assert {d for d, _ in got} == set(base)
+    for d, s in got:
+        assert s == pytest.approx(base[d] + num[d], rel=1e-9)
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)
+    # weight scales the boost linearly
+    half = dict(eng.boosted_search("spark", "num", conjunctive=False,
+                                   weight=0.5))
+    for d in base:
+        assert half[d] == pytest.approx(base[d] + 0.5 * num[d], rel=1e-9)
+    # missing field value -> boost 0 (Solr missing function value)
+    only = eng.boosted_search("nothing", "num")
+    assert len(only) == 1 and only[0][1] == pytest.approx(
+        dict(eng.search("nothing", k=10))[only[0][0]], rel=1e-9)
+    for bad_f, bad_w in (("", 1.0), (7, 1.0), ("num", "x"), ("num", True)):
+        with pytest.raises(ValidationError):
+            eng.boosted_search("spark", bad_f, weight=bad_w)
+
+
+# -- spellcheck collation (Solr spellcheck.collate) ----------------------------
+
+
+def test_collate_replaces_only_unindexed_terms(engine):
+    assert engine.collate("alpa beta") == "alpha beta"
+    assert engine.collate("alpha beta") == "alpha beta"
+    assert engine.collate("zzzzzzzz alpa") == "zzzzzzzz alpha"
+
+
+def test_cli_suggest_collate(engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    assert main(["suggest", "--index", engine.root, "--q", "alpa beta",
+                 "--collate", "--buckets", "8"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1] == {"collation": "alpha beta"}
+
+
 # -- MoreLikeThis (Lucene MLT) ------------------------------------------------
 
 
