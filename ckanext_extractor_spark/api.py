@@ -1909,11 +1909,13 @@ class ExtractorEngine:
         ``docFreq``, tombstoned docs still count until compaction (MLT
         term selection tolerates that, exactly as Lucene MLT does).
 
-        Warm path: a sum over the cached raw rows. Cold path: one
-        column-pruned segments scan (term + n_postings only) joined to a
-        broadcast of the candidate terms — candidate lists can be a
-        doc's whole vocabulary, too wide for an In-pushdown but tiny as
-        a broadcast build side."""
+        Warm path: a sum over the cached raw rows. Cold path: small
+        candidate sets (fuzzy/prefix expansions, MLT vocabularies up to
+        the expansion cap) go through the bucket+term-PRUNED segments
+        read — partition pruning plus an In-pushdown, touching only the
+        candidate buckets; wider sets fall back to one column-pruned
+        full metadata scan (term + n_postings only) joined to a
+        broadcast of the candidates."""
         if not terms:
             return {}
         if self._rows_cache is not None and not self._lazy_serve:
@@ -1923,16 +1925,23 @@ class ExtractorEngine:
                 )
                 for t in terms
             }
-        seg = self._segments_union()
-        if seg is None:
-            return {}
-        cand = self.spark.createDataFrame(
-            [(t,) for t in terms], "term string"
-        )
+        if len(terms) <= self.PREFIX_MAX_EXPANSIONS:
+            seg = self._segments_union(list(terms))
+            if seg is None:
+                return {}
+            pruned = seg.select("term", "n_postings")
+        else:
+            seg = self._segments_union()
+            if seg is None:
+                return {}
+            cand = self.spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            pruned = seg.select("term", "n_postings").join(
+                F.broadcast(cand), "term"
+            )
         rows = (
-            seg.select("term", "n_postings")
-            .join(F.broadcast(cand), "term")
-            .groupBy("term")
+            pruned.groupBy("term")
             .agg(F.sum("n_postings").alias("df"))
             .collect()
         )
