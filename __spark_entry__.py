@@ -1889,6 +1889,49 @@ LIMIT 10
 
 _PAIRS["q56_boosted_search"] = ("", _BOOSTED_DUCK)
 
+
+def _q_dismax_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q49's dismax with min_match=2 (edismax mm over dismax clauses):
+    docs matching only one of the two query terms drop out; survivors
+    keep their exact dismax scores (filter, never a rescore)."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.operators.fields import (
+        build_field_postings,
+        dismax_search_fields,
+    )
+    from ckanext_extractor_spark.operators.normalize import (
+        clean_metadata_keys,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prepared = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        clean_metadata_keys(
+            F.create_map(
+                F.lit("Field_A"),
+                F.concat(F.col("source"), F.lit(" "), F.col("lang")),
+                F.lit("Field_B"),
+                F.col("lang"),
+            )
+        ).alias("metadata"),
+    )
+    fp = build_field_postings(prepared)
+    out = dismax_search_fields(
+        fp, "src13 en", {"field-a": 2.0, "field-b": 1.0}, k=10, tie=0.3,
+        min_match=2,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_DISMAX_MM_DUCK = _DISMAX_DUCK.replace(
+    "SELECT doc_id, ROUND(SUM(ds), 4) AS score FROM dm GROUP BY doc_id",
+    "SELECT doc_id, ROUND(SUM(ds), 4) AS score FROM dm GROUP BY doc_id "
+    "HAVING count(*) >= 2",
+)
+
+_PAIRS["q57_dismax_mm"] = ("", _DISMAX_MM_DUCK)
+
 _PAIRS["q53_fq_range"] = (
     "",
     _strip_n_matched(
@@ -1945,6 +1988,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_field_stats": _q_field_stats,
     "q55_pivot_facets": _q_pivot_facets,
     "q56_boosted_search": _q_boosted_search,
+    "q57_dismax_mm": _q_dismax_mm,
 }
 
 
