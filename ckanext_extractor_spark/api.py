@@ -2332,6 +2332,21 @@ class ExtractorEngine:
         levenshtein — the candidate set never leaves the cluster
         unfiltered."""
         self._check_access("extractor_search")
+        cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
+        return self._expand_fuzzy_batch([term], max_edits, cap)[term]
+
+    def _expand_fuzzy_batch(
+        self, terms: list[str], max_edits: int, cap: int
+    ) -> dict[str, list[str]]:
+        """Fuzzy expansions for MANY terms in ONE dictionary scan —
+        cold-mode spellcheck over a multi-term query must not fan out
+        one distinct-terms Spark job per term (ADVICE r3). The scan's
+        pushed filter is the union of the terms' length windows; each
+        term contributes one thresholded-levenshtein flag column, so the
+        candidate set still never leaves the cluster unfiltered. Warm
+        mode stays a driver loop over the cached dictionary (no Spark
+        job either way). Returns ``{input_term: sorted expansions}``;
+        raises when any term exceeds ``cap`` expansions."""
         if not (
             isinstance(max_edits, int)
             and not isinstance(max_edits, bool)
@@ -2341,39 +2356,70 @@ class ExtractorEngine:
                 f"max_edits must be 1..{self.FUZZY_MAX_EDITS}, "
                 f"got {max_edits!r}"
             )
-        p = self._normalize_prefix(term)  # one lowercase [a-z0-9] token
-        cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
+        # one lowercase [a-z0-9] token each; duplicates share the work
+        norm = {t: self._normalize_prefix(t) for t in terms}
+        ps = list(dict.fromkeys(norm.values()))
+        found: dict[str, list[str]] = {p: [] for p in ps}
+        if not ps:
+            return {}
         if self._rows_cache is not None and not self._lazy_serve:
-            terms = sorted(
-                t for t in self._rows_cache
-                if _edit_distance_leq(p, t, max_edits)
-            )
+            for p in ps:
+                found[p] = sorted(
+                    t for t in self._rows_cache
+                    if _edit_distance_leq(p, t, max_edits)
+                )
         else:
             seg = self._segments_union()
-            if seg is None:
-                return []
-            rows = (
-                seg.select("term")
-                .where(
+            if seg is not None:
+                import operator
+                from functools import reduce
+
+                win = reduce(operator.or_, (
                     F.length("term").between(
                         len(p) - max_edits, len(p) + max_edits
                     )
+                    for p in ps
+                ))
+                flags = [
+                    (
+                        F.levenshtein(F.col("term"), F.lit(p), max_edits)
+                        >= 0
+                    ).alias(f"_m{i}")
+                    for i, p in enumerate(ps)
+                ]
+                any_flag = reduce(
+                    operator.or_,
+                    (F.col(f"_m{i}") for i in range(len(ps))),
                 )
-                .distinct()
-                .where(
-                    F.levenshtein(F.col("term"), F.lit(p), max_edits) >= 0
+                # rows > len(ps)*cap ⟹ some term is over cap (each row
+                # matches >= 1 term), so the driver materialization is
+                # bounded even before the per-term cap check below
+                rows = (
+                    seg.select("term")
+                    .where(win)
+                    .distinct()
+                    .select("term", *flags)
+                    .where(any_flag)
+                    .orderBy("term")
+                    .limit(len(ps) * cap + 1)
+                    .collect()
                 )
-                .orderBy("term")
-                .limit(cap + 1)
-                .collect()
-            )
-            terms = [r["term"] for r in rows]
-        if len(terms) > cap:
-            raise ValidationError(
-                f"fuzzy {term!r}~{max_edits} expands to more than {cap} "
-                "terms; narrow it or raise max_expansions"
-            )
-        return terms
+                if len(rows) > len(ps) * cap:
+                    raise ValidationError(
+                        f"fuzzy expansion of {terms!r}~{max_edits} exceeds "
+                        f"{cap} terms; narrow it or raise max_expansions"
+                    )
+                for r in rows:
+                    for i, p in enumerate(ps):
+                        if r[f"_m{i}"]:
+                            found[p].append(r["term"])
+        for t, p in norm.items():
+            if len(found[p]) > cap:
+                raise ValidationError(
+                    f"fuzzy {t!r}~{max_edits} expands to more than {cap} "
+                    "terms; narrow it or raise max_expansions"
+                )
+        return {t: found[p] for t, p in norm.items()}
 
     def fuzzy_search(
         self, term: str, k: int = 10, max_edits: int = 1,
@@ -2813,9 +2859,11 @@ class ExtractorEngine:
             )
         )
         out: dict[str, list[tuple[str, int]]] = {}
-        cands_by_term = {
-            t: self.expand_fuzzy(t, max_edits=max_edits) for t in terms
-        }
+        # ONE dictionary scan expands all terms at once (cold mode is a
+        # Spark job; see _expand_fuzzy_batch)
+        cands_by_term = self._expand_fuzzy_batch(
+            terms, max_edits, self.PREFIX_MAX_EXPANSIONS
+        )
         # ONE df lookup for the union of all terms' candidates — cold
         # mode is a Spark job, so a multi-term query must not fan out
         # one job per term

@@ -91,6 +91,8 @@ def _lex(q: str) -> list[tuple[str, object]]:
     out: list[tuple[str, object]] = []
     i = 0
     while i < len(q):
+        if q[i:].isspace():
+            break  # trailing whitespace/newline is not a lex error
         m = _TOKEN_RE.match(q, i)
         if not m or m.end() == i:
             raise QuerySyntaxError(f"cannot lex query at: {q[i:]!r}")
@@ -145,7 +147,21 @@ class _Parser:
         while self.peek() == ("OP", "OR"):
             self.next()
             parts.append(self.and_expr())
-        return parts[0] if len(parts) == 1 else Or(parts)
+        if len(parts) == 1:
+            return parts[0]
+        # Lucene parity: a pure-negative SHOULD clause has no result set
+        # of its own (BooleanQuery scores nothing for a MUST_NOT-only
+        # clause), so evaluating it as a complement over the positive-leaf
+        # universe would make `a OR -b` depend on which OTHER terms the
+        # query happens to contain. Reject it loudly instead of guessing
+        # (the same stance as the top-level pure-negation check below).
+        for p in parts:
+            if p is not None and not positive_tokens(p):
+                raise QuerySyntaxError(
+                    "pure-negative OR operand has no result set; "
+                    "rewrite `a OR -b` as `a` or use AND: `a -b`"
+                )
+        return Or(parts)
 
     def and_expr(self):
         parts = [self.unary()]

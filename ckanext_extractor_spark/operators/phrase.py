@@ -234,15 +234,19 @@ def phrase_search_distributed(engine, query: str, k: int = 10,
                         [p.astype("int64") for p in pos], dtype=object
                     ),
                 }
-                if use_join:
-                    frame["gen_seq"] = np.full(len(ids), gseq, dtype=np.int64)
+                frame["gen_seq"] = np.full(len(ids), gseq, dtype=np.int64)
                 frames.append(pd.DataFrame(frame))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
+    # gen_seq always travels with the decoded rows: the verify kernel
+    # dedupes duplicate live (doc, slot) rows on it (max gen wins), so an
+    # invariant violation (two generations both carrying a live posting
+    # for the same doc+term) degrades to last-write-wins like the old
+    # per-doc dict loop instead of silently failing the exact-count gate.
     decode_schema = (
-        "doc_id long, slot int, tf long, dl long, positions array<long>"
-        + (", gen_seq long" if use_join else "")
+        "doc_id long, slot int, tf long, dl long, positions array<long>, "
+        "gen_seq long"
     )
     decoded = seg.mapInPandas(decode_part, decode_schema)
     if use_join:
@@ -252,7 +256,7 @@ def phrase_search_distributed(engine, query: str, k: int = 10,
                 F.col("_kill_seq").isNull()
                 | (F.col("_kill_seq") <= F.col("gen_seq"))
             )
-            .drop("_kill_seq", "gen_seq")
+            .drop("_kill_seq")
         )
     
     # live df per slot -> idf (same formula as the driver path)
@@ -287,12 +291,26 @@ def phrase_search_distributed(engine, query: str, k: int = 10,
         n = len(pdf)
         doc = pdf["doc_id"].to_numpy()
         slot = pdf["slot"].to_numpy().astype(np.int64)
-        order = np.lexsort((slot, doc))
+        gen = pdf["gen_seq"].to_numpy().astype(np.int64)
+        order = np.lexsort((gen, slot, doc))
         doc = doc[order]
         slot = slot[order]
+        gen = gen[order]
         tf = pdf["tf"].to_numpy()[order].astype(np.float64)
         dl = pdf["dl"].to_numpy()[order].astype(np.float64)
         pos_obj = pdf["positions"].to_numpy()[order]
+        # one live row per (doc, slot): on a duplicate keep the max
+        # gen_seq (rows are gen-ascending within each (doc, slot) run)
+        if n > 1:
+            dup = (doc[1:] == doc[:-1]) & (slot[1:] == slot[:-1])
+            if dup.any():
+                keep = np.ones(n, dtype=bool)
+                keep[:-1][dup] = False
+                doc, slot, tf, dl = (
+                    doc[keep], slot[keep], tf[keep], dl[keep]
+                )
+                pos_obj = pos_obj[keep]
+                n = int(doc.size)
         # group = consecutive rows of one doc (sorted by (doc, slot))
         change = np.flatnonzero(doc[1:] != doc[:-1]) + 1
         starts = np.concatenate(([0], change))
