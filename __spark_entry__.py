@@ -1023,6 +1023,63 @@ SELECT r.doc_id, r.score FROM ranked r JOIN ph ON r.doc_id = ph.doc_id
 ORDER BY r.score DESC, r.doc_id ASC LIMIT 10
 """
 
+def _q_phrase_lucene_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene TOTAL-MOVE sloppy phrase (VERDICT r3 #3) through the real
+    engine's cluster-scale plan: phrase_search('fast scan', slop=2,
+    slop_mode='lucene', distributed=True). The total budget permits
+    REORDERING — the corpus' 'scan fast' bigrams match the reversed
+    query (a reversal costs 2 moves), which the pinned per-gap default
+    (q38) never does. Oracle: exists positions with offset-adjusted
+    span <= slop (greatest(p_fast - 0, p_scan - 1) - least(...) <= 2),
+    ranked by the same conjunctive BM25."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_lslop_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+    )
+    eng.extract(corpus, build_id="entry-lslop")
+    hits = eng.phrase_search("fast scan", k=10**9, distributed=True,
+                             slop=2, slop_mode="lucene")
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_PHRASE_LUCENE_SLOP_DUCK = f"""
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+        FROM t),
+ph AS (SELECT DISTINCT a.doc_id FROM tok a
+       JOIN tok b ON a.doc_id = b.doc_id
+       WHERE a.term = 'fast' AND b.term = 'scan'
+         AND greatest(a.pos - 0, b.pos - 1) - least(a.pos - 0, b.pos - 1) <= 2),
+ranked AS ({_bm25_sql(DUCK_TOK, ["fast", "scan"], True, None)})
+SELECT r.doc_id, r.score FROM ranked r JOIN ph ON r.doc_id = ph.doc_id
+ORDER BY r.score DESC, r.doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q60_phrase_lucene_slop"] = ("", _PHRASE_LUCENE_SLOP_DUCK)
+
 _PAIRS["q37_bm25_segments_exclude"] = (
     "",
     _strip_n_matched(
@@ -1958,6 +2015,119 @@ _PAIRS["q44_filter_query"] = (
     ),
 )
 
+def _q_distributed_exclude_fq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full query-surface parity for the CLUSTER-SCALE path (VERDICT r3
+    #2): exclude (Lucene MUST_NOT) and fq (FILTER) through
+    engine.search_distributed — bucket-pruned segment scan -> decode +
+    score kernel (mapInPandas) -> per-doc aggregate -> anti-join of the
+    excluded terms' match set + semi-join of the metadata filter set ->
+    global TakeOrdered. Doc ids never reach the driver before the
+    limit. Oracle: the q44 fq SQL with q37's NOT-IN exclusion added."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Source_Name"), F.array(F.col("source")),
+            F.lit("Lang"), F.array(F.col("lang")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_dxfq_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("source-*", "lang"),
+    )
+    eng.extract(corpus, build_id="entry-dxfq")
+    hits = eng.search_distributed(
+        "spark join", k=10**9, conjunctive=True,
+        exclude="stream", fq={"source-name": "src3"},
+    )
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_PAIRS["q58_distributed_exclude_fq"] = (
+    "",
+    _strip_n_matched(
+        _bm25_sql(
+            DUCK_TOK, ["spark", "join"], True, 10,
+            exclude_terms=["stream"],
+            fq_where=(
+                "doc_id IN (SELECT doc_id FROM documents "
+                "WHERE source = 'src3')"
+            ),
+        )
+    ),
+)
+
+
+def _q_distributed_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr mm on the cluster-scale path: disjunctive
+    search_distributed keeps only docs matching >= 2 of 3 query terms —
+    the n_matched gate runs inside the per-doc aggregate, before the
+    global TakeOrdered (same oracle shape as q39, which pins the warm
+    exact kernel)."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_dmm_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+    )
+    eng.extract(corpus, build_id="entry-dmm")
+    hits = eng.search_distributed(
+        "vector stream batch", k=10**9, conjunctive=False, min_match=2,
+    )
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_PAIRS["q59_distributed_min_match"] = (
+    "",
+    _strip_n_matched(
+        _bm25_sql(DUCK_TOK, ["vector", "stream", "batch"], False, 10,
+                  min_match=2)
+    ),
+)
+
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -1989,6 +2159,9 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_pivot_facets": _q_pivot_facets,
     "q56_boosted_search": _q_boosted_search,
     "q57_dismax_mm": _q_dismax_mm,
+    "q58_distributed_exclude_fq": _q_distributed_exclude_fq,
+    "q59_distributed_min_match": _q_distributed_min_match,
+    "q60_phrase_lucene_slop": _q_phrase_lucene_slop,
 }
 
 

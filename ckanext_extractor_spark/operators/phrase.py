@@ -48,12 +48,45 @@ def _positions_by_doc(row, dead) -> dict[int, np.ndarray]:
     return {int(d): p for d, p in zip(ids, pos)}
 
 
+def lucene_slop_match(pos_lists: "list[np.ndarray]", slop: int) -> bool:
+    """Lucene sloppy-phrase match test for ONE doc: ``pos_lists[i]`` are
+    the sorted positions of phrase slot i. A match exists iff one
+    position per slot can be chosen so that the span of OFFSET-ADJUSTED
+    positions (p_i - i) is <= slop — the classic SloppyPhraseScorer
+    criterion (PhrasePositions stores position - offset; a match fires
+    when max(adjusted) - min(adjusted) <= slop). Total-MOVE budget:
+    "b a"~2 matches text "a b" (reversal costs 2), which the per-gap
+    NEAR/n form never does.
+
+    Exact via the smallest-range k-way sweep (advance the minimum
+    adjusted cursor; O(total positions * n) worst case, n = phrase
+    length). Callers must reject phrases with REPEATED terms first —
+    Lucene's repeat handling (distinct-position constraint) is out of
+    scope for this mode (pinned)."""
+    n = len(pos_lists)
+    adj = [p.astype(np.int64) - np.int64(i) for i, p in enumerate(pos_lists)]
+    if any(a.size == 0 for a in adj):
+        return False
+    idx = [0] * n
+    cur = [int(a[0]) for a in adj]
+    while True:
+        mn = min(cur)
+        if max(cur) - mn <= slop:
+            return True
+        i = cur.index(mn)
+        idx[i] += 1
+        if idx[i] >= adj[i].size:
+            return False
+        cur[i] = int(adj[i][idx[i]])
+
+
 def phrase_filter_docs(
     candidate_docs: list[int],
     term_shard_rows: dict[str, list],
     ordered_terms: list[str],
     dead=None,
     slop: int = 0,
+    slop_mode: str = "pergap",
 ) -> list[int]:
     """Keep candidate docs where `ordered_terms` occur in order within a
     per-gap window: term i+1 at a position q with p < q <= p + slop + 1
@@ -77,6 +110,18 @@ def phrase_filter_docs(
         for row in term_shard_rows.get(t, []):
             merged.update(_positions_by_doc(row, dead))
         per_term_pos.append(merged)
+    if slop_mode == "lucene":
+        # total-move budget (see lucene_slop_match); opt-in, so the
+        # per-doc sweep loop is acceptable here — candidates are already
+        # conjunctive-BM25 bounded
+        out = []
+        for d in candidate_docs:
+            pls = [pm.get(d) for pm in per_term_pos]
+            if all(p is not None for p in pls) and lucene_slop_match(
+                pls, slop
+            ):
+                out.append(d)
+        return out
     out = []
     for d in candidate_docs:
         base = per_term_pos[0].get(d)
@@ -99,20 +144,39 @@ def phrase_filter_docs(
     return out
 
 
+def _check_slop_mode(slop_mode: str, terms: list, uniq: list) -> None:
+    if slop_mode not in ("pergap", "lucene"):
+        raise ValueError(
+            f"slop_mode must be 'pergap' or 'lucene', got {slop_mode!r}"
+        )
+    if slop_mode == "lucene" and len(uniq) < len(terms):
+        raise ValueError(
+            "slop_mode='lucene' does not support repeated phrase terms "
+            "(Lucene's distinct-position repeat machinery is out of "
+            "scope — pinned); use slop_mode='pergap'"
+        )
+
+
 def phrase_search(
-    engine, query: str, k: int = 10, slop: int = 0
+    engine, query: str, k: int = 10, slop: int = 0,
+    slop_mode: str = "pergap",
 ) -> list[tuple[int, float]]:
     """Top-k docs containing the analyzed query as an ordered phrase,
     ranked by the conjunctive BM25 score (ties doc_id asc).
 
-    ``slop=0``: strict consecutive phrase. ``slop=n``: ordered proximity
-    — up to n non-query tokens between each adjacent pair of query terms
-    (PER-GAP window; a deliberate, documented simplification of Lucene's
-    sloppy phrase, whose slop is a TOTAL move budget and permits
-    reordering — the ordered per-gap form is what code search wants and
-    is SQL-expressible for the oracle gate). Catenated identifier tokens
-    stack at posInc=0 (classic-WDF parity), so a phrase/proximity query
-    can span a split identifier.
+    ``slop=0``: strict consecutive phrase. ``slop=n`` with the default
+    ``slop_mode="pergap"``: ordered proximity — up to n non-query tokens
+    between each adjacent pair of query terms (PER-GAP window; a
+    deliberate, documented simplification of Lucene's sloppy phrase —
+    the ordered per-gap form is what code search wants and is
+    SQL-expressible for the oracle gate). ``slop_mode="lucene"`` is the
+    Lucene TOTAL-MOVE budget instead (SloppyPhraseScorer: some choice of
+    one position per slot has offset-adjusted span <= slop), which
+    permits reordering — ``"b a"~2`` matches text ``a b`` (reversal
+    costs 2). Lucene mode rejects phrases with repeated terms (the
+    distinct-position repeat machinery is pinned out of scope).
+    Catenated identifier tokens stack at posInc=0 (classic-WDF parity),
+    so a phrase/proximity query can span a split identifier.
 
     Uses the engine's warm/cold segment access; requires the index to
     have been built with positions (engine.with_positions)."""
@@ -123,6 +187,7 @@ def phrase_search(
     if not terms:
         return []
     uniq = list(dict.fromkeys(terms))
+    _check_slop_mode(slop_mode, terms, uniq)
     st = engine.corpus_stats()
     # over-fetch candidates: phrase filtering can only shrink the set
     overfetch = max(k * 10, 100)
@@ -138,7 +203,7 @@ def phrase_search(
     dead = engine._dead_docs()
     keep = set(
         phrase_filter_docs([d for d, _ in scored], rows_by_term, terms, dead,
-                           slop=slop)
+                           slop=slop, slop_mode=slop_mode)
     )
     out = [(d, s) for d, s in scored if d in keep][:k]
     if len(out) < k and len(scored) == overfetch:
@@ -146,14 +211,14 @@ def phrase_search(
         scored = exact_topk(tls, 10**9, st["avgdl"], conjunctive=True)
         keep = set(
             phrase_filter_docs([d for d, _ in scored], rows_by_term, terms,
-                               dead, slop=slop)
+                               dead, slop=slop, slop_mode=slop_mode)
         )
         out = [(d, s) for d, s in scored if d in keep][:k]
     return out
 
 
 def phrase_search_distributed(engine, query: str, k: int = 10,
-                              slop: int = 0):
+                              slop: int = 0, slop_mode: str = "pergap"):
     """Cluster-scale phrase: no driver collect of posting lists.
 
     Phrase terms hash to DIFFERENT term_buckets, so positions of one doc
@@ -188,6 +253,7 @@ def phrase_search_distributed(engine, query: str, k: int = 10,
     if not terms:
         return []
     uniq = list(dict.fromkeys(terms))
+    _check_slop_mode(slop_mode, terms, uniq)
     seg = engine._segments_union(uniq)
     if seg is None:
         return []
@@ -348,29 +414,51 @@ def phrase_search_distributed(engine, query: str, k: int = 10,
             docord = np.repeat(np.arange(m, dtype=np.int64), lens)
             return (docord << np.int64(32)) | flat
 
-        keys = {s: slot_keys(s) for s in uniq_slots_in_order}
-        # ordered per-gap window chain (slop=0 = strict phrase): ``ok``
-        # holds the feasible combined keys of the LAST matched term; for
-        # each key q of the next term, the largest feasible predecessor
-        # p < q (one searchsorted over ALL docs at once — combined keys
-        # are doc-major) must be in the SAME doc and within the window
-        # q - slop - 1 <= p
-        win = np.int64(slop + 1)
-        ok = keys[term_order[0]]
-        for off in range(1, len(term_order)):
-            tgt = keys[term_order[off]]
-            if tgt.size == 0 or ok.size == 0:
-                ok = ok[:0]
-                break
-            idx = np.searchsorted(ok, tgt, side="left") - 1
-            mask = idx >= 0
-            prev = ok[np.maximum(idx, 0)]
-            mask &= (prev >> np.int64(32)) == (tgt >> np.int64(32))
-            mask &= prev >= tgt - win
-            ok = tgt[mask]
-        if ok.size == 0:
-            return
-        matched = np.unique(ok >> np.int64(32))
+        if slop_mode == "lucene":
+            # total-move budget (lucene_slop_match); opt-in, so a
+            # per-candidate-doc sweep loop is acceptable — candidates
+            # are already gated to docs carrying every slot
+            matched = np.fromiter(
+                (
+                    j for j in range(m)
+                    if lucene_slop_match(
+                        [
+                            np.asarray(
+                                pos_obj[cand_rows[j, s]], dtype=np.int64
+                            )
+                            for s in term_order
+                        ],
+                        slop,
+                    )
+                ),
+                dtype=np.int64,
+            )
+            if matched.size == 0:
+                return
+        else:
+            keys = {s: slot_keys(s) for s in uniq_slots_in_order}
+            # ordered per-gap window chain (slop=0 = strict phrase):
+            # ``ok`` holds the feasible combined keys of the LAST matched
+            # term; for each key q of the next term, the largest feasible
+            # predecessor p < q (one searchsorted over ALL docs at once —
+            # combined keys are doc-major) must be in the SAME doc and
+            # within the window q - slop - 1 <= p
+            win = np.int64(slop + 1)
+            ok = keys[term_order[0]]
+            for off in range(1, len(term_order)):
+                tgt = keys[term_order[off]]
+                if tgt.size == 0 or ok.size == 0:
+                    ok = ok[:0]
+                    break
+                idx = np.searchsorted(ok, tgt, side="left") - 1
+                mask = idx >= 0
+                prev = ok[np.maximum(idx, 0)]
+                mask &= (prev >> np.int64(32)) == (tgt >> np.int64(32))
+                mask &= prev >= tgt - win
+                ok = tgt[mask]
+            if ok.size == 0:
+                return
+            matched = np.unique(ok >> np.int64(32))
         tf_c = tf[cand_rows]
         dl_c = dl[cand_rows]
         sc = (

@@ -668,6 +668,8 @@ def query_segments_distributed(
     dead_pairs: dict | None = None,
     dead_df: "DataFrame | None" = None,
     min_match: int | None = None,
+    include_df: "DataFrame | None" = None,
+    exclude_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Cluster-scale path: decode+score inside each term_bucket partition
     (mapInPandas, vectorized), aggregate per doc, global TakeOrdered.
@@ -737,6 +739,20 @@ def query_segments_distributed(
         per_doc = per_doc.where(F.col("n_matched") == nq)
     elif min_match is not None and min_match > 1:
         per_doc = per_doc.where(F.col("n_matched") >= min_match)
+    # full query-surface parity for the cluster-scale path (VERDICT r3
+    # #2): fq (Lucene FILTER) is a left-semi join, exclude (MUST_NOT) a
+    # left-anti join — both on the aggregated per-doc rows (doc-level
+    # predicates; smaller left side than the per-term scored rows), both
+    # score-neutral for surviving docs, and neither set ever touches the
+    # driver. AQE broadcasts the small side.
+    if exclude_df is not None:
+        per_doc = per_doc.join(
+            exclude_df.select("doc_id"), "doc_id", "left_anti"
+        )
+    if include_df is not None:
+        per_doc = per_doc.join(
+            include_df.select("doc_id"), "doc_id", "left_semi"
+        )
     if k is None:
         # all-matches form (facet counting): no rank materialization
         return per_doc
