@@ -56,6 +56,7 @@ def _bm25_sql(tok_cte: str, query_terms: list[str], conjunctive: bool,
               min_match: int | None = None,
               terms_like: str | None = None,
               terms_fuzzy: "tuple[str, int] | None" = None,
+              fuzzy_blend: bool = False,
               fq_where: str | None = None) -> str:
     """One BM25 formulation, instantiated per dialect. Shapes (doc_id, score,
     n_matched); rank by rounded score desc, doc_id asc.
@@ -72,11 +73,21 @@ def _bm25_sql(tok_cte: str, query_terms: list[str], conjunctive: bool,
         cond = f"HAVING count(*) >= {min_match}"
     else:
         cond = ""
+    boost_expr = "1.0"
     if terms_like:
         term_pred = f"tf.term LIKE '{terms_like}'"
     elif terms_fuzzy:
         ft, fn = terms_fuzzy
         term_pred = f"levenshtein(tf.term, '{ft}') <= {fn}"
+        if fuzzy_blend:
+            # Lucene FuzzyTermsEnum boost: 1 - edit/min(|q|, |t|)
+            # (api.fuzzy_blend_boost) — the blend is itself a
+            # levenshtein expression, so the blended rewrite stays
+            # SQL-expressible and hash-gated
+            boost_expr = (
+                f"(1.0 - CAST(levenshtein(tf.term, '{ft}') AS DOUBLE)"
+                f" / CAST(least(length(tf.term), {len(ft)}) AS DOUBLE))"
+            )
     else:
         term_pred = f"tf.term IN ({terms_in})"
     limit = f"LIMIT {k}" if k else ""
@@ -102,7 +113,7 @@ stats AS (
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         ({boost_expr} * ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)))
            * (tf.tf * ({BM25_K1} + 1.0))
            / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / s.avgdl))
            AS term_score
@@ -545,6 +556,7 @@ def _engine_segment_topk(
     prefix: "str | None" = None,
     pattern: "str | None" = None,
     fuzzy: "tuple[str, int] | None" = None,
+    fuzzy_blend: bool = False,
     expr: "str | None" = None,
 ) -> DataFrame:
     """kernel -> dictionary -> salted repartition -> segment encode ->
@@ -687,6 +699,20 @@ def _engine_segment_topk(
             term_postings_from_rows(t, rs, n_docs, avgdl)
             for t, rs in by_term.items()
         ]
+        if fuzzy is not None and fuzzy_blend:
+            # Lucene blended rewrite: each expansion weighted by the
+            # FuzzyTermsEnum distance boost (api.fuzzy_blend_boost) —
+            # the same factor the DuckDB oracle multiplies in SQL
+            from ckanext_extractor_spark.api import fuzzy_blend_boost
+            from ckanext_extractor_spark.operators.wand import (
+                boost_postings,
+            )
+
+            ft, fn = fuzzy
+            tls = [
+                boost_postings(tp, fuzzy_blend_boost(ft, tp.term, fn))
+                for tp in tls
+            ]
         if ex_ids is not None and ex_ids.size:
             from ckanext_extractor_spark.operators.wand import exclude_docs
 
@@ -1184,6 +1210,131 @@ _PAIRS["q40_prefix_search"] = (
 _PAIRS["q41_facets_engine"] = ("", _FACETS_DUCK)
 
 
+_DOCS_ENGINE_CACHE: dict = {}
+
+
+def _docs_engine(spark: SparkSession, sf_dir: str):
+    """One SIMPLE_CONFIG engine over the documents table with a
+    Source_Name/Lang/N_Chars metadata sidecar, cached per sf_dir —
+    the r4 component entries (terms / range facets / query facets)
+    share a single extract instead of re-building per entry."""
+    if sf_dir in _DOCS_ENGINE_CACHE:
+        return _DOCS_ENGINE_CACHE[sf_dir]
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Source_Name"), F.array(F.col("source")),
+            F.lit("Lang"), F.array(F.col("lang")),
+            F.lit("N_Chars"), F.array(F.col("n_chars").cast("string")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_docs_eng_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+        indexed_fields=("source-*", "lang", "n-chars"),
+    )
+    eng.extract(corpus, build_id="entry-docs-eng")
+    _DOCS_ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def _q_terms_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr TermsComponent through the REAL engine: terms(prefix='s',
+    limit=15) lists dictionary terms by (df desc, term asc) with df from
+    segment n_postings metadata — a fresh index has no tombstones, so
+    pre-merge docFreq == live distinct-doc count and the DuckDB oracle
+    (count distinct doc_id per token) is exact."""
+    eng = _docs_engine(spark, sf_dir)
+    rows = eng.terms(prefix="s", limit=15)
+    return spark.createDataFrame(
+        [(t, int(d)) for t, d in rows], "term string, df long"
+    )
+
+
+_TERMS_DUCK = f"""
+WITH tok AS ({{tok}}),
+d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE term LIKE 's%' GROUP BY term)
+SELECT term, df FROM d ORDER BY df DESC, term ASC LIMIT 15
+"""
+
+
+def _q_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.range through the REAL engine: bucket counts of
+    matching docs' numeric n-chars metadata over [0, 400) gap 100,
+    zero-count buckets included (facet.mincount=0); the 'after' count
+    rides as bucket lo=400 so the whole response is one hash-gated
+    relation (start 0 makes 'before' structurally empty)."""
+    eng = _docs_engine(spark, sf_dir)
+    out = eng.range_facets("spark", "n-chars", 0, 400, 100)
+    rows = [(float(lo), int(c)) for lo, c in out["buckets"]]
+    rows.append((400.0, int(out["after"])))
+    return spark.createDataFrame(rows, "lo double, cnt long")
+
+
+_RANGE_FACETS_DUCK = f"""
+WITH tok AS ({{tok}}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT d.doc_id, CAST(d.n_chars AS DOUBLE) AS v
+      FROM documents d JOIN m USING (doc_id)),
+b AS (SELECT CAST(lo AS DOUBLE) AS lo
+      FROM range(0, 400, 100) t(lo)
+      UNION ALL SELECT 400.0),
+c AS (SELECT CASE WHEN v >= 400 THEN 400.0
+                  ELSE 100.0 * floor(v / 100.0) END AS lo,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS cnt
+      FROM v WHERE v >= 0 GROUP BY 1)
+SELECT b.lo, COALESCE(c.cnt, 0) AS cnt
+FROM b LEFT JOIN c USING (lo) ORDER BY lo
+"""
+
+
+def _q_query_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.query through the REAL engine: counts of docs matching
+    the main query AND each labelled sub-query — all labels in ONE
+    distributed plan (labelled union -> semi-join -> per-label count)."""
+    eng = _docs_engine(spark, sf_dir)
+    out = eng.query_facets(
+        "spark", {"has_join": "join", "vs": "vector stream"}
+    )
+    return spark.createDataFrame(
+        sorted((lbl, int(c)) for lbl, c in out.items()),
+        "label string, cnt long",
+    )
+
+
+_QUERY_FACETS_DUCK = f"""
+WITH tok AS ({{tok}}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+hj AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'join'),
+vs AS (SELECT doc_id FROM tok WHERE term IN ('vector', 'stream')
+       GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT 'has_join' AS label,
+       CAST((SELECT count(*) FROM m JOIN hj USING (doc_id)) AS BIGINT) AS cnt
+UNION ALL
+SELECT 'vs' AS label,
+       CAST((SELECT count(*) FROM m JOIN vs USING (doc_id)) AS BIGINT) AS cnt
+ORDER BY label
+"""
+
+_PAIRS["q62_terms_component"] = ("", _TERMS_DUCK.format(tok=DUCK_TOK))
+_PAIRS["q63_range_facets"] = ("", _RANGE_FACETS_DUCK.format(tok=DUCK_TOK))
+_PAIRS["q64_query_facets"] = ("", _QUERY_FACETS_DUCK.format(tok=DUCK_TOK))
+
+
 def _q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WildcardQuery 's*m' through the real pipeline: the expansion is a
     LIKE scan of the encoded dictionary (glob -> 's%m'), then the same
@@ -1264,6 +1415,27 @@ _PAIRS["q43_fuzzy_search"] = (
     "",
     _strip_n_matched(
         _bm25_sql(DUCK_TOK, [], False, 10, terms_fuzzy=("vektor", 1))
+    ),
+)
+
+
+def _q_fuzzy_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery 'vector'~1 with Lucene's distance-blended boost
+    (VERDICT r3 #5): the exact dictionary hit scores with boost 1.0,
+    every 1-edit neighbour with 1 - 1/min(|q|, |t|) — closing the
+    pinned per-term-idf divergence behind blend='lucene'. Oracle: the
+    same BM25 SQL with the boost as a levenshtein expression."""
+    return _engine_segment_topk(
+        spark, sf_dir, [], conjunctive=False, fuzzy=("vector", 1),
+        fuzzy_blend=True,
+    )
+
+
+_PAIRS["q61_fuzzy_blend"] = (
+    "",
+    _strip_n_matched(
+        _bm25_sql(DUCK_TOK, [], False, 10, terms_fuzzy=("vector", 1),
+                  fuzzy_blend=True)
     ),
 )
 def _q_bool_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,6 +1617,7 @@ def _q_dismax_qf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ckanext_extractor_spark.operators.fields import (
+        build_field_norms,
         build_field_postings,
         dismax_search_fields,
     )
@@ -1465,8 +1638,13 @@ def _q_dismax_qf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("metadata"),
     )
     fp = build_field_postings(prepared)
+    # PRECOMPUTED-NORMS path (r4): q49 goes through build-time
+    # (doc, field, dl) norms like the engine's field_norms table;
+    # q57 stays on the query-time aggregate so both branches are
+    # hash-gated against the same oracle formulation
     out = dismax_search_fields(
-        fp, "src13 en", {"field-a": 2.0, "field-b": 1.0}, k=10, tie=0.3
+        fp, "src13 en", {"field-a": 2.0, "field-b": 1.0}, k=10, tie=0.3,
+        norms=build_field_norms(fp),
     )
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
@@ -2128,6 +2306,53 @@ _PAIRS["q59_distributed_min_match"] = (
 )
 
 
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor deep paging (Lucene searchAfter / Solr cursorMark) on the
+    cluster-scale path: page 1 (k=5) hands its last (doc_id, score) hit to
+    page 2, whose filter runs BELOW the TakeOrdered — page depth never
+    grows the materialized window (vs search(start=n)'s start+k). The
+    oracle is the same BM25 ranking with OFFSET 5: cursor paging must
+    produce exactly the offset window, without the offset cost."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_cursor_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+    )
+    eng.extract(corpus, build_id="entry-cursor")
+    page1 = eng.search_after("spark join", k=5, distributed=True)
+    page2 = eng.search_after(
+        "spark join", k=5, after=page1[-1], distributed=True,
+    )
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in page2), key=lambda x: (-x[1], x[0])
+    )
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_SEARCH_AFTER_DUCK = _strip_n_matched(
+    _bm25_sql(DUCK_TOK, ["spark", "join"], True, 5)
+).replace("LIMIT 5", "LIMIT 5 OFFSET 5")
+
+_PAIRS["q65_search_after"] = ("", _SEARCH_AFTER_DUCK)
+
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -2162,6 +2387,11 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_distributed_exclude_fq": _q_distributed_exclude_fq,
     "q59_distributed_min_match": _q_distributed_min_match,
     "q60_phrase_lucene_slop": _q_phrase_lucene_slop,
+    "q61_fuzzy_blend": _q_fuzzy_blend,
+    "q62_terms_component": _q_terms_component,
+    "q63_range_facets": _q_range_facets,
+    "q64_query_facets": _q_query_facets,
+    "q65_search_after": _q_search_after,
 }
 
 

@@ -197,6 +197,53 @@ def _edit_distance_leq(a: str, b: str, n: int) -> bool:
     return prev[lb] <= n
 
 
+def _edit_distance(a: str, b: str, n: int) -> "int | None":
+    """Exact Levenshtein(a, b) when <= ``n``, else None — the banded
+    sibling of :func:`_edit_distance_leq` for callers that need the
+    distance itself (the blended fuzzy boost). n is tiny (<= 2, the
+    LevenshteinAutomata ceiling), so the smallest-d probe loop is
+    cheaper than carrying a full unbanded DP."""
+    for d in range(n + 1):
+        if _edit_distance_leq(a, b, d):
+            return d
+    return None
+
+
+def fuzzy_blend_boost(query: str, term: str, max_edits: int) -> float:
+    """Lucene's FuzzyQuery distance-blended boost for one expansion:
+    ``1 - edit(query, term) / min(|query|, |term|)`` (FuzzyTermsEnum's
+    boost(), which TopTermsBlendedFreqScoringRewrite multiplies into
+    each rewritten term's weight). An exact match boosts 1.0; each edit
+    costs 1/min-length, so corrections to short terms are punished
+    hardest — ranking parity with Solr's ``term~n``."""
+    d = _edit_distance(query, term, max_edits)
+    if d is None:
+        raise ValueError(
+            f"term {term!r} is not within {max_edits} edits of {query!r}"
+        )
+    m = min(len(query), len(term))
+    return 1.0 - d / m if m else 1.0
+
+
+def _require_cursor(after) -> "tuple[float, int] | None":
+    """Validate a searchAfter cursor: None, or a (doc_id, score) hit
+    EXACTLY as a previous page returned it. Returns the kernels'
+    (score, doc_id) form."""
+    if after is None:
+        return None
+    if (
+        not isinstance(after, (tuple, list)) or len(after) != 2
+        or isinstance(after[0], bool) or isinstance(after[1], bool)
+        or not isinstance(after[0], int)
+        or not isinstance(after[1], (int, float))
+    ):
+        raise ValidationError(
+            "after must be a (doc_id, score) hit from a previous page, "
+            f"got {after!r}"
+        )
+    return (float(after[1]), int(after[0]))
+
+
 def _require_slop(slop) -> int:
     if isinstance(slop, bool) or not isinstance(slop, int) or slop < 0:
         raise ValidationError(
@@ -686,10 +733,17 @@ class ExtractorEngine:
         stage_sec["doc_stats"] = time.time() - _t; _t = time.time()
         if "metadata" in meta_slim.columns:
             from ckanext_extractor_spark.operators.fields import (
+                build_field_norms,
                 build_field_postings,
             )
 
             batch_fp = build_field_postings(changed_meta)
+            # per-(doc, field) norms ride the same build (Lucene writes
+            # norms at flush time; dismax reads them instead of
+            # re-aggregating the whole field table per query) — merged
+            # incrementally with the same kept/dropped discipline as
+            # field_postings so the two tables never drift
+            batch_norms = build_field_norms(batch_fp)
             prev_fp = self._read_or_none("field_postings")
             if prev_fp is not None:
                 dropped_fp = to_index_ids.unionByName(
@@ -697,9 +751,22 @@ class ExtractorEngine:
                         F.col("status") == STATUS_IGNORED
                     ).select("doc_id")
                 )
-                batch_fp = prev_fp.join(
-                    dropped_fp, "doc_id", "left_anti"
-                ).unionByName(batch_fp)
+                kept_fp = prev_fp.join(dropped_fp, "doc_id", "left_anti")
+                prev_norms = self._read_or_none("field_norms")
+                if prev_norms is None:
+                    # pre-norms store: derive the kept docs' norms once
+                    kept_norms = build_field_norms(kept_fp)
+                else:
+                    kept_norms = prev_norms.join(
+                        dropped_fp, "doc_id", "left_anti"
+                    )
+                batch_fp = kept_fp.unionByName(batch_fp)
+                batch_norms = kept_norms.unionByName(batch_norms)
+            # norms publish FIRST: the pre-norms upgrade branch derives
+            # kept docs' norms from the OLD field_postings files, which
+            # the postings publish below replaces (lazy plans read at
+            # action time, not build time)
+            _atomic_overwrite(batch_norms, self._p("field_norms"), spark)
             _atomic_overwrite(batch_fp, self._p("field_postings"), spark)
         if self.store_content:
             # doc-store (fulltext kept, reference tasks.py:99-104): one
@@ -1155,6 +1222,10 @@ class ExtractorEngine:
         if fp is not None:
             fp2 = fp.join(F.broadcast(ids_df), "doc_id", "left_anti")
             _atomic_overwrite(fp2, self._p("field_postings"), spark)
+        fn = self._read_or_none("field_norms")
+        if fn is not None:
+            fn2 = fn.join(F.broadcast(ids_df), "doc_id", "left_anti")
+            _atomic_overwrite(fn2, self._p("field_norms"), spark)
         store = self._read_or_none("doc_store")
         if store is not None:
             st2 = store.join(F.broadcast(ids_df), "doc_id", "left_anti")
@@ -1883,6 +1954,7 @@ class ExtractorEngine:
         min_match: int | None = None,
         exclude: str | None = None,
         fq: dict[str, str] | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Cluster-scale top-k BM25 straight over the encoded segments —
         the route for indexes whose query-term posting lists exceed
@@ -1905,6 +1977,7 @@ class ExtractorEngine:
         _require_query(query)
         _require_k(k)
         _require_bool("conjunctive", conjunctive)
+        after = _require_cursor(after)
         if exclude is not None:
             _require_query(exclude)
         if min_match is not None and conjunctive:
@@ -1967,9 +2040,75 @@ class ExtractorEngine:
             self.spark, seg, terms_idf, st["avgdl"],
             k=k, conjunctive=conjunctive, n_query_terms=len(terms),
             dead_pairs=dead_pairs, dead_df=dead_df, min_match=min_match,
-            include_df=include_df, exclude_df=exclude_df,
+            include_df=include_df, exclude_df=exclude_df, after=after,
         ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def search_after(
+        self,
+        query: str,
+        k: int = 10,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+        after: tuple[float, int] | None = None,
+        distributed: bool = False,
+    ) -> list[tuple[int, float]]:
+        """Cursor paging — Lucene ``IndexSearcher.searchAfter`` / Solr
+        cursorMark: ``after=(doc_id, score)`` is the previous page's last
+        hit EXACTLY as returned, and the next page contains the k docs
+        STRICTLY after it in
+        (score desc, doc_id asc) order. Page depth never changes the
+        cost: page 1000 is one k-sized selection over the cursor-filtered
+        candidates, where ``search(start=n)`` must materialize a start+k
+        window (Solr's documented deep-paging cliff — cursorMark exists
+        for exactly this). ``after=None`` is the first page (Solr's
+        ``cursorMark=*``) and equals ``search(..., mode="exact")``.
+
+        Driver path routes to the exact kernel: the cursor filter
+        composes with exact scoring, while the pruned WAND/MaxScore
+        kernels assume an unfiltered top-k (Lucene's searchAfter
+        likewise re-collects, it does not resume a pruned scorer's
+        state). ``distributed=True`` routes to the cluster-scale kernel
+        with the cursor pushed below the TakeOrdered. Cursor comparisons
+        use the exact returned float (Lucene FieldDoc fidelity)."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        _require_bool("distributed", distributed)
+        after_k = _require_cursor(after)
+        if min_match is not None and conjunctive:
+            raise ValidationError(
+                "min_match applies to disjunctive queries; pass "
+                "conjunctive=False"
+            )
+        if distributed:
+            # pass the ORIGINAL (doc_id, score) hit — search_distributed
+            # runs its own cursor validation/conversion
+            return self.search_distributed(
+                query, k=k, conjunctive=conjunctive, min_match=min_match,
+                after=after,
+            )
+        from ckanext_extractor_spark.operators.wand import exact_topk
+
+        terms = list(
+            dict.fromkeys(
+                analyze_query(query, config=query_config_for(self.analyzer))
+            )
+        )
+        if not terms:
+            return []
+        st = self.corpus_stats()
+        tls = self._term_postings(terms, st)
+        tls = [tp for tp in tls if len(tp.doc_ids)]
+        if conjunctive and len(tls) < len(terms):
+            return []
+        if not tls:
+            return []
+        return exact_topk(
+            tls, k, st["avgdl"], conjunctive=conjunctive,
+            min_match=min_match, after=after_k,
+        )
 
     def dismax_search(
         self,
@@ -2027,7 +2166,8 @@ class ExtractorEngine:
         if fp is None:
             return []
         rows = dismax_search_fields(
-            fp, query, qf, k=k, tie=tie, min_match=min_match
+            fp, query, qf, k=k, tie=tie, min_match=min_match,
+            norms=self._read_or_none("field_norms"),
         ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
@@ -2365,18 +2505,27 @@ class ExtractorEngine:
         )
 
     def _expanded_topk(
-        self, terms: list[str], k: int
+        self, terms: list[str], k: int,
+        boosts: "dict[str, float] | None" = None,
     ) -> list[tuple[int, float]]:
         """Scoring-boolean disjunctive top-k over an already-expanded
         term set (the shared tail of prefix/wildcard/fuzzy queries —
-        Lucene SCORING_BOOLEAN_REWRITE)."""
-        from ckanext_extractor_spark.operators.wand import exact_topk
+        Lucene SCORING_BOOLEAN_REWRITE). ``boosts`` maps expansion term
+        -> weight multiplier (the blended-fuzzy rewrite's distance
+        boost); missing terms weigh 1.0."""
+        from ckanext_extractor_spark.operators.wand import (
+            boost_postings,
+            exact_topk,
+        )
 
         if not terms:
             return []
         st = self.corpus_stats()
         tls = self._term_postings(terms, st)
         tls = [tp for tp in tls if len(tp.doc_ids)]
+        if boosts:
+            tls = [boost_postings(tp, boosts.get(tp.term, 1.0))
+                   for tp in tls]
         if not tls:
             return []
         return exact_topk(tls, k, st["avgdl"], conjunctive=False)
@@ -2551,19 +2700,34 @@ class ExtractorEngine:
 
     def fuzzy_search(
         self, term: str, k: int = 10, max_edits: int = 1,
-        max_expansions: int | None = None,
+        max_expansions: int | None = None, blend: str = "idf",
     ) -> list[tuple[int, float]]:
         """Top-k for a fuzzy term query ``term~n`` (Solr/Lucene
-        FuzzyQuery). Rewrite: scoring-boolean OR with each expansion's
-        own idf — deliberately NOT Lucene's similarity-blended boost
-        (TopTermsBlendedFreqScoringRewrite), which would make scores
-        depend on the expansion set; per-term idf keeps the semantics
-        SQL-expressible (levenshtein(term, q) <= n inside the same BM25
-        formulation) and the divergence is pinned here."""
+        FuzzyQuery). Default rewrite (``blend="idf"``): scoring-boolean
+        OR with each expansion's own idf — NOT Lucene's blend; per-term
+        idf keeps the semantics SQL-expressible (levenshtein(term, q)
+        <= n inside the same BM25 formulation) and the divergence is
+        pinned here. ``blend="lucene"`` closes that divergence for
+        ranking: each expansion's contribution is multiplied by
+        FuzzyTermsEnum's distance boost ``1 - edit/min(|q|, |t|)``
+        (:func:`fuzzy_blend_boost`), so an exact dictionary hit
+        dominates its 1-edit neighbours the way Solr's ``term~n``
+        ranks them — still SQL-expressible (the boost is a levenshtein
+        expression), so the blended path is hash-gated too."""
         self._check_access("extractor_search")
         _require_k(k)
-        return self._expanded_topk(
-            self.expand_fuzzy(term, max_edits, max_expansions), k)
+        if blend not in ("idf", "lucene"):
+            raise ValidationError(
+                f"blend must be 'idf' or 'lucene', got {blend!r}"
+            )
+        q = self._normalize_prefix(term)
+        expansions = self.expand_fuzzy(term, max_edits, max_expansions)
+        boosts = None
+        if blend == "lucene":
+            boosts = {
+                t: fuzzy_blend_boost(q, t, max_edits) for t in expansions
+            }
+        return self._expanded_topk(expansions, k, boosts=boosts)
 
     def facets(
         self,
@@ -2649,6 +2813,21 @@ class ExtractorEngine:
         dm = ds.select(
             "doc_id", F.explode(F.col("metadata")).alias("field", "value")
         )
+        per_doc = self._match_docs(query, conjunctive, min_match, scored)
+        if per_doc is None:
+            return None
+        return per_doc, dm
+
+    def _match_docs(
+        self, query: str, conjunctive: bool, min_match: int | None,
+        scored: bool = False,
+    ):
+        """All-matches per-doc DataFrame from the bucket-pruned decode
+        kernel (k=None form) — the match-set half of
+        :meth:`_match_and_meta`, reusable by callers that need no
+        metadata join (query facets). None when the query analyzes to
+        nothing or the index has no segments. Nothing materializes on
+        the driver."""
         terms = list(
             dict.fromkeys(
                 analyze_query(query, config=query_config_for(self.analyzer))
@@ -2677,12 +2856,11 @@ class ExtractorEngine:
         else:
             terms_idf = {t: 1.0 for t in terms}
         dead_pairs, dead_df = self._dead_for_distributed()
-        per_doc = query_segments_distributed(
+        return query_segments_distributed(
             self.spark, seg, terms_idf, st["avgdl"],
             k=None, conjunctive=conjunctive, n_query_terms=len(terms),
             dead_pairs=dead_pairs, dead_df=dead_df, min_match=min_match,
         )
-        return per_doc, dm
 
     def search_sorted(
         self,
@@ -2952,6 +3130,206 @@ class ExtractorEngine:
             "sum": float(row["sm"]) if numeric else None,
             "mean": float(row["mean"]) if numeric else None,
         }
+
+    TERMS_MAX_LIMIT = 10_000
+
+    def terms(
+        self,
+        prefix: str | None = None,
+        limit: int = 10,
+        min_df: int = 1,
+    ) -> list[tuple[str, int]]:
+        """Solr TermsComponent (``terms.prefix`` / ``terms.limit`` /
+        ``terms.mincount``): index dictionary terms with their document
+        frequency, ranked (df desc, term asc) — ``terms.sort=count``.
+        df is the segment ``n_postings`` sum, i.e. Lucene's pre-merge
+        ``TermsEnum.docFreq`` — tombstoned docs count until compaction
+        (the same pinned divergence MLT/suggest carry; Solr's terms
+        component reports exactly these uncorrected docFreqs too).
+
+        Warm path: a driver pass over the cached dictionary. Cold path:
+        one column-pruned (term, n_postings) scan with the prefix pushed
+        as StringStartsWith; only ``limit`` rows reach the driver."""
+        self._check_access("extractor_search")
+        if (
+            isinstance(limit, bool) or not isinstance(limit, int)
+            or not 1 <= limit <= self.TERMS_MAX_LIMIT
+        ):
+            raise ValidationError(
+                f"limit must be 1..{self.TERMS_MAX_LIMIT}, got {limit!r}"
+            )
+        if (
+            isinstance(min_df, bool) or not isinstance(min_df, int)
+            or min_df < 1
+        ):
+            raise ValidationError(
+                f"min_df must be a positive integer, got {min_df!r}"
+            )
+        p = self._normalize_prefix(prefix) if prefix is not None else None
+        if self._rows_cache is not None and not self._lazy_serve:
+            cand = (
+                (t, sum(int(r["n_postings"]) for r in rows))
+                for t, rows in self._rows_cache.items()
+                if p is None or t.startswith(p)
+            )
+            ranked = sorted(
+                (tc for tc in cand if tc[1] >= min_df),
+                key=lambda tc: (-tc[1], tc[0]),
+            )
+            return ranked[:limit]
+        seg = self._segments_union()
+        if seg is None:
+            return []
+        scan = seg.select("term", "n_postings")
+        if p is not None:
+            scan = scan.where(F.col("term").startswith(p))
+        rows = (
+            scan.groupBy("term")
+            .agg(F.sum("n_postings").alias("df"))
+            .where(F.col("df") >= min_df)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+            .collect()
+        )
+        return [(r["term"], int(r["df"])) for r in rows]
+
+    RANGE_FACET_MAX_BUCKETS = 10_000
+
+    def range_facets(
+        self,
+        query: str,
+        field: str,
+        start: float,
+        end: float,
+        gap: float,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> dict:
+        """Solr range faceting (``facet.range`` with start/end/gap +
+        the before/after other-counts): bucket counts of the matching
+        docs' numeric ``field`` values. Buckets are [lo, lo+gap) from
+        ``start`` up to ``end`` (include=lower, Solr default), ALL
+        buckets reported including zero counts (facet.mincount=0);
+        values below start / at-or-above end land in ``before`` /
+        ``after``. Values that don't parse as numbers are ignored
+        (Solr range facets target numeric fields; the reference's
+        dynamic fields are strings, so try_cast is the bridge). A doc
+        with multiple values for the field counts once per bucket it
+        hits (Solr counts docs, not values).
+
+        One distributed aggregate: match kernel ⋈ EAV -> bucket label
+        -> countDistinct(doc) per label; at most n_buckets+2 rows reach
+        the driver, with the bucket count validated against
+        ``RANGE_FACET_MAX_BUCKETS`` up front."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(field, str) or not field.strip():
+            raise ValidationError(
+                f"field must be a non-empty string, got {field!r}"
+            )
+        for name, v in (("start", start), ("end", end), ("gap", gap)):
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ValidationError(
+                    f"{name} must be a number, got {v!r}"
+                )
+        if gap <= 0:
+            raise ValidationError(f"gap must be positive, got {gap!r}")
+        if start >= end:
+            raise ValidationError(
+                f"start must be below end, got [{start!r}, {end!r})"
+            )
+        import math
+
+        n_buckets = int(math.ceil((end - start) / gap))
+        if n_buckets > self.RANGE_FACET_MAX_BUCKETS:
+            raise ValidationError(
+                f"{n_buckets} buckets exceed RANGE_FACET_MAX_BUCKETS "
+                f"({self.RANGE_FACET_MAX_BUCKETS}); widen gap"
+            )
+        lows = [start + i * gap for i in range(n_buckets)]
+        out = {"buckets": [(lo, 0) for lo in lows], "before": 0,
+               "after": 0}
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
+            return out
+        per_doc, dm = mm
+        v = F.col("value").try_cast("double")
+        lbl = (
+            F.when(v < float(start), F.lit(-1))
+            .when(v >= float(end), F.lit(n_buckets))
+            .otherwise(
+                F.floor((v - float(start)) / float(gap)).cast("int")
+            )
+        )
+        rows = (
+            dm.where(F.col("field") == field)
+            .join(per_doc.select("doc_id"), "doc_id", "left_semi")
+            .where(v.isNotNull())
+            .select("doc_id", lbl.alias("_b"))
+            .groupBy("_b")
+            .agg(F.count_distinct("doc_id").alias("cnt"))
+            .collect()
+        )
+        counts = {int(r["_b"]): int(r["cnt"]) for r in rows}
+        out["before"] = counts.get(-1, 0)
+        out["after"] = counts.get(n_buckets, 0)
+        out["buckets"] = [
+            (lo, counts.get(i, 0)) for i, lo in enumerate(lows)
+        ]
+        return out
+
+    def query_facets(
+        self,
+        query: str,
+        facet_queries: dict[str, str],
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> dict[str, int]:
+        """Solr ``facet.query``: for each labelled sub-query, the count
+        of docs matching the MAIN query AND that sub-query. Sub-queries
+        go through the same analyzer and match conjunctively (the
+        engine's default operator, like Solr q.op=AND deployments).
+
+        Fully distributed: every sub-query's k=None match set is
+        labelled and unioned into ONE plan, semi-joined against the
+        main match set, and counted per label — one Spark job for all
+        labels, ≤ len(facet_queries) rows on the driver."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(facet_queries, dict) or not facet_queries or not (
+            all(isinstance(k, str) and k.strip()
+                and isinstance(q, str) and q.strip()
+                for k, q in facet_queries.items())
+        ):
+            raise ValidationError(
+                "facet_queries must be a non-empty dict of "
+                f"label -> query strings, got {facet_queries!r}"
+            )
+        out = {label: 0 for label in facet_queries}
+        main = self._match_docs(query, conjunctive, min_match)
+        if main is None:
+            return out
+        labelled = None
+        for label, subq in facet_queries.items():
+            sub = self._match_docs(subq, True, None)
+            if sub is None:
+                continue
+            part = sub.select("doc_id").withColumn("_lbl", F.lit(label))
+            labelled = part if labelled is None \
+                else labelled.unionByName(part)
+        if labelled is None:
+            return out
+        rows = (
+            labelled.join(main.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("_lbl")
+            .agg(F.count_distinct("doc_id").alias("cnt"))
+            .collect()
+        )
+        for r in rows:
+            out[r["_lbl"]] = int(r["cnt"])
+        return out
 
     def suggest(
         self,

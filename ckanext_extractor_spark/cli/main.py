@@ -116,7 +116,8 @@ def cmd_query(args) -> int:
     elif args.wildcard:
         hits = eng.wildcard_search(args.q, k=args.k)
     elif args.fuzzy is not None:
-        hits = eng.fuzzy_search(args.q, k=args.k, max_edits=args.fuzzy)
+        hits = eng.fuzzy_search(args.q, k=args.k, max_edits=args.fuzzy,
+                                blend=args.blend)
     else:
         fq = None
         if args.fq:
@@ -197,8 +198,38 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_terms(args) -> int:
+    eng = _engine(args)
+    rows = eng.terms(prefix=args.prefix, limit=args.k,
+                     min_df=args.min_df)
+    print(json.dumps([{"term": t, "df": d} for t, d in rows]))
+    return 0
+
+
 def cmd_facets(args) -> int:
     eng = _engine(args)
+    if args.range is not None:
+        field, lo, hi, gap = args.range
+        out = eng.range_facets(args.q, field, float(lo), float(hi),
+                               float(gap), conjunctive=not args.use_or)
+        print(json.dumps({
+            "buckets": [{"lo": lo_, "count": c}
+                        for lo_, c in out["buckets"]],
+            "before": out["before"], "after": out["after"],
+        }))
+        return 0
+    if args.fquery:
+        fq = {}
+        for spec in args.fquery:
+            label, _, q = spec.partition("=")
+            fq[label] = q
+        print(json.dumps(eng.query_facets(
+            args.q, fq, conjunctive=not args.use_or)))
+        return 0
+    if not args.fields:
+        print("facets: --fields is required unless --range/--fquery "
+              "is given", file=sys.stderr)
+        return 2
     if args.pivot:
         def as_json(node):
             return [{"value": v, "count": n, "pivot": as_json(kids)}
@@ -285,6 +316,10 @@ def main(argv=None) -> int:
     q.add_argument("--fuzzy", type=int, default=None, metavar="N",
                    help="treat --q as a fuzzy term with edit distance "
                         "<= N (FuzzyQuery term~N)")
+    q.add_argument("--blend", choices=("idf", "lucene"), default="idf",
+                   help="fuzzy scoring: per-expansion idf (pinned "
+                        "default) or Lucene's distance-blended boost "
+                        "1-edit/min(|q|,|t|)")
     q.add_argument("--qf", action="append", default=None,
                    metavar="FIELD[^BOOST]",
                    help="score over metadata fields with dismax (Solr qf; "
@@ -363,16 +398,39 @@ def main(argv=None) -> int:
     )
     fc.add_argument("--index", required=True)
     fc.add_argument("--q", required=True)
-    fc.add_argument("--fields", nargs="+", required=True,
+    fc.add_argument("--fields", nargs="+", default=None,
                     help="metadata fields (doc_meta keys) to facet on")
     fc.add_argument("-k", type=int, default=10,
                     help="top values per field (count desc, value asc)")
     fc.add_argument("--pivot", action="store_true",
                     help="nested pivot counts in --fields order "
                          "(Solr facet.pivot)")
+    fc.add_argument("--range", nargs=4, default=None,
+                    metavar=("FIELD", "START", "END", "GAP"),
+                    help="numeric range buckets over a metadata field "
+                         "(Solr facet.range; zero buckets included, "
+                         "before/after counts reported)")
+    fc.add_argument("--fquery", action="append", default=None,
+                    metavar="LABEL=QUERY",
+                    help="count docs matching --q AND QUERY per label "
+                         "(Solr facet.query; repeatable)")
     fc.add_argument("--or", dest="use_or", action="store_true")
     fc.add_argument("--buckets", type=int, default=64)
     fc.set_defaults(fn=cmd_facets)
+
+    tm = sub.add_parser(
+        "terms", help="index dictionary terms with docFreq "
+                      "(Solr TermsComponent)"
+    )
+    tm.add_argument("--index", required=True)
+    tm.add_argument("--prefix", default=None,
+                    help="only terms starting with this (terms.prefix)")
+    tm.add_argument("-k", type=int, default=10,
+                    help="max terms, ranked df desc then term asc")
+    tm.add_argument("--min-df", type=int, default=1,
+                    help="minimum docFreq (terms.mincount)")
+    tm.add_argument("--buckets", type=int, default=64)
+    tm.set_defaults(fn=cmd_terms)
 
     g = sub.add_parser("lineage", help="per-partition build metrics")
     g.add_argument("--index", required=True)

@@ -62,6 +62,22 @@ def build_field_postings(
     )
 
 
+def build_field_norms(
+    field_postings: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, field, dl) — per-(doc, field) token length, Lucene's
+    per-field norm, computed at index time (Lucene stores norms in the
+    .nvd/.nvm files at flush; BM25Similarity reads them per query
+    instead of re-counting). One partial+final aggregate over the field
+    postings; the output is one row per (doc, field) — strictly smaller
+    than its input — so persisting it turns every dismax query's
+    doc-scale length aggregate into a pushed-filter scan of a tiny
+    table."""
+    return field_postings.groupBy(id_col, "field").agg(
+        F.sum("tf").alias("dl")
+    )
+
+
 def dismax_search_fields(
     field_postings: DataFrame,
     query: str,
@@ -72,6 +88,7 @@ def dismax_search_fields(
     k1: float = 1.2,
     b: float = 0.75,
     min_match: "int | None" = None,
+    norms: "DataFrame | None" = None,
 ) -> DataFrame:
     """Scored multi-field search — Solr (e)dismax ``qf`` with per-field
     boosts and ``tie`` breaker (Lucene DisjunctionMaxQuery).
@@ -89,15 +106,18 @@ def dismax_search_fields(
     deduplicated (dict order), matching search_field.
 
     Scale shape: the field/term filters push to the parquet scan; field
-    stats and the (field, term) df table are tiny and broadcast; the one
-    doc-scale exchange is the per-(doc, field) length aggregate joined
-    back on its own grouping key (partial+final; metadata postings are a
-    small fraction of content postings, fields.py module note). Top-k is
-    a global TakeOrderedAndProject — no full sort, no driver
-    materialization beyond k rows. If field norms ever dominate, the dl
-    aggregate is the piece to precompute at build time (Lucene stores
-    norms at index time); kept query-time here so incremental extract /
-    delete maintain exactly one field table.
+    stats and the (field, term) df table are tiny and broadcast; top-k
+    is a global TakeOrderedAndProject — no full sort, no driver
+    materialization beyond k rows. ``norms`` (build-time
+    :func:`build_field_norms` output, the engine's ``field_norms``
+    table) replaces the one doc-scale piece — the per-(doc, field)
+    length aggregate over ALL terms of the qf fields — with a
+    pushed-filter scan of the precomputed (doc, field, dl) rows, the
+    way Lucene reads index-time norms per query instead of re-counting;
+    per-field n_docs/avgdl are re-derived from the norms rows (they
+    change with every add/delete, so persisting them would just be a
+    second table to invalidate). Without ``norms`` the aggregate runs
+    query-time (pre-norms stores keep working).
 
     Divergence, pinned: the engine's main content index is not a qf
     target (its analyzer differs from the field chain); combine with
@@ -112,7 +132,12 @@ def dismax_search_fields(
         return empty
     fields = list(qf)
     fp = field_postings.where(F.col("field").isin(fields))
-    dl = fp.groupBy(id_col, "field").agg(F.sum("tf").alias("dl"))
+    if norms is not None:
+        dl = norms.where(F.col("field").isin(fields)).select(
+            id_col, "field", "dl"
+        )
+    else:
+        dl = fp.groupBy(id_col, "field").agg(F.sum("tf").alias("dl"))
     stats = dl.groupBy("field").agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

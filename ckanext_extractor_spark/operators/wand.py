@@ -368,6 +368,21 @@ def exclude_docs(tp: TermPostings, ex_ids: "np.ndarray") -> TermPostings:
     )
 
 
+def boost_postings(tp: TermPostings, boost: float) -> TermPostings:
+    """``tp`` with every score contribution multiplied by ``boost``.
+    BM25 is linear in idf, so scaling idf scales the term's whole score
+    exactly — the same mechanism the boolean-query evaluator uses for
+    ``term^boost`` and the blended fuzzy rewrite uses for Lucene's
+    distance boost (FuzzyTermsEnum: 1 - edit/min(|term|, |query|)).
+    block_max_tfn is tf-normalized (idf-free), so the block-max upper
+    bound ``idf * (k1+1) * max_tfn`` stays exact under the scaled idf —
+    WAND/MaxScore pruning remains sound without touching the blocks."""
+    return TermPostings(
+        tp.term, tp.idf * boost, tp.doc_ids, tp.tfs,
+        tp.doc_lens, tp.block_last_doc, tp.block_max_tfn,
+    )
+
+
 def restrict_docs(tp: TermPostings, allowed: "np.ndarray") -> TermPostings:
     """``tp`` restricted to postings of ``allowed`` (sorted asc) — the
     filter-query (Solr fq / Lucene FILTER clause) pre-score restriction.
@@ -405,13 +420,19 @@ def exact_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     min_match: int | None = None,
+    after: "tuple[float, int] | None" = None,
 ) -> list[tuple[int, float]]:
     """Vectorized brute-force merge; exact, the distributed kernel.
 
     ``min_match`` (Solr mm / Lucene minimumNumberShouldMatch): in the
     disjunctive path, keep only docs matching at least that many DISTINCT
     query terms. ``min_match=len(term_lists)`` degenerates to conjunctive;
-    ignored when ``conjunctive=True`` (already the strictest form)."""
+    ignored when ``conjunctive=True`` (already the strictest form).
+
+    ``after=(score, doc_id)`` — Lucene searchAfter: only docs strictly
+    after the cursor in (score desc, doc_id asc) order are eligible for
+    the k-selection (exact-float comparison; scores here are
+    numpy-deterministic, so a page-1 score round-trips exactly)."""
     if not term_lists:
         return []
     if conjunctive:
@@ -441,6 +462,10 @@ def exact_topk(
             nm = np.bincount(inv)
             keep = nm >= min_match
             docs, total = docs[keep], total[keep]
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        keep = (total < s0) | ((total == s0) & (docs > d0))
+        docs, total = docs[keep], total[keep]
     return _topk_select(docs, total, k)
 
 
@@ -670,9 +695,20 @@ def query_segments_distributed(
     min_match: int | None = None,
     include_df: "DataFrame | None" = None,
     exclude_df: "DataFrame | None" = None,
+    after: "tuple[float, int] | None" = None,
 ) -> DataFrame:
     """Cluster-scale path: decode+score inside each term_bucket partition
     (mapInPandas, vectorized), aggregate per doc, global TakeOrdered.
+
+    ``after=(score, doc_id)`` is Lucene's searchAfter / Solr cursorMark:
+    only docs STRICTLY after the cursor in (score desc, doc_id asc)
+    order survive, so page N+1 costs exactly one k-sized TakeOrdered —
+    never the start+k materialization of offset paging. The comparison
+    uses the exact float score the previous page returned (Lucene's
+    FieldDoc carries the exact score too); a doc whose re-aggregated
+    score differs in the last ulp across jobs could straddle the cursor,
+    which is the same noise floor Lucene accepts for searchAfter on
+    recomputed scores.
 
     Used when posting lists are too large to collect; the per-bucket
     kernel is the same vectorized scorer as exact_topk.
@@ -752,6 +788,12 @@ def query_segments_distributed(
     if include_df is not None:
         per_doc = per_doc.join(
             include_df.select("doc_id"), "doc_id", "left_semi"
+        )
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        per_doc = per_doc.where(
+            (F.col("score") < s0)
+            | ((F.col("score") == s0) & (F.col("doc_id") > d0))
         )
     if k is None:
         # all-matches form (facet counting): no rank materialization
