@@ -1685,6 +1685,114 @@ ORDER BY ROUND(SUM(ds), 6) DESC, doc_id ASC LIMIT 10
 """
 
 
+def _q_dismax_pf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax pf through the REAL operators: q49's dismax qf plus a
+    phrase-field boost on field-a — docs whose field-a value contains
+    'src13 en' as an adjacent phrase add a phrase-BM25 term (tf = count
+    of phrase starts, idf = sum of the terms' field idfs — Lucene
+    PhraseWeight; same per-field norms), DisjunctionMax over pf fields
+    with the same tie, added to the main dismax score (SHOULD clause:
+    non-matching docs keep their q49 scores exactly)."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.operators.fields import (
+        build_field_norms,
+        build_field_postings,
+        dismax_search_fields,
+    )
+    from ckanext_extractor_spark.operators.normalize import (
+        clean_metadata_keys,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prepared = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        clean_metadata_keys(
+            F.create_map(
+                F.lit("Field_A"),
+                F.concat(F.col("source"), F.lit(" "), F.col("lang")),
+                F.lit("Field_B"),
+                F.col("lang"),
+            )
+        ).alias("metadata"),
+    )
+    fp = build_field_postings(prepared)
+    values = prepared.select(
+        "doc_id", F.explode(F.col("metadata")).alias("field", "value")
+    )
+    out = dismax_search_fields(
+        fp, "src13 en", {"field-a": 2.0, "field-b": 1.0}, k=10, tie=0.3,
+        norms=build_field_norms(fp), pf={"field-a": 1.5}, values=values,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_DISMAX_PF_DUCK = """
+WITH fp0 AS (
+  SELECT doc_id, 'field-a' AS field,
+         unnest(list_filter(string_split_regex(lower(source || ' ' || lang),
+             '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'field-b' AS field,
+         unnest(list_filter(string_split_regex(lower(lang),
+             '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+fp AS (SELECT doc_id, field, term, count(*) AS tf FROM fp0 GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, field, sum(tf) AS dl FROM fp GROUP BY 1, 2),
+st AS (SELECT field, CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+       FROM dl GROUP BY 1),
+dft AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM fp
+        WHERE term IN ('src13', 'en') GROUP BY 1, 2),
+sc AS (
+  SELECT fp.doc_id, fp.term,
+         (CASE WHEN fp.field = 'field-a' THEN 2.0 ELSE 1.0 END)
+         * ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (fp.tf * 2.2)
+           / (fp.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM fp
+  JOIN dl ON fp.doc_id = dl.doc_id AND fp.field = dl.field
+  JOIN st ON fp.field = st.field
+  JOIN dft ON fp.field = dft.field AND fp.term = dft.term
+),
+dm AS (SELECT doc_id, term, max(s) + 0.3 * (sum(s) - max(s)) AS ds
+       FROM sc GROUP BY 1, 2),
+qagg AS (SELECT doc_id, SUM(ds) AS qscore FROM dm GROUP BY doc_id),
+pv AS (SELECT doc_id, 'field-a' AS field,
+         list_filter(string_split_regex(lower(source || ' ' || lang),
+             '[^a-z0-9]+'), x -> x <> '') AS ta
+       FROM documents),
+ptf AS (SELECT doc_id, field,
+          CASE WHEN len(ta) >= 2 THEN len(list_filter(
+                 generate_series(1, len(ta) - 1),
+                 i -> ta[i:i+1] = ['src13', 'en']))
+               ELSE 0 END AS ptf
+        FROM pv),
+pidf AS (SELECT dft.field,
+                SUM(ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)))
+                  AS pidf
+         FROM dft JOIN st ON dft.field = st.field
+         WHERE dft.field = 'field-a' GROUP BY dft.field),
+psc AS (SELECT p.doc_id,
+          1.5 * pidf.pidf * (p.ptf * 2.2)
+            / (p.ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS ps
+        FROM ptf p
+        JOIN dl ON p.doc_id = dl.doc_id AND p.field = dl.field
+        JOIN st ON p.field = st.field
+        JOIN pidf ON p.field = pidf.field
+        WHERE p.ptf > 0),
+pagg AS (SELECT doc_id, max(ps) + 0.3 * (sum(ps) - max(ps)) AS pscore
+         FROM psc GROUP BY doc_id)
+SELECT q.doc_id, ROUND(q.qscore + COALESCE(pa.pscore, 0), 4) AS score
+FROM qagg q LEFT JOIN pagg pa ON q.doc_id = pa.doc_id
+ORDER BY ROUND(q.qscore + COALESCE(pa.pscore, 0), 6) DESC, q.doc_id ASC
+LIMIT 10
+"""
+
+_PAIRS["q66_dismax_pf"] = ("", _DISMAX_PF_DUCK)
+
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
@@ -2392,6 +2500,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_range_facets": _q_range_facets,
     "q64_query_facets": _q_query_facets,
     "q65_search_after": _q_search_after,
+    "q66_dismax_pf": _q_dismax_pf,
 }
 
 

@@ -2117,6 +2117,7 @@ class ExtractorEngine:
         k: int = 10,
         tie: float = 0.0,
         min_match: int | None = None,
+        pf: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Scored multi-field metadata search — Solr (e)dismax ``qf``
         per-field boosts with ``tie`` breaker (Lucene
@@ -2126,24 +2127,35 @@ class ExtractorEngine:
         metadata fields (plugin.py:40,140). ``min_match`` is edismax mm
         over the dismax clauses: keep docs matching at least that many
         distinct query terms in any field (filter, never a rescore).
-        Returns [(doc_id, score)], score desc, doc_id asc."""
+        ``pf`` (edismax phrase fields): docs whose pf-field value
+        contains the WHOLE query as an adjacent phrase earn an additive
+        phrase-BM25 boost (DisjunctionMax over pf fields with the same
+        tie) — the relevance feature Solr deployments reach for right
+        after qf. Returns [(doc_id, score)], score desc, doc_id asc."""
         self._check_access("extractor_search")
         _require_query(query)
         _require_k(k)
-        if (
-            not isinstance(qf, dict)
-            or not qf
-            or not all(
-                isinstance(f, str) and f.strip()
-                and isinstance(w, (int, float)) and not isinstance(w, bool)
-                and w > 0
-                for f, w in qf.items()
-            )
-        ):
-            raise ValidationError(
-                "qf must be a non-empty {field: positive boost} dict, "
-                f"got {qf!r}"
-            )
+
+        def _require_boost_map(name, m, allow_none):
+            if m is None and allow_none:
+                return
+            if (
+                not isinstance(m, dict)
+                or not m
+                or not all(
+                    isinstance(f, str) and f.strip()
+                    and isinstance(w, (int, float))
+                    and not isinstance(w, bool) and w > 0
+                    for f, w in m.items()
+                )
+            ):
+                raise ValidationError(
+                    f"{name} must be a non-empty "
+                    f"{{field: positive boost}} dict, got {m!r}"
+                )
+
+        _require_boost_map("qf", qf, allow_none=False)
+        _require_boost_map("pf", pf, allow_none=True)
         if (
             isinstance(tie, bool)
             or not isinstance(tie, (int, float))
@@ -2165,9 +2177,18 @@ class ExtractorEngine:
         fp = self._read_or_none("field_postings")
         if fp is None:
             return []
+        values = None
+        if pf:
+            ds = self._read_or_none("doc_stats")
+            if ds is not None and "metadata" in ds.columns:
+                values = ds.select(
+                    "doc_id",
+                    F.explode(F.col("metadata")).alias("field", "value"),
+                )
         rows = dismax_search_fields(
             fp, query, qf, k=k, tie=tie, min_match=min_match,
             norms=self._read_or_none("field_norms"),
+            pf=pf, values=values,
         ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 

@@ -99,12 +99,16 @@ def cmd_query(args) -> int:
                               "value": value}))
         return 0
     if args.qf:
-        qf = {}
-        for spec in args.qf:
-            field, _, w = spec.partition("^")
-            qf[field] = float(w) if w else 1.0
-        hits = eng.dismax_search(args.q, qf, k=args.k, tie=args.tie,
-                                 min_match=args.min_match)
+        def _boosts(specs):
+            out = {}
+            for spec in specs:
+                field, _, w = spec.partition("^")
+                out[field] = float(w) if w else 1.0
+            return out
+
+        hits = eng.dismax_search(args.q, _boosts(args.qf), k=args.k,
+                                 tie=args.tie, min_match=args.min_match,
+                                 pf=_boosts(args.pf) if args.pf else None)
     elif args.phrase:
         hits = eng.phrase_search(args.q, k=args.k,
                                  distributed=args.distributed,
@@ -324,6 +328,11 @@ def main(argv=None) -> int:
                    metavar="FIELD[^BOOST]",
                    help="score over metadata fields with dismax (Solr qf; "
                         "repeatable, e.g. --qf title^4 --qf tags)")
+    q.add_argument("--pf", action="append", default=None,
+                   metavar="FIELD[^BOOST]",
+                   help="phrase-field boost: whole query as an adjacent "
+                        "phrase in FIELD adds phrase BM25 (edismax pf; "
+                        "repeatable; requires --qf)")
     q.add_argument("--tie", type=float, default=0.0,
                    help="dismax tie breaker in [0,1] (default 0)")
     q.add_argument("--fq", action="append", default=None,

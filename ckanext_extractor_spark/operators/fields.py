@@ -78,6 +78,28 @@ def build_field_norms(
     )
 
 
+def phrase_tf_expr(value_col, phrase_terms: list[str]):
+    """Phrase frequency of the analyzed ``phrase_terms`` sequence inside
+    a metadata value, as a pure Catalyst expression over the simple
+    chain: tokenize the value, then count EVERY start position whose
+    n-slice equals the phrase (Lucene ExactPhraseMatcher counts
+    overlapping starts too — ['a','a','a'] contains ['a','a'] twice)."""
+    n = len(phrase_terms)
+    ta = F.filter(
+        F.split(F.lower(value_col), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    target = F.array(*[F.lit(t) for t in phrase_terms])
+    return F.when(
+        F.size(ta) >= n,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(ta) - n + 1),
+                lambda i: F.slice(ta, i, n) == target,
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+
 def dismax_search_fields(
     field_postings: DataFrame,
     query: str,
@@ -89,6 +111,8 @@ def dismax_search_fields(
     b: float = 0.75,
     min_match: "int | None" = None,
     norms: "DataFrame | None" = None,
+    pf: "dict[str, float] | None" = None,
+    values: "DataFrame | None" = None,
 ) -> DataFrame:
     """Scored multi-field search — Solr (e)dismax ``qf`` with per-field
     boosts and ``tie`` breaker (Lucene DisjunctionMaxQuery).
@@ -119,6 +143,17 @@ def dismax_search_fields(
     second table to invalidate). Without ``norms`` the aggregate runs
     query-time (pre-norms stores keep working).
 
+    ``pf`` (edismax phrase fields, with ``values`` = the (doc_id,
+    field, value) EAV rows): the whole analyzed query, as a phrase,
+    scores each pf field with phrase-frequency BM25 (tf = count of
+    phrase starts via :func:`phrase_tf_expr`; idf = the SUM of the
+    phrase terms' per-field idfs, Lucene PhraseWeight; norms = the same
+    per-field dl), pf fields combine DisjunctionMax-with-``tie`` like
+    qf, and the result ADDS to matching docs' main score (edismax
+    attaches pf phrases as SHOULD clauses — a phrase-only doc that
+    fails the main query stays excluded). Single-term queries skip pf
+    (no phrase to build — Solr behaves the same).
+
     Divergence, pinned: the engine's main content index is not a qf
     target (its analyzer differs from the field chain); combine with
     ``search()`` for body relevance, as CKAN combines text with field
@@ -131,18 +166,21 @@ def dismax_search_fields(
     if not terms or not qf:
         return empty
     fields = list(qf)
-    fp = field_postings.where(F.col("field").isin(fields))
+    pf = dict(pf or {})
+    fields_all = list(dict.fromkeys(fields + list(pf)))
+    fp_all = field_postings.where(F.col("field").isin(fields_all))
+    fp = fp_all.where(F.col("field").isin(fields))
     if norms is not None:
-        dl = norms.where(F.col("field").isin(fields)).select(
+        dl = norms.where(F.col("field").isin(fields_all)).select(
             id_col, "field", "dl"
         )
     else:
-        dl = fp.groupBy(id_col, "field").agg(F.sum("tf").alias("dl"))
+        dl = fp_all.groupBy(id_col, "field").agg(F.sum("tf").alias("dl"))
     stats = dl.groupBy("field").agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     df_t = (
-        fp.where(F.col("term").isin(terms))
+        fp_all.where(F.col("term").isin(terms))
         .groupBy("field", "term")
         .agg(F.count("*").alias("df"))
     )
@@ -177,6 +215,59 @@ def dismax_search_fields(
         # min_match DISTINCT query terms (in any field) — a filter on
         # the matched-term count, never a rescore
         agg = agg.where(F.col("_m") >= int(min_match))
+    ptoks = analyze_field_query(query)  # ordered, dups kept (positions)
+    if pf and values is not None and len(ptoks) >= 2:
+        from collections import Counter
+
+        pvals = values.where(F.col("field").isin(list(pf)))
+        # per-field summed idf of the phrase terms, each weighted by its
+        # position multiplicity (Lucene PhraseWeight sums idf per
+        # position); a field missing a term omits its idf, but such a
+        # field can't contain the phrase either (ptf = 0 everywhere)
+        cnt = Counter(ptoks)
+        w = F.lit(None).cast("double")
+        for t, c in cnt.items():
+            w = F.when(F.col("term") == t, F.lit(float(c))).otherwise(w)
+        sumidf = (
+            df_t.where(F.col("term").isin(list(cnt)))
+            .join(F.broadcast(stats.select("field", "n_docs")), "field")
+            .select("field", (w * F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )).alias("wi"))
+            .groupBy("field")
+            .agg(F.sum("wi").alias("pidf"))
+        )
+        pboost = F.lit(None).cast("double")
+        for f_name, f_boost in pf.items():
+            pboost = F.when(
+                F.col("field") == f_name, F.lit(float(f_boost))
+            ).otherwise(pboost)
+        ptfc = F.col("ptf").cast("double")
+        ps = pboost * F.col("pidf") * (ptfc * (k1 + 1.0)) / (
+            ptfc + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        pscored = (
+            pvals.select(
+                id_col, "field",
+                phrase_tf_expr(F.col("value"), ptoks).alias("ptf"),
+            )
+            .where(F.col("ptf") > 0)
+            .join(dl, [id_col, "field"])
+            .join(F.broadcast(stats), "field")
+            .join(F.broadcast(sumidf), "field")
+            .select(id_col, ps.alias("ps"))
+        )
+        pagg = pscored.groupBy(id_col).agg(
+            (
+                F.max("ps")
+                + F.lit(float(tie)) * (F.sum("ps") - F.max("ps"))
+            ).alias("_ps")
+        )
+        agg = agg.join(pagg, id_col, "left").withColumn(
+            "score", F.col("score") + F.coalesce(F.col("_ps"), F.lit(0.0))
+        )
     return (
         agg.select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
