@@ -1793,6 +1793,86 @@ LIMIT 10
 _PAIRS["q66_dismax_pf"] = ("", _DISMAX_PF_DUCK)
 
 
+def _q_expr_field_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene classic-QueryParser FIELDED clause through the full
+    engine: 'vector AND lang:de^2' — the field leaf matches docs whose
+    extracted-metadata field contains the field-analyzed value
+    (search_field semantics) and scores per-field BM25 (the dismax
+    statistics) times its boost, summed with the body term's BM25 in
+    one vectorized mask-algebra pass (operators/boolquery.py
+    FieldTerm). Oracle: body BM25 + 2 x per-field BM25 over the
+    lang-derived field postings."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Source_Name"), F.array(F.col("source")),
+            F.lit("Lang"), F.array(F.col("lang")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_exprfield_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("source-*", "lang"),
+    )
+    eng.extract(corpus, build_id="entry-exprfield")
+    hits = eng.search_expr("vector AND lang:de^2", k=10**9)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_EXPR_FIELD_DUCK = f"""
+{_bool_scored_cte()},
+fl0 AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(lang),
+      '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents),
+flp AS (SELECT doc_id, term, count(*) AS tf FROM fl0 GROUP BY 1, 2),
+fdl AS (SELECT doc_id, sum(tf) AS dl FROM flp GROUP BY 1),
+fst AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        FROM fdl),
+fdf AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM flp WHERE term = 'de'),
+fsc AS (
+  SELECT flp.doc_id,
+         ln(1.0 + (fst.n_docs - fdf.df + 0.5) / (fdf.df + 0.5))
+           * (flp.tf * ({BM25_K1} + 1.0))
+           / (flp.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * fdl.dl / fst.avgdl)) AS fs
+  FROM flp
+  JOIN fdl ON flp.doc_id = fdl.doc_id
+  CROSS JOIN fst CROSS JOIN fdf
+  WHERE flp.term = 'de')
+SELECT s.doc_id, ROUND(s.term_score + 2.0 * f.fs, 4) AS score
+FROM scored s JOIN fsc f ON s.doc_id = f.doc_id
+WHERE s.term = 'vector'
+ORDER BY ROUND(s.term_score + 2.0 * f.fs, 6) DESC, s.doc_id ASC
+LIMIT 10
+"""
+
+_PAIRS["q67_expr_field_clause"] = ("", _EXPR_FIELD_DUCK)
+
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
@@ -2501,6 +2581,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_query_facets": _q_query_facets,
     "q65_search_after": _q_search_after,
     "q66_dismax_pf": _q_dismax_pf,
+    "q67_expr_field_clause": _q_expr_field_clause,
 }
 
 

@@ -2460,7 +2460,14 @@ class ExtractorEngine:
         through package_search q). A phrase clause matches the ordered
         per-gap proximity semantics of phrase_search and scores the
         conjunctive BM25 sum of its distinct terms on matching docs
-        (engine-pinned phrase scoring). Scoring is BooleanQuery
+        (engine-pinned phrase scoring). A ``field:value`` clause targets
+        one extracted-metadata field (the reference's dynamic Solr
+        fields, schema.xml:161): all field-analyzed value tokens must
+        occur in that doc's field (search_field semantics) and the
+        clause scores per-field BM25 (the dismax statistics) times its
+        boost; unknown fields match nothing (Lucene parity) and fielded
+        phrases are rejected (field postings carry no positions,
+        pinned). Scoring is BooleanQuery
         semantics: a doc's score sums the BM25 contributions of the
         scoring clauses it matches (an OR adds only the matching side;
         NOT filters, never scores), each times its boost. Terms run
@@ -2481,8 +2488,13 @@ class ExtractorEngine:
         def analyze(t: str) -> list[str]:
             return analyze_query(t, config=query_config_for(self.analyzer))
 
+        from ckanext_extractor_spark.operators.fields import (
+            analyze_field_query,
+            field_term_scores,
+        )
+
         try:
-            ast = parse_query(query, analyze)
+            ast = parse_query(query, analyze, analyze_field_query)
         except QuerySyntaxError as e:
             raise ValidationError(str(e)) from e
         from ckanext_extractor_spark.operators.boolquery import has_phrase
@@ -2521,8 +2533,34 @@ class ExtractorEngine:
             )
             return np.array(sorted(keep), dtype=np.int64)
 
+        def field_cb(field: str, tokens: list[str]):
+            """(sorted doc ids, per-field BM25 scores) for one fielded
+            clause. The match set materializes driver-side like the main
+            leaves' posting lists do — search_expr IS the driver-kernel
+            path (boolean retrieval at cluster scale composes
+            search_distributed + fq); an unknown field or a pre-fields
+            store matches nothing (Lucene: no postings, no matches)."""
+            fp = self._read_or_none("field_postings")
+            if fp is None:
+                return (
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64),
+                )
+            rows = field_term_scores(
+                fp, field, tokens,
+                norms=self._read_or_none("field_norms"),
+            ).collect()
+            rows.sort(key=lambda r: int(r["doc_id"]))
+            return (
+                np.array([int(r["doc_id"]) for r in rows], dtype=np.int64),
+                np.array(
+                    [float(r["score"]) for r in rows], dtype=np.float64
+                ),
+            )
+
         return eval_topk(
-            ast, pmap, k, st["avgdl"], phrase_cb=phrase_cb
+            ast, pmap, k, st["avgdl"], phrase_cb=phrase_cb,
+            field_cb=field_cb,
         )
 
     def _expanded_topk(

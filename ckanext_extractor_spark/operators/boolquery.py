@@ -8,7 +8,16 @@ Grammar (default operator AND, reference parity schema.xml:166)::
     expr    := andExpr (OR andExpr)*
     andExpr := unary (AND? unary)*          # juxtaposition = AND
     unary   := (NOT | '-') unary | atom
-    atom    := '(' expr ')' | TERM ('^' NUMBER)?
+    atom    := '(' expr ')' | FIELD ':' VALUE ('^' NUMBER)?
+             | TERM ('^' NUMBER)?
+
+A ``field:value`` clause targets one extracted-metadata field (the
+reference's dynamic Solr fields, schema.xml:161): the value runs through
+the FIELD analyzer (simple chain), all its tokens must occur in that
+doc's field value (search_field semantics), and the clause scores
+per-field BM25 times its boost. Unknown field = matches nothing (Lucene
+parity). Fielded phrases ``f:"a b"`` are rejected (field postings carry
+no positions — pinned; dismax pf covers phrase-in-field boosting).
 
 Each TERM runs through the query-mode analyzer; a term that analyzes to
 several tokens (``camelCase`` under the code analyzer) becomes a
@@ -65,6 +74,22 @@ class Phrase:
 
 
 @dataclass
+class FieldTerm:
+    """Fielded clause ``field:value`` (Lucene classic QueryParser field
+    syntax — the reference's dynamic metadata fields answer exactly this
+    through Solr, schema.xml:161). ``tokens`` come from the FIELD
+    analyzer (the simple chain field_postings is built with), not the
+    main-index query analyzer; >1 token = conjunctive group, matching
+    search_field's all-tokens-in-value semantics. Scores per-field BM25
+    (Lucene keeps per-field statistics and norms). An unknown field
+    matches nothing — Lucene parity: no postings, no matches."""
+
+    field: str
+    tokens: list[str]
+    boost: float = 1.0
+
+
+@dataclass
 class And:
     parts: list
 
@@ -81,10 +106,17 @@ class Not:
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<op>AND\b|OR\b|NOT\b|&&|\|\|)"
+    r"|(?P<fpfx>[A-Za-z_][A-Za-z0-9_.\-]*:)(?=\")"
     r"|(?P<phrase>\"[^\"]*\")(?:~(?P<slop>\d+))?"
     r"(?:\^(?P<pboost>\d+(?:\.\d+)?))?"
     r"|(?P<neg>-)|(?P<term>[^\s()^-][^\s()^]*)(?:\^(?P<boost>\d+(?:\.\d+)?))?)"
 )
+
+# field:value inside one lexed TERM (Lucene field syntax; field names may
+# carry the engine's cleaned-metadata-key dashes). No escape syntax —
+# ``\:`` is not un-escaped (pinned; the reference's keys never contain
+# colons, lib.py:55-65 cleaning strips them).
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.\-]*):(.*)$")
 
 
 def _lex(q: str) -> list[tuple[str, object]]:
@@ -104,6 +136,8 @@ def _lex(q: str) -> list[tuple[str, object]]:
         elif m.group("op"):
             op = m.group("op")
             out.append(("OP", {"&&": "AND", "||": "OR"}.get(op, op)))
+        elif m.group("fpfx"):
+            out.append(("FPFX", m.group("fpfx")[:-1]))
         elif m.group("phrase") is not None:
             out.append((
                 "PHRASE",
@@ -121,10 +155,15 @@ def _lex(q: str) -> list[tuple[str, object]]:
 
 
 class _Parser:
-    def __init__(self, toks: list[tuple[str, object]], analyze):
+    def __init__(
+        self, toks: list[tuple[str, object]], analyze, analyze_field=None
+    ):
         self.toks = toks
         self.pos = 0
         self.analyze = analyze  # surface term -> list[str] analyzed tokens
+        # field-value analyzer (the simple chain field_postings is built
+        # with); None = fielded syntax disabled, colons stay in terms
+        self.analyze_field = analyze_field
 
     def peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
@@ -156,7 +195,7 @@ class _Parser:
         # query happens to contain. Reject it loudly instead of guessing
         # (the same stance as the top-level pure-negation check below).
         for p in parts:
-            if p is not None and not positive_tokens(p):
+            if p is not None and not has_positive_clause(p):
                 raise QuerySyntaxError(
                     "pure-negative OR operand has no result set; "
                     "rewrite `a OR -b` as `a` or use AND: `a -b`"
@@ -198,8 +237,25 @@ class _Parser:
             if self.next()[0] != ")":
                 raise QuerySyntaxError("unbalanced parenthesis")
             return node
+        if kind == "FPFX":
+            # field prefix directly before a quote: field:"a b"
+            raise QuerySyntaxError(
+                "fielded phrases are not supported (field postings carry "
+                "no positions); use dismax pf for phrase-in-field boosting"
+            )
         if kind == "TERM":
             surface, boost = val
+            fm = _FIELD_RE.match(surface) if self.analyze_field else None
+            if fm:
+                field, value = fm.group(1), fm.group(2)
+                if not value:
+                    raise QuerySyntaxError(
+                        f"field clause {field!r}: needs a value"
+                    )
+                ftokens = self.analyze_field(value)
+                if not ftokens:
+                    return None  # value analyzes away: clause drops
+                return FieldTerm(field, ftokens, boost)
             tokens = self.analyze(surface)
             if not tokens:
                 return None  # pure-stopword term: drops out of its clause
@@ -215,19 +271,37 @@ class _Parser:
         raise QuerySyntaxError(f"unexpected token {kind!r}")
 
 
-def parse_query(q: str, analyze) -> object:
+def parse_query(q: str, analyze, analyze_field=None) -> object:
     """Parse ``q`` into an AST; ``analyze`` maps one surface term to its
-    analyzed tokens. Raises QuerySyntaxError on malformed input or when
-    no positive (scoring) clause survives analysis."""
+    analyzed tokens, ``analyze_field`` (optional) one field VALUE to its
+    field-chain tokens — passing it enables Lucene ``field:value``
+    clauses. Raises QuerySyntaxError on malformed input or when no
+    positive (scoring) clause survives analysis."""
     if not isinstance(q, str) or not q.strip():
         raise QuerySyntaxError("empty query")
-    node = _Parser(_lex(q), analyze).parse()
-    if node is None or not positive_tokens(node):
+    node = _Parser(_lex(q), analyze, analyze_field).parse()
+    if node is None or not has_positive_clause(node):
         raise QuerySyntaxError(
             "query needs at least one positive term (pure negation has "
             "no result set to score)"
         )
     return node
+
+
+def has_positive_clause(node) -> bool:
+    """True when at least one scoring (non-negated) leaf — term, phrase
+    or fielded clause — survives; the universe is non-degenerate."""
+
+    def walk(n, neg: bool) -> bool:
+        if n is None:
+            return False
+        if isinstance(n, (Term, Phrase, FieldTerm)):
+            return not neg
+        if isinstance(n, Not):
+            return walk(n.child, not neg)
+        return any(walk(p, neg) for p in n.parts)
+
+    return walk(node, False)
 
 
 def positive_tokens(node) -> list[str]:
@@ -240,6 +314,8 @@ def positive_tokens(node) -> list[str]:
         if isinstance(n, (Term, Phrase)):
             if not neg:
                 out.extend(n.tokens)
+        elif isinstance(n, FieldTerm):
+            pass  # field tokens live in field_postings, not the main index
         elif isinstance(n, Not):
             walk(n.child, not neg)
         else:
@@ -250,6 +326,28 @@ def positive_tokens(node) -> list[str]:
     return list(dict.fromkeys(out))
 
 
+def field_leaves(node) -> dict[tuple[str, tuple[str, ...]], bool]:
+    """Distinct fielded leaves -> whether ANY occurrence is positive
+    (non-negated). Positive field leaves contribute their match sets to
+    the candidate universe; negated-only ones just need a mask."""
+    out: dict[tuple[str, tuple[str, ...]], bool] = {}
+
+    def walk(n, neg: bool):
+        if n is None:
+            return
+        if isinstance(n, FieldTerm):
+            key = (n.field, tuple(n.tokens))
+            out[key] = out.get(key, False) or not neg
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p, neg)
+
+    walk(node, False)
+    return out
+
+
 def all_tokens(node) -> list[str]:
     out: list[str] = []
 
@@ -258,6 +356,8 @@ def all_tokens(node) -> list[str]:
             return
         if isinstance(n, (Term, Phrase)):
             out.extend(n.tokens)
+        elif isinstance(n, FieldTerm):
+            pass  # resolved against field_postings, not main postings
         elif isinstance(n, Not):
             walk(n.child)
         else:
@@ -289,6 +389,7 @@ def eval_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     phrase_cb=None,
+    field_cb=None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a parsed boolean query. ``postings``
     maps analyzed token -> TermPostings (absent token = empty list).
@@ -298,9 +399,29 @@ def eval_topk(
     TermPostings — the caller owns that access path). A phrase leaf
     scores like the engine's pinned phrase semantics: the conjunctive
     BM25 sum of its distinct terms, on phrase-matching docs only,
-    times the leaf boost."""
+    times the leaf boost.
+
+    ``field_cb(field, tokens) -> (sorted int64 doc_id array, float64
+    score array)`` resolves ``field:value`` leaves with per-field BM25
+    (the caller owns field_postings access); positive field leaves
+    extend the candidate universe, so a pure fielded query evaluates
+    too. Resolved once per distinct (field, tokens) leaf."""
     pos = positive_tokens(node)
     arrs = [postings[t].doc_ids for t in pos if t in postings]
+    arrs = [a for a in arrs if a.size]
+    fres: dict[tuple[str, tuple[str, ...]], tuple] = {}
+    for key, positive in field_leaves(node).items():
+        if field_cb is None:
+            raise QuerySyntaxError(
+                "fielded clauses need a field-postings-aware index "
+                "(no field resolver available)"
+            )
+        ids, scores = field_cb(key[0], list(key[1]))
+        ids = np.asarray(ids, dtype=np.int64)
+        scores = np.asarray(scores, dtype=np.float64)
+        fres[key] = (ids, scores)
+        if positive and ids.size:
+            arrs.append(ids)
     arrs = [a for a in arrs if a.size]
     if not arrs:
         return []
@@ -346,6 +467,18 @@ def eval_topk(
                     _, s = tok_mask_score(tok, n.boost)
                     score += s
                 score = np.where(mask, score, 0.0)
+            return mask, score
+        if isinstance(n, FieldTerm):
+            ids, sc = fres[(n.field, tuple(n.tokens))]
+            mask = np.zeros(universe.size, dtype=bool)
+            score = np.zeros(universe.size, dtype=np.float64)
+            if ids.size:
+                idx = np.searchsorted(universe, ids)
+                inb = idx < universe.size
+                hit = inb.copy()
+                hit[inb] = universe[idx[inb]] == ids[inb]
+                mask[idx[hit]] = True
+                score[idx[hit]] = n.boost * sc[hit]
             return mask, score
         if isinstance(n, Term):
             mask = np.ones(universe.size, dtype=bool)

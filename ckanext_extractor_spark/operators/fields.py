@@ -100,6 +100,68 @@ def phrase_tf_expr(value_col, phrase_terms: list[str]):
     ).otherwise(F.lit(0))
 
 
+def field_term_scores(
+    field_postings: DataFrame,
+    field: str,
+    tokens: list[str],
+    norms: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score) for one fielded clause ``field:value`` — docs
+    whose ``field`` contains ALL analyzed ``tokens`` (search_field's
+    conjunctive semantics), scored with per-field BM25 summed over the
+    tokens (Lucene TermQuery on a field: per-field df/N/avgdl/dl, the
+    same statistics dismax uses). ``norms`` = the engine's persisted
+    field_norms table; without it the per-(doc, field) length aggregate
+    runs query-time.
+
+    Scale shape: field/term filters push to the parquet scan, stats and
+    the per-term df are broadcast, the doc-side is one hash aggregate —
+    the same plan skeleton as dismax_search_fields restricted to one
+    field."""
+    spark = field_postings.sparkSession
+    empty = spark.createDataFrame([], f"{id_col} long, score double")
+    toks = list(dict.fromkeys(tokens))
+    if not toks:
+        return empty
+    fp_f = field_postings.where(F.col("field") == field)
+    if norms is not None:
+        dl = norms.where(F.col("field") == field).select(id_col, "dl")
+    else:
+        dl = fp_f.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    matched = fp_f.where(F.col("term").isin(toks))
+    df_t = matched.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfp = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matched.join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df_t), "term")
+        .select(id_col, (idf * tfp).alias("s"))
+    )
+    return (
+        scored.groupBy(id_col)
+        # rows are unique per (doc, term) by construction, so count(*)
+        # counts distinct matched tokens
+        .agg(F.sum("s").alias("score"), F.count("*").alias("_m"))
+        .where(F.col("_m") == len(toks))
+        .select(id_col, "score")
+    )
+
+
 def dismax_search_fields(
     field_postings: DataFrame,
     query: str,
