@@ -1873,6 +1873,76 @@ LIMIT 10
 _PAIRS["q67_expr_field_clause"] = ("", _EXPR_FIELD_DUCK)
 
 
+def _q_expr_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MultiTermQuery + range clauses through the full engine:
+    's* AND part~ AND lang:[de TO es]^2' — the wildcard and fuzzy
+    leaves rewrite against the terms dictionary into scoring-boolean
+    Expanded leaves (per-expansion idf; 'part~' = default maxEdits 2 ->
+    {sort, part, spark, fast}), the range leaf compares the RAW
+    metadata value lexicographically and scores constant 1.0 x boost
+    (Lucene constant-score rewrite). A term matching BOTH expansions
+    (sort/spark/fast) contributes to each leaf — BooleanQuery sums
+    per-clause. Oracle: LIKE / thresholded-levenshtein CASE sums over
+    the same BM25 CTE + a lang BETWEEN filter + the constant 2.0."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Lang"), F.array(F.col("lang")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_exprmulti_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("lang",),
+    )
+    eng.extract(corpus, build_id="entry-exprmulti")
+    hits = eng.search_expr("s* AND part~ AND lang:[de TO es]^2", k=10**9)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_EXPR_MULTITERM_DUCK = f"""
+{_bool_scored_cte()},
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term LIKE 's%' THEN term_score ELSE 0 END) AS s_wc,
+         sum(CASE WHEN levenshtein(term, 'part') <= 2
+                  THEN term_score ELSE 0 END) AS s_fz,
+         max(CASE WHEN term LIKE 's%' THEN 1 ELSE 0 END) AS m_wc,
+         max(CASE WHEN levenshtein(term, 'part') <= 2 THEN 1 ELSE 0 END)
+           AS m_fz
+  FROM scored GROUP BY doc_id)
+SELECT a.doc_id, ROUND(a.s_wc + a.s_fz + 2.0, 4) AS score
+FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+WHERE m_wc = 1 AND m_fz = 1 AND d.lang >= 'de' AND d.lang <= 'es'
+ORDER BY ROUND(a.s_wc + a.s_fz + 2.0, 6) DESC, a.doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q68_expr_multiterm"] = ("", _EXPR_MULTITERM_DUCK)
+
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
@@ -2582,6 +2652,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_search_after": _q_search_after,
     "q66_dismax_pf": _q_dismax_pf,
     "q67_expr_field_clause": _q_expr_field_clause,
+    "q68_expr_multiterm": _q_expr_multiterm,
 }
 
 

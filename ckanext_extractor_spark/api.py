@@ -2467,7 +2467,13 @@ class ExtractorEngine:
         clause scores per-field BM25 (the dismax statistics) times its
         boost; unknown fields match nothing (Lucene parity) and fielded
         phrases are rejected (field postings carry no positions,
-        pinned). Scoring is BooleanQuery
+        pinned). Multi-term leaves follow the Lucene rewrites: ``te*t``
+        / ``te?t`` (WildcardQuery) and ``term~n`` (FuzzyQuery, ``~`` =
+        edits 2) expand against the terms dictionary into a
+        scoring-boolean OR (per-expansion idf, maxClauseCount-capped),
+        and ``field:[a TO b]`` / ``{a TO b}`` (TermRangeQuery,
+        lexicographic on the raw metadata value, ``*`` open bounds)
+        matches constant-score ``1.0 * boost``. Scoring is BooleanQuery
         semantics: a doc's score sums the BM25 contributions of the
         scoring clauses it matches (an OR adds only the matching side;
         NOT filters, never scores), each times its boost. Terms run
@@ -2482,7 +2488,9 @@ class ExtractorEngine:
             QuerySyntaxError,
             all_tokens,
             eval_topk,
+            has_multiterm,
             parse_query,
+            rewrite_expansions,
         )
 
         def analyze(t: str) -> list[str]:
@@ -2497,6 +2505,15 @@ class ExtractorEngine:
             ast = parse_query(query, analyze, analyze_field_query)
         except QuerySyntaxError as e:
             raise ValidationError(str(e)) from e
+        if has_multiterm(ast):
+            # Lucene MultiTermQuery rewrite: wildcard/fuzzy leaves become
+            # scoring-boolean Expanded leaves over concrete index terms
+            # (one terms-dict expansion per leaf, maxClauseCount-capped)
+            ast = rewrite_expansions(
+                ast,
+                lambda p: self.expand_wildcard(p),
+                lambda t, n: self.expand_fuzzy(t, n),
+            )
         from ckanext_extractor_spark.operators.boolquery import has_phrase
 
         if has_phrase(ast) and not self.with_positions:
@@ -2558,9 +2575,22 @@ class ExtractorEngine:
                 ),
             )
 
+        def range_cb(field, lo, hi, lo_inc, hi_inc):
+            """Sorted doc ids whose RAW metadata value falls in the range
+            (the fq-range EAV scan; doc_stats is delete-purged, so the
+            match set is tombstone-clean). Materializes driver-side like
+            the other leaves — search_expr IS the driver-kernel path."""
+            df = self._fq_range_df(field, lo, hi, lo_inc, hi_inc)
+            if df is None:
+                return np.empty(0, dtype=np.int64)
+            return np.array(
+                sorted(int(r["doc_id"]) for r in df.collect()),
+                dtype=np.int64,
+            )
+
         return eval_topk(
             ast, pmap, k, st["avgdl"], phrase_cb=phrase_cb,
-            field_cb=field_cb,
+            field_cb=field_cb, range_cb=range_cb,
         )
 
     def _expanded_topk(

@@ -8,8 +8,9 @@ Grammar (default operator AND, reference parity schema.xml:166)::
     expr    := andExpr (OR andExpr)*
     andExpr := unary (AND? unary)*          # juxtaposition = AND
     unary   := (NOT | '-') unary | atom
-    atom    := '(' expr ')' | FIELD ':' VALUE ('^' NUMBER)?
-             | TERM ('^' NUMBER)?
+    atom    := '(' expr ')' | FIELD ':' RANGE ('^' NUMBER)?
+             | FIELD ':' VALUE ('^' NUMBER)?
+             | TERM ('~' EDITS? | contains '*'/'?')? ('^' NUMBER)?
 
 A ``field:value`` clause targets one extracted-metadata field (the
 reference's dynamic Solr fields, schema.xml:161): the value runs through
@@ -18,6 +19,19 @@ doc's field value (search_field semantics), and the clause scores
 per-field BM25 times its boost. Unknown field = matches nothing (Lucene
 parity). Fielded phrases ``f:"a b"`` are rejected (field postings carry
 no positions — pinned; dismax pf covers phrase-in-field boosting).
+
+Multi-term leaves follow Lucene's MultiTermQuery rewrite: a TERM
+containing ``*``/``?`` is a WildcardQuery, ``term~n`` (n defaulting to
+2, the LevenshteinAutomata ceiling) a FuzzyQuery — both are REWRITTEN
+before evaluation (:func:`rewrite_expansions`) into an :class:`Expanded`
+leaf holding the concrete index terms, which scores as a
+scoring-boolean OR with each expansion's own idf (the engine's pinned
+prefix/wildcard/fuzzy rewrite). ``field:[a TO b]`` / ``{a TO b}`` is a
+range clause over the RAW metadata value (lexicographic, the engine's
+fq-range semantics) scoring constant ``1.0 * boost`` per matching doc
+(Lucene rewrites range queries constant-score). Wildcards, fuzzy
+suffixes and ranges are NOT analyzed (Lucene parity: multi-term queries
+bypass the analyzer, only case-normalized at expansion time).
 
 Each TERM runs through the query-mode analyzer; a term that analyzes to
 several tokens (``camelCase`` under the code analyzer) becomes a
@@ -90,6 +104,61 @@ class FieldTerm:
 
 
 @dataclass
+class Wildcard:
+    """Unrewritten WildcardQuery leaf (``te*t`` / ``te?t``; a trailing
+    ``*`` is Lucene's PrefixQuery special case). Must be rewritten to an
+    :class:`Expanded` leaf via :func:`rewrite_expansions` before
+    evaluation — expansion needs the index's terms dictionary, which the
+    parser does not have."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
+class Fuzzy:
+    """Unrewritten FuzzyQuery leaf (``term~1``, ``term~`` = edits 2 —
+    Lucene's default maxEdits / LevenshteinAutomata ceiling). Rewritten
+    like :class:`Wildcard`."""
+
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+@dataclass
+class Expanded:
+    """A multi-term leaf after rewrite: scoring-boolean OR over the
+    concrete index terms (Lucene SCORING_BOOLEAN_REWRITE — each
+    expansion keeps its own idf, a doc matching several expansions sums
+    their contributions; the engine's pinned prefix/wildcard/fuzzy
+    rewrite, SQL-expressible as LIKE / levenshtein() predicates inside
+    the BM25 formulation). Empty ``tokens`` = a positive clause that
+    matches nothing (a ``zz*`` query returns no docs, it is not a syntax
+    error)."""
+
+    tokens: list[str]
+    boost: float = 1.0
+
+
+@dataclass
+class FieldRange:
+    """Range clause ``field:[a TO b]`` / ``{a TO b}`` (Lucene
+    TermRangeQuery over the reference's dynamic string fields —
+    comparison is lexicographic on the RAW collapsed metadata value,
+    exactly the engine's fq-range semantics). ``None`` bounds are open
+    (``*``). Scores constant ``1.0 * boost`` on matching docs: Lucene
+    rewrites multi-term range queries CONSTANT_SCORE."""
+
+    field: str
+    lo: "str | None"
+    hi: "str | None"
+    lo_inc: bool = True
+    hi_inc: bool = True
+    boost: float = 1.0
+
+
+@dataclass
 class And:
     parts: list
 
@@ -107,10 +176,20 @@ class Not:
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<op>AND\b|OR\b|NOT\b|&&|\|\|)"
     r"|(?P<fpfx>[A-Za-z_][A-Za-z0-9_.\-]*:)(?=\")"
+    r"|(?P<frange>[A-Za-z_][A-Za-z0-9_.\-]*:[\[\{][^\]\}]*[\]\}])"
+    r"(?:\^(?P<frboost>\d+(?:\.\d+)?))?"
     r"|(?P<phrase>\"[^\"]*\")(?:~(?P<slop>\d+))?"
     r"(?:\^(?P<pboost>\d+(?:\.\d+)?))?"
     r"|(?P<neg>-)|(?P<term>[^\s()^-][^\s()^]*)(?:\^(?P<boost>\d+(?:\.\d+)?))?)"
 )
+
+# field:[a TO b] / {a TO b} with * open bounds (the fq-range grammar)
+_FRANGE_RE = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_.\-]*):([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])$"
+)
+
+# term~N fuzzy suffix (N empty = Lucene default maxEdits 2)
+_FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
 
 # field:value inside one lexed TERM (Lucene field syntax; field names may
 # carry the engine's cleaned-metadata-key dashes). No escape syntax —
@@ -138,6 +217,11 @@ def _lex(q: str) -> list[tuple[str, object]]:
             out.append(("OP", {"&&": "AND", "||": "OR"}.get(op, op)))
         elif m.group("fpfx"):
             out.append(("FPFX", m.group("fpfx")[:-1]))
+        elif m.group("frange"):
+            out.append((
+                "FRANGE",
+                (m.group("frange"), float(m.group("frboost") or 1.0)),
+            ))
         elif m.group("phrase") is not None:
             out.append((
                 "PHRASE",
@@ -209,7 +293,7 @@ class _Parser:
             if kind == "OP" and val == "AND":
                 self.next()
                 parts.append(self.unary())
-            elif kind in ("(", "NEG", "TERM", "PHRASE") or (
+            elif kind in ("(", "NEG", "TERM", "PHRASE", "FRANGE") or (
                 kind == "OP" and val == "NOT"
             ):
                 parts.append(self.unary())  # juxtaposition = default AND
@@ -243,6 +327,28 @@ class _Parser:
                 "fielded phrases are not supported (field postings carry "
                 "no positions); use dismax pf for phrase-in-field boosting"
             )
+        if kind == "FRANGE":
+            surface, boost = val
+            if self.analyze_field is None:
+                raise QuerySyntaxError(
+                    "range clauses need a metadata-field-aware index "
+                    "(no field resolver available)"
+                )
+            rm = _FRANGE_RE.match(surface)
+            if not rm:
+                raise QuerySyntaxError(
+                    f"malformed range clause {surface!r}: expected "
+                    "field:[a TO b] (or {a TO b}, * for open bounds)"
+                )
+            field, lb, lo, hi, rb = rm.groups()
+            return FieldRange(
+                field,
+                None if lo == "*" else lo,
+                None if hi == "*" else hi,
+                lo_inc=lb == "[",
+                hi_inc=rb == "]",
+                boost=boost,
+            )
         if kind == "TERM":
             surface, boost = val
             fm = _FIELD_RE.match(surface) if self.analyze_field else None
@@ -252,10 +358,29 @@ class _Parser:
                     raise QuerySyntaxError(
                         f"field clause {field!r}: needs a value"
                     )
+                if any(c in value for c in "*?~"):
+                    raise QuerySyntaxError(
+                        f"field clause {field!r}: wildcard/fuzzy field "
+                        "values are not supported (field postings index "
+                        "whole analyzed tokens; pinned)"
+                    )
                 ftokens = self.analyze_field(value)
                 if not ftokens:
                     return None  # value analyzes away: clause drops
                 return FieldTerm(field, ftokens, boost)
+            zm = _FUZZY_RE.match(surface)
+            if zm:
+                base, edits = zm.groups()
+                if any(c in base for c in "*?~"):
+                    raise QuerySyntaxError(
+                        f"cannot combine wildcard and fuzzy in {surface!r}"
+                    )
+                n = int(edits) if edits else 2  # Lucene default maxEdits
+                if n > 0:
+                    return Fuzzy(base, n, boost)
+                surface = base  # term~0 = exact term, analyzed normally
+            if "*" in surface or "?" in surface:
+                return Wildcard(surface, boost)
             tokens = self.analyze(surface)
             if not tokens:
                 return None  # pure-stopword term: drops out of its clause
@@ -295,13 +420,55 @@ def has_positive_clause(node) -> bool:
     def walk(n, neg: bool) -> bool:
         if n is None:
             return False
-        if isinstance(n, (Term, Phrase, FieldTerm)):
+        if isinstance(
+            n, (Term, Phrase, FieldTerm, Wildcard, Fuzzy, Expanded,
+                FieldRange)
+        ):
             return not neg
         if isinstance(n, Not):
             return walk(n.child, not neg)
         return any(walk(p, neg) for p in n.parts)
 
     return walk(node, False)
+
+
+def rewrite_expansions(node, expand_wildcard, expand_fuzzy):
+    """Lucene MultiTermQuery rewrite: replace every :class:`Wildcard` /
+    :class:`Fuzzy` leaf with an :class:`Expanded` leaf holding the
+    concrete index terms. ``expand_wildcard(pattern) -> list[str]`` and
+    ``expand_fuzzy(term, max_edits) -> list[str]`` own the terms-dict
+    access (and its expansion cap — Lucene maxClauseCount). Runs BEFORE
+    postings are fetched, so :func:`all_tokens` on the rewritten tree
+    covers the expansions."""
+    if node is None:
+        return None
+    if isinstance(node, Wildcard):
+        return Expanded(list(expand_wildcard(node.pattern)), node.boost)
+    if isinstance(node, Fuzzy):
+        return Expanded(
+            list(expand_fuzzy(node.term, node.max_edits)), node.boost
+        )
+    if isinstance(node, Not):
+        return Not(rewrite_expansions(node.child, expand_wildcard,
+                                      expand_fuzzy))
+    if isinstance(node, And):
+        return And([rewrite_expansions(p, expand_wildcard, expand_fuzzy)
+                    for p in node.parts])
+    if isinstance(node, Or):
+        return Or([rewrite_expansions(p, expand_wildcard, expand_fuzzy)
+                   for p in node.parts])
+    return node
+
+
+def has_multiterm(node) -> bool:
+    """True while any unrewritten Wildcard/Fuzzy leaf remains."""
+    if isinstance(node, (Wildcard, Fuzzy)):
+        return True
+    if isinstance(node, Not):
+        return has_multiterm(node.child)
+    if isinstance(node, (And, Or)):
+        return any(has_multiterm(p) for p in node.parts)
+    return False
 
 
 def positive_tokens(node) -> list[str]:
@@ -311,14 +478,14 @@ def positive_tokens(node) -> list[str]:
     def walk(n, neg: bool):
         if n is None:
             return
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, (Term, Phrase, Expanded)):
             if not neg:
                 out.extend(n.tokens)
-        elif isinstance(n, FieldTerm):
-            pass  # field tokens live in field_postings, not the main index
+        elif isinstance(n, (FieldTerm, FieldRange)):
+            pass  # resolved against metadata tables, not the main index
         elif isinstance(n, Not):
             walk(n.child, not neg)
-        else:
+        elif isinstance(n, (And, Or)):
             for p in n.parts:
                 walk(p, neg)
 
@@ -348,19 +515,41 @@ def field_leaves(node) -> dict[tuple[str, tuple[str, ...]], bool]:
     return out
 
 
+def range_leaves(node) -> "dict[tuple, bool]":
+    """Distinct range leaves -> whether ANY occurrence is positive.
+    Key = (field, lo, hi, lo_inc, hi_inc); positive range leaves extend
+    the candidate universe (a pure ``lang:[a TO b]`` query evaluates)."""
+    out: dict[tuple, bool] = {}
+
+    def walk(n, neg: bool):
+        if n is None:
+            return
+        if isinstance(n, FieldRange):
+            key = (n.field, n.lo, n.hi, n.lo_inc, n.hi_inc)
+            out[key] = out.get(key, False) or not neg
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p, neg)
+
+    walk(node, False)
+    return out
+
+
 def all_tokens(node) -> list[str]:
     out: list[str] = []
 
     def walk(n):
         if n is None:
             return
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, (Term, Phrase, Expanded)):
             out.extend(n.tokens)
-        elif isinstance(n, FieldTerm):
-            pass  # resolved against field_postings, not main postings
+        elif isinstance(n, (FieldTerm, FieldRange)):
+            pass  # resolved against metadata tables, not main postings
         elif isinstance(n, Not):
             walk(n.child)
-        else:
+        elif isinstance(n, (And, Or)):
             for p in n.parts:
                 walk(p)
 
@@ -390,6 +579,7 @@ def eval_topk(
     b: float = BM25_B,
     phrase_cb=None,
     field_cb=None,
+    range_cb=None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a parsed boolean query. ``postings``
     maps analyzed token -> TermPostings (absent token = empty list).
@@ -405,7 +595,19 @@ def eval_topk(
     score array)`` resolves ``field:value`` leaves with per-field BM25
     (the caller owns field_postings access); positive field leaves
     extend the candidate universe, so a pure fielded query evaluates
-    too. Resolved once per distinct (field, tokens) leaf."""
+    too. Resolved once per distinct (field, tokens) leaf.
+
+    ``range_cb(field, lo, hi, lo_inc, hi_inc) -> sorted int64 doc_id
+    array`` resolves ``field:[a TO b]`` leaves (raw-metadata-value
+    comparison — the caller owns the EAV scan); a range leaf scores
+    constant ``1.0 * boost`` on its matches (Lucene constant-score
+    rewrite). Wildcard/fuzzy leaves must have been rewritten with
+    :func:`rewrite_expansions` first."""
+    if has_multiterm(node):
+        raise QuerySyntaxError(
+            "wildcard/fuzzy clauses must be rewritten against the terms "
+            "dictionary before evaluation (rewrite_expansions)"
+        )
     pos = positive_tokens(node)
     arrs = [postings[t].doc_ids for t in pos if t in postings]
     arrs = [a for a in arrs if a.size]
@@ -422,6 +624,17 @@ def eval_topk(
         fres[key] = (ids, scores)
         if positive and ids.size:
             arrs.append(ids)
+    rres: dict[tuple, np.ndarray] = {}
+    for key, positive in range_leaves(node).items():
+        if range_cb is None:
+            raise QuerySyntaxError(
+                "range clauses need a metadata-aware index "
+                "(no range resolver available)"
+            )
+        rids = np.asarray(range_cb(*key), dtype=np.int64)
+        rres[key] = rids
+        if positive and rids.size:
+            arrs.append(rids)
     arrs = [a for a in arrs if a.size]
     if not arrs:
         return []
@@ -479,6 +692,28 @@ def eval_topk(
                 hit[inb] = universe[idx[inb]] == ids[inb]
                 mask[idx[hit]] = True
                 score[idx[hit]] = n.boost * sc[hit]
+            return mask, score
+        if isinstance(n, Expanded):
+            # scoring-boolean OR: a doc matching several expansions sums
+            # their per-term contributions (each with its own idf)
+            mask = np.zeros(universe.size, dtype=bool)
+            score = np.zeros(universe.size, dtype=np.float64)
+            for tok in n.tokens:
+                m, s = tok_mask_score(tok, n.boost)
+                mask |= m
+                score += s  # zero outside each token's own matches
+            return mask, score
+        if isinstance(n, FieldRange):
+            ids = rres[(n.field, n.lo, n.hi, n.lo_inc, n.hi_inc)]
+            mask = np.zeros(universe.size, dtype=bool)
+            score = np.zeros(universe.size, dtype=np.float64)
+            if ids.size:
+                idx = np.searchsorted(universe, ids)
+                inb = idx < universe.size
+                hit = inb.copy()
+                hit[inb] = universe[idx[inb]] == ids[inb]
+                mask[idx[hit]] = True
+                score[idx[hit]] = n.boost  # ConstantScore(1.0) * boost
             return mask, score
         if isinstance(n, Term):
             mask = np.ones(universe.size, dtype=bool)

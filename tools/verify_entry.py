@@ -3,7 +3,11 @@
 Runs every __spark_entry__.queries() entry at the given SF dir and compares
 row-count + sorted-column value frame against oracle_sql() via DuckDB.
 
-Usage: python tools/verify_entry.py [sf_dir]
+Usage: python tools/verify_entry.py [sf_dir] [--only SUBSTR[,SUBSTR...]]
+
+--only runs just the entries whose name contains any given substring
+(fast per-entry verify stamps while iterating; the full run stays the
+round gate).
 """
 
 from __future__ import annotations
@@ -26,7 +30,13 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = list(sys.argv[1:])
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = [s for s in args[i + 1].split(",") if s]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark("verify-entry", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in ("documents", "embeddings", "region", "nation", "customer",
@@ -41,6 +51,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in entrymod.queries().items():
+        if only and not any(s in name for s in only):
+            continue
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
