@@ -1943,6 +1943,94 @@ ORDER BY ROUND(a.s_wc + a.s_fz + 2.0, 6) DESC, a.doc_id ASC LIMIT 10
 _PAIRS["q68_expr_multiterm"] = ("", _EXPR_MULTITERM_DUCK)
 
 
+def _q_expr_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scale boolean-expression evaluation through the full
+    engine: search_expr_distributed('"vector stream"^2 OR (batch AND
+    lang:[de TO es])') — ONE segments scan + decode kernel emits
+    per-(doc, term) BM25 rows, ONE pivot aggregate makes per-token
+    columns, the phrase leaf joins the distributed phrase pipeline's
+    match DataFrame, the range leaf the fq-range EAV scan, and the AST
+    compiles to a single Catalyst (match, score) expression — doc ids
+    never reach the driver before the k-limit. Oracle: phrase adjacency
+    join + CASE-gated clause sums + lang BETWEEN + the constant-score
+    range boost."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Lang"), F.array(F.col("lang")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_exprdist_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("lang",),
+    )
+    eng.extract(corpus, build_id="entry-exprdist")
+    hits = eng.search_expr_distributed(
+        '"vector stream"^2 OR (batch AND lang:[de TO es])', k=10**9
+    )
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_EXPR_DIST_DUCK = f"""
+{_bool_scored_cte()},
+t2 AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+ptok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+         FROM t2),
+ph AS (SELECT DISTINCT a.doc_id FROM ptok a
+       JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'vector' AND b.term = 'stream'),
+agg AS (
+  SELECT doc_id,
+         COALESCE(sum(CASE WHEN term IN ('vector', 'stream')
+                           THEN term_score END), 0) AS s_ph,
+         COALESCE(sum(CASE WHEN term = 'batch'
+                           THEN term_score END), 0) AS s_b,
+         max(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) AS m_b
+  FROM scored WHERE term IN ('vector', 'stream', 'batch')
+  GROUP BY doc_id),
+j AS (
+  SELECT a.doc_id,
+         (CASE WHEN ph.doc_id IS NOT NULL THEN 2.0 * s_ph ELSE 0 END)
+           + (CASE WHEN m_b = 1 AND d.lang >= 'de' AND d.lang <= 'es'
+                   THEN s_b + 1.0 ELSE 0 END) AS score,
+         (CASE WHEN ph.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN m_b = 1 AND d.lang >= 'de' AND d.lang <= 'es'
+                   THEN 1 ELSE 0 END) AS m
+  FROM agg a LEFT JOIN ph ON a.doc_id = ph.doc_id
+  JOIN documents d ON a.doc_id = d.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM j WHERE m >= 1
+ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q69_expr_distributed"] = ("", _EXPR_DIST_DUCK)
+
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
@@ -2653,6 +2741,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_dismax_pf": _q_dismax_pf,
     "q67_expr_field_clause": _q_expr_field_clause,
     "q68_expr_multiterm": _q_expr_multiterm,
+    "q69_expr_distributed": _q_expr_distributed,
 }
 
 

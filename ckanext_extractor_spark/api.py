@@ -2485,42 +2485,14 @@ class ExtractorEngine:
         _require_query(query)
         _require_k(k)
         from ckanext_extractor_spark.operators.boolquery import (
-            QuerySyntaxError,
             all_tokens,
             eval_topk,
-            has_multiterm,
-            parse_query,
-            rewrite_expansions,
         )
-
-        def analyze(t: str) -> list[str]:
-            return analyze_query(t, config=query_config_for(self.analyzer))
-
         from ckanext_extractor_spark.operators.fields import (
-            analyze_field_query,
             field_term_scores,
         )
 
-        try:
-            ast = parse_query(query, analyze, analyze_field_query)
-        except QuerySyntaxError as e:
-            raise ValidationError(str(e)) from e
-        if has_multiterm(ast):
-            # Lucene MultiTermQuery rewrite: wildcard/fuzzy leaves become
-            # scoring-boolean Expanded leaves over concrete index terms
-            # (one terms-dict expansion per leaf, maxClauseCount-capped)
-            ast = rewrite_expansions(
-                ast,
-                lambda p: self.expand_wildcard(p),
-                lambda t, n: self.expand_fuzzy(t, n),
-            )
-        from ckanext_extractor_spark.operators.boolquery import has_phrase
-
-        if has_phrase(ast) and not self.with_positions:
-            raise ValidationError(
-                "phrase clauses need an index built with "
-                "with_positions=True"
-            )
+        ast = self._parse_expr(query)
         st = self.corpus_stats()
         tls = self._term_postings(all_tokens(ast), st)
         pmap = {tp.term: tp for tp in tls}
@@ -2592,6 +2564,189 @@ class ExtractorEngine:
             ast, pmap, k, st["avgdl"], phrase_cb=phrase_cb,
             field_cb=field_cb, range_cb=range_cb,
         )
+
+    def _parse_expr(self, query: str):
+        """Parse + Lucene-rewrite a boolean expression (shared by the
+        driver-kernel and distributed evaluators): classic-QueryParser
+        grammar, field-analyzer resolution for ``field:value``, the
+        MultiTermQuery rewrite for wildcard/fuzzy leaves, positions
+        gate for phrase leaves."""
+        from ckanext_extractor_spark.operators.boolquery import (
+            QuerySyntaxError,
+            has_multiterm,
+            has_phrase,
+            parse_query,
+            rewrite_expansions,
+        )
+        from ckanext_extractor_spark.operators.fields import (
+            analyze_field_query,
+        )
+
+        def analyze(t: str) -> list[str]:
+            return analyze_query(t, config=query_config_for(self.analyzer))
+
+        try:
+            ast = parse_query(query, analyze, analyze_field_query)
+        except QuerySyntaxError as e:
+            raise ValidationError(str(e)) from e
+        if has_multiterm(ast):
+            # Lucene MultiTermQuery rewrite: wildcard/fuzzy leaves become
+            # scoring-boolean Expanded leaves over concrete index terms
+            # (one terms-dict expansion per leaf, maxClauseCount-capped)
+            ast = rewrite_expansions(
+                ast,
+                lambda p: self.expand_wildcard(p),
+                lambda t, n: self.expand_fuzzy(t, n),
+            )
+        if has_phrase(ast) and not self.with_positions:
+            raise ValidationError(
+                "phrase clauses need an index built with "
+                "with_positions=True"
+            )
+        return ast
+
+    def search_expr_distributed(
+        self, query: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Cluster-scale boolean query language — the same grammar and
+        BooleanQuery scoring as :meth:`search_expr`, with NOTHING but the
+        k result rows reaching the driver (full distributed-path parity:
+        after exclude/fq/min_match in r3, the expression surface was the
+        last warm/slow-only feature).
+
+        Plan shape (one segments scan regardless of clause count):
+
+        1. one bucket-pruned scan + decode kernel emits per-(doc, term)
+           BM25 rows for EVERY token the AST mentions
+           (``wand.scored_terms_distributed`` — tombstone routing
+           identical to :meth:`search_distributed`);
+        2. one ``groupBy(doc_id).pivot(term)`` hash aggregate turns them
+           into per-token nullable score columns;
+        3. phrase leaves join their (doc_id, score) match DataFrames
+           from the distributed phrase pipeline
+           (``phrase.phrase_matched_df`` — the r3 vectorized verify),
+           fielded leaves per-field BM25 from ``field_term_scores``,
+           range leaves the fq-range EAV scan: all full-outer joins on
+           doc_id, so positive metadata-only leaves extend the universe
+           exactly like the driver evaluator;
+        4. the AST compiles to ONE Catalyst (match, score) expression
+           (``boolquery.compile_columns`` — whole-stage codegen, CASE
+           gates reproduce matched-clauses-only scoring);
+        5. global TakeOrdered(score desc, doc_id asc) limit k.
+
+        idf uses segment ``n_postings`` metadata df like
+        :meth:`search_distributed` (pre-merge docFreq — identical to the
+        driver kernels on a tombstone-free index, pinned by parity
+        test and oracle q69)."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        from ckanext_extractor_spark.operators.boolquery import (
+            all_tokens,
+            compile_columns,
+            field_leaves,
+            phrase_leaves,
+            range_leaves,
+        )
+        from ckanext_extractor_spark.operators.fields import (
+            field_term_scores,
+        )
+        from ckanext_extractor_spark.operators.phrase import (
+            phrase_matched_df,
+        )
+        from ckanext_extractor_spark.operators.wand import (
+            scored_terms_distributed,
+        )
+
+        ast = self._parse_expr(query)
+        st = self.corpus_stats()
+        k = min(k, int(st["n_docs"]))
+        toks = all_tokens(ast)
+        frames: list[DataFrame] = []
+        tok_cols: set[str] = set()
+        if toks:
+            seg = self._segments_union(toks)
+            if seg is not None:
+                dfm = self._df_for_terms(toks)
+                n = float(st["n_docs"])
+                terms_idf = {
+                    t: float(
+                        np.log(1.0 + (n - dfm.get(t, 0) + 0.5)
+                               / (dfm.get(t, 0) + 0.5))
+                    )
+                    for t in toks
+                }
+                dead_pairs, dead_df = self._dead_for_distributed()
+                scored = scored_terms_distributed(
+                    seg, terms_idf, float(st["avgdl"]),
+                    dead_pairs=dead_pairs, dead_df=dead_df,
+                )
+                # explicit pivot values: one shuffle, no discovery job;
+                # analyzed tokens are [a-z0-9]+ so names cannot collide
+                # with doc_id or the _-prefixed aux columns
+                frames.append(
+                    scored.groupBy("doc_id").pivot("term", toks)
+                    .sum("term_score")
+                )
+                tok_cols.update(toks)
+        null_col = F.lit(None).cast("double")
+        ph_names: dict[tuple, str] = {}
+        for i, key in enumerate(phrase_leaves(ast)):
+            pdf = phrase_matched_df(self, list(key[0]), slop=key[1])
+            if pdf is None:
+                continue  # unindexed term: leaf matches nothing
+            name = f"_ph{i}"
+            ph_names[key] = name
+            frames.append(pdf.select("doc_id", F.col("score").alias(name)))
+        fd_names: dict[tuple, str] = {}
+        fp = self._read_or_none("field_postings")
+        for i, key in enumerate(field_leaves(ast)):
+            if fp is None:
+                continue  # pre-fields store: leaf matches nothing
+            name = f"_fd{i}"
+            fd_names[key] = name
+            frames.append(
+                field_term_scores(
+                    fp, key[0], list(key[1]),
+                    norms=self._read_or_none("field_norms"),
+                ).select("doc_id", F.col("score").alias(name))
+            )
+        rg_names: dict[tuple, str] = {}
+        for i, key in enumerate(range_leaves(ast)):
+            rdf = self._fq_range_df(*key)
+            if rdf is None:
+                continue  # no metadata sidecar: leaf matches nothing
+            name = f"_rg{i}"
+            rg_names[key] = name
+            frames.append(
+                rdf.select("doc_id", F.lit(1.0).alias(name))
+            )
+        if not frames:
+            return []
+        base = frames[0]
+        for f in frames[1:]:
+            base = base.join(f, "doc_id", "full_outer")
+        match, score = compile_columns(
+            ast,
+            tok_col=lambda t: F.col(t) if t in tok_cols else null_col,
+            phrase_col=lambda key: (
+                F.col(ph_names[key]) if key in ph_names else null_col
+            ),
+            field_col=lambda key: (
+                F.col(fd_names[key]) if key in fd_names else null_col
+            ),
+            range_col=lambda key: (
+                F.col(rg_names[key]) if key in rg_names else null_col
+            ),
+        )
+        rows = (
+            base.where(match)
+            .select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     def _expanded_topk(
         self, terms: list[str], k: int,

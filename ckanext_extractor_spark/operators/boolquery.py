@@ -515,6 +515,28 @@ def field_leaves(node) -> dict[tuple[str, tuple[str, ...]], bool]:
     return out
 
 
+def phrase_leaves(node) -> "dict[tuple, bool]":
+    """Distinct phrase leaves -> whether ANY occurrence is positive.
+    Key = (tuple(tokens), slop) — boost is per-occurrence, resolved at
+    compile time; the match set is shared."""
+    out: dict[tuple, bool] = {}
+
+    def walk(n, neg: bool):
+        if n is None:
+            return
+        if isinstance(n, Phrase):
+            key = (tuple(n.tokens), n.slop)
+            out[key] = out.get(key, False) or not neg
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p, neg)
+
+    walk(node, False)
+    return out
+
+
 def range_leaves(node) -> "dict[tuple, bool]":
     """Distinct range leaves -> whether ANY occurrence is positive.
     Key = (field, lo, hi, lo_inc, hi_inc); positive range leaves extend
@@ -555,6 +577,93 @@ def all_tokens(node) -> list[str]:
 
     walk(node)
     return list(dict.fromkeys(out))
+
+
+# -- distributed (Catalyst) compilation --------------------------------------
+
+
+def compile_columns(node, tok_col, phrase_col, field_col, range_col):
+    """Compile the AST into a ``(match, score)`` pair of Spark Column
+    expressions over a per-doc frame — the cluster-scale twin of
+    :func:`eval_topk`. The caller supplies column resolvers:
+
+    - ``tok_col(token)`` -> nullable double Column: the token's summed
+      BM25 for the doc (null = token absent);
+    - ``phrase_col((tokens, slop))`` -> nullable double: the phrase
+      leaf's conjunctive BM25 (null = no phrase match);
+    - ``field_col((field, tokens))`` -> nullable double: per-field BM25;
+    - ``range_col((field, lo, hi, lo_inc, hi_inc))`` -> nullable flag.
+
+    A resolver may return ``F.lit(None)`` for an unresolvable leaf (no
+    segments / no metadata sidecar) — it then matches nothing, the same
+    degradation the driver evaluator pins. BooleanQuery semantics are
+    preserved exactly: every composite gates its children's score sum on
+    its own match (``CASE WHEN``), so a non-matching AND subtree under
+    an OR contributes nothing — and the whole tree lands in ONE
+    whole-stage-codegen projection, no per-clause jobs."""
+    import operator
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def gate(m, parts):
+        s = reduce(operator.add, parts) if parts else F.lit(0.0)
+        return F.when(m, s).otherwise(F.lit(0.0))
+
+    def ev(n):
+        if isinstance(n, (Wildcard, Fuzzy)):
+            raise QuerySyntaxError(
+                "wildcard/fuzzy clauses must be rewritten against the "
+                "terms dictionary before evaluation (rewrite_expansions)"
+            )
+        if isinstance(n, Term):
+            cols = [tok_col(t) for t in n.tokens]
+            m = reduce(operator.and_, [c.isNotNull() for c in cols])
+            return m, gate(
+                m,
+                [F.lit(float(n.boost)) * F.coalesce(c, F.lit(0.0))
+                 for c in cols],
+            )
+        if isinstance(n, Expanded):
+            if not n.tokens:
+                return F.lit(False), F.lit(0.0)
+            cols = [tok_col(t) for t in n.tokens]
+            m = reduce(operator.or_, [c.isNotNull() for c in cols])
+            return m, gate(
+                m,
+                [F.lit(float(n.boost)) * F.coalesce(c, F.lit(0.0))
+                 for c in cols],
+            )
+        if isinstance(n, Phrase):
+            c = phrase_col((tuple(n.tokens), n.slop))
+            m = c.isNotNull()
+            return m, gate(
+                m, [F.lit(float(n.boost)) * F.coalesce(c, F.lit(0.0))]
+            )
+        if isinstance(n, FieldTerm):
+            c = field_col((n.field, tuple(n.tokens)))
+            m = c.isNotNull()
+            return m, gate(
+                m, [F.lit(float(n.boost)) * F.coalesce(c, F.lit(0.0))]
+            )
+        if isinstance(n, FieldRange):
+            c = range_col((n.field, n.lo, n.hi, n.lo_inc, n.hi_inc))
+            m = c.isNotNull()
+            return m, gate(m, [F.lit(float(n.boost))])
+        if isinstance(n, And):
+            pairs = [ev(p) for p in n.parts]
+            m = reduce(operator.and_, [pm for pm, _ in pairs])
+            return m, gate(m, [ps for _, ps in pairs])
+        if isinstance(n, Or):
+            pairs = [ev(p) for p in n.parts]
+            m = reduce(operator.or_, [pm for pm, _ in pairs])
+            return m, gate(m, [ps for _, ps in pairs])
+        if isinstance(n, Not):
+            m, _ = ev(n.child)
+            return ~m, F.lit(0.0)
+        raise TypeError(f"bad node {n!r}")
+
+    return ev(node)
 
 
 # -- vectorized evaluation --------------------------------------------------

@@ -240,11 +240,7 @@ def phrase_search_distributed(engine, query: str, k: int = 10,
     The shuffle carries only postings of the query's terms — bounded by
     their df, never the corpus. Rank-identical to phrase_search (pinned
     by test)."""
-    import pandas as pd
     from pyspark.sql import functions as F
-
-    from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
-    from ckanext_extractor_spark.operators.wand import DeadDocs, _row_gen_seq
 
     if not engine.with_positions:
         raise ValueError("index was built without positions; phrase search "
@@ -252,11 +248,50 @@ def phrase_search_distributed(engine, query: str, k: int = 10,
     terms = analyze_query(query, config=query_config_for(engine.analyzer))
     if not terms:
         return []
+    matched = phrase_matched_df(engine, terms, slop=slop,
+                                slop_mode=slop_mode)
+    if matched is None:
+        return []
+    if k <= 10_000:
+        # TakeOrderedAndProject keeps a k-sized heap PER PARTITION —
+        # only safe for interactive k
+        rows = matched.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(k).collect()
+    else:
+        # huge k = "all matches": collect and rank driver-side (phrase
+        # matches are conjunctive-bounded, far smaller than postings)
+        rows = sorted(
+            matched.collect(),
+            key=lambda r: (-r["score"], r["doc_id"]),
+        )[:k]
+    return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+
+def phrase_matched_df(engine, terms: list, slop: int = 0,
+                      slop_mode: str = "pergap"):
+    """The distributed phrase pipeline up to (and excluding) the top-k:
+    returns the (doc_id, score) DataFrame of every phrase-matching doc
+    (score = conjunctive BM25 sum of the phrase's slots — what a phrase
+    leaf scores), or ``None`` when a term is unindexed / the index has
+    no segments. ``terms`` are ALREADY analyzed, order preserved with
+    repeats (callers own analysis: phrase_search_distributed passes the
+    query chain's output, the distributed boolean evaluator its Phrase
+    leaves' tokens). Shared by phrase_search_distributed and
+    search_expr_distributed so phrase leaves stay cluster-side."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
+    from ckanext_extractor_spark.operators.wand import (
+        DeadDocs,
+    )
+
     uniq = list(dict.fromkeys(terms))
     _check_slop_mode(slop_mode, terms, uniq)
     seg = engine._segments_union(uniq)
     if seg is None:
-        return []
+        return None
     st = engine.corpus_stats()
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
     # df per unique term for idf (decode-time live counts need a pass; the
@@ -337,7 +372,7 @@ def phrase_search_distributed(engine, query: str, k: int = 10,
         for s, d in dfs.items()
     }
     if len(idf) < n_slots:
-        return []  # a term matches nothing -> no phrase can
+        return None  # a term matches nothing -> no phrase can
     term_order = [slot_of[t] for t in terms]  # phrase order, with repeats
 
     idf_by_slot = np.array([idf[s] for s in range(n_slots)])
@@ -470,20 +505,6 @@ def phrase_search_distributed(engine, query: str, k: int = 10,
             "score": sc[matched],
         })
 
-    matched = decoded.repartition("doc_id").mapInPandas(
+    return decoded.repartition("doc_id").mapInPandas(
         verify_part, "doc_id long, score double"
     )
-    if k <= 10_000:
-        # TakeOrderedAndProject keeps a k-sized heap PER PARTITION —
-        # only safe for interactive k
-        rows = matched.orderBy(
-            F.desc("score"), F.asc("doc_id")
-        ).limit(k).collect()
-    else:
-        # huge k = "all matches": collect and rank driver-side (phrase
-        # matches are conjunctive-bounded, far smaller than postings)
-        rows = sorted(
-            matched.collect(),
-            key=lambda r: (-r["score"], r["doc_id"]),
-        )[:k]
-    return [(int(r["doc_id"]), float(r["score"])) for r in rows]

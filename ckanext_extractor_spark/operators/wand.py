@@ -682,6 +682,80 @@ def wand_topk(
     return [(-d, s) for s, d in out]
 
 
+def scored_terms_distributed(
+    segments: DataFrame,
+    terms_idf: dict[str, float],
+    avgdl: float,
+    dead_pairs: dict | None = None,
+    dead_df: "DataFrame | None" = None,
+) -> DataFrame:
+    """Per-(doc, term) BM25 contributions, fully cluster-side — the
+    term-carrying sibling of :func:`query_segments_distributed`'s decode
+    kernel (same vectorized per-bucket scorer, same tombstone routing),
+    aggregated to one row per (doc_id, term). The distributed boolean-
+    expression evaluator builds its per-leaf flag/score columns from
+    this ONE scan: the whole AST then compiles to a single Catalyst
+    expression over the per-doc pivot, so an arbitrarily nested query
+    costs one segments scan + one shuffle regardless of clause count."""
+    import pandas as pd
+
+    k1, b = BM25_K1, BM25_B
+    use_join = dead_df is not None
+    dead_local = {} if use_join else dict(dead_pairs or {})
+
+    def score_part(batches):
+        dead = DeadDocs(dead_local) if dead_local else None
+        for pdf in batches:
+            frames = []
+            has_gen = "gen_seq" in pdf.columns
+            for _, row in pdf.iterrows():
+                idf = terms_idf.get(row["term"])
+                if idf is None:
+                    continue
+                ids, tfs, dls = decode_posting_list(bytes(row["blob"]))
+                gseq = int(row["gen_seq"]) if has_gen else 0
+                if dead is not None:
+                    keep = dead.live_mask(ids, gseq)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                s = (
+                    idf * tf * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+                frame = {
+                    "doc_id": ids,
+                    "term": np.full(len(ids), row["term"], dtype=object),
+                    "term_score": s,
+                }
+                if use_join:
+                    frame["gen_seq"] = np.full(
+                        len(ids), gseq, dtype=np.int64
+                    )
+                frames.append(pd.DataFrame(frame))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    out_schema = "doc_id long, term string, term_score double" + (
+        ", gen_seq long" if use_join else ""
+    )
+    scored = segments.mapInPandas(score_part, out_schema)
+    if use_join:
+        scored = (
+            scored.join(dead_df, "doc_id", "left")
+            .where(
+                F.col("_kill_seq").isNull()
+                | (F.col("_kill_seq") <= F.col("gen_seq"))
+            )
+            .drop("_kill_seq", "gen_seq")
+        )
+    # one live generation per (doc, term) after tombstone filtering, so
+    # this sum is the term's BM25; partial (map-side) aggregation applies
+    return scored.groupBy("doc_id", "term").agg(
+        F.sum("term_score").alias("term_score")
+    )
+
+
 def query_segments_distributed(
     spark,
     segments: DataFrame,
