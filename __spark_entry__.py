@@ -2031,6 +2031,233 @@ ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
 _PAIRS["q69_expr_distributed"] = ("", _EXPR_DIST_DUCK)
 
 
+def _eng_pmap(eng) -> dict[int, int]:
+    """engine doc_id -> original documents.doc_id (via the stored path,
+    the q35 pattern)."""
+    return {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in eng.spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+
+
+# one raw-score (unrounded) BM25 CTE chain over the simple tokenizer,
+# matching the scored distributed head's conventions (pre-merge docFreq
+# idf; avgdl over ALL docs incl. empty) — composable by the bq /
+# collapse / elevation / join oracles below
+_RAW_BM25_CTES = f"""
+WITH tok AS ({DUCK_TOK}),
+tfx AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM (SELECT d.doc_id, COALESCE(dl.doc_len, 0) AS doc_len
+        FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) x),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfx GROUP BY term),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * {BM25_K1 + 1.0})
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.doc_len / s.avgdl)) AS term_score
+  FROM tfx tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s)
+"""
+
+
+def _q_boost_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax bq (additive boost QUERY) through the REAL engine:
+    score' = BM25('spark join') + 0.5 * BM25_or('stream') over the
+    conjunctive main matches — the boost re-ranks but never admits a
+    doc outside the main match set (Lucene SHOULD clause)."""
+    eng = _docs_engine(spark, sf_dir)
+    hits = eng.boost_query_search("spark join", "stream", k=10**9,
+                                  weight=0.5)
+    pmap = _eng_pmap(eng)
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_BOOST_QUERY_DUCK = f"""
+{_RAW_BM25_CTES},
+main AS (SELECT doc_id, sum(term_score) AS s FROM sc
+         WHERE term IN ('spark', 'join')
+         GROUP BY doc_id HAVING count(*) = 2),
+bq AS (SELECT doc_id, sum(term_score) AS s FROM sc
+       WHERE term = 'stream' GROUP BY doc_id)
+SELECT m.doc_id, ROUND(m.s + 0.5 * COALESCE(b.s, 0.0), 4) AS score
+FROM main m LEFT JOIN bq b ON m.doc_id = b.doc_id
+ORDER BY ROUND(m.s + 0.5 * COALESCE(b.s, 0.0), 6) DESC, m.doc_id ASC
+LIMIT 10
+"""
+
+_PAIRS["q70_boost_query"] = ("", _BOOST_QUERY_DUCK)
+
+
+def _q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!collapse field=source-name} + expand through the REAL
+    engine: one head per source (the group's best 'spark' match) ranked
+    like a normal search, each head carrying its expansion. The entry
+    requests the FULL groups (k, expand unbounded) and canonicalizes
+    ranks on original doc ids, so engine-id tie order can't flip the
+    hash; the within-group and across-group orderings themselves are
+    pinned by tests/test_qparsers_r4.py."""
+    eng = _docs_engine(spark, sf_dir)
+    heads = eng.collapse_search("spark", "source-name", k=10**9,
+                                expand=10**6)
+    pmap = _eng_pmap(eng)
+    groups = []
+    for d, s, v, exp in heads:
+        members = sorted(
+            [(pmap[d], s)] + [(pmap[e], es) for e, es in exp],
+            key=lambda x: (-round(x[1], 6), x[0]),
+        )
+        groups.append((v, members))
+    groups.sort(key=lambda g: (-round(g[1][0][1], 6), g[1][0][0]))
+    rows = []
+    for v, members in groups[:10]:
+        for rn, (d, s) in enumerate(members[:3], 1):
+            rows.append((v, int(d), float(round(s, 4)), rn))
+    return spark.createDataFrame(
+        rows, "src string, doc_id long, score double, rn long"
+    )
+
+
+_COLLAPSE_DUCK = f"""
+{_RAW_BM25_CTES},
+m AS (SELECT doc_id, sum(term_score) AS score FROM sc
+      WHERE term = 'spark' GROUP BY doc_id),
+j AS (SELECT m.doc_id, m.score, d.source AS src
+      FROM m JOIN documents d ON m.doc_id = d.doc_id),
+r AS (SELECT src, doc_id, score,
+             row_number() OVER (PARTITION BY src
+               ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS rn
+      FROM j),
+topg AS (SELECT src FROM r WHERE rn = 1
+         ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10)
+SELECT r.src, r.doc_id, ROUND(r.score, 4) AS score,
+       CAST(r.rn AS BIGINT) AS rn
+FROM r JOIN topg ON r.src = topg.src
+WHERE r.rn <= 3
+"""
+
+_PAIRS["q71_collapse"] = ("", _COLLAPSE_DUCK)
+
+
+def _q_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr QueryElevationComponent through the REAL engine: docs 7 and
+    3 pinned (in that order) onto 'spark join', doc 5 excluded from the
+    organic ranking; organic ranks canonicalized on original ids
+    (boundary-safe: the engine returns ALL matches, the entry
+    truncates)."""
+    eng = _docs_engine(spark, sf_dir)
+    pmap = _eng_pmap(eng)
+    inv = {orig: e for e, orig in pmap.items()}
+    hits = eng.search_elevated(
+        "spark join", [inv[7], inv[3]], k=10**9, exclude_ids=[inv[5]],
+    )
+    pinned = [(r + 1, pmap[d], float(round(s, 4)))
+              for r, (d, s) in enumerate(hits[:2])]
+    tail = sorted(
+        ((pmap[d], s) for d, s in hits[2:]),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )
+    rows = pinned + [
+        (i + 3, int(d), float(round(s, 4))) for i, (d, s) in enumerate(tail)
+    ]
+    return spark.createDataFrame(
+        rows[:10], "rank long, doc_id long, score double"
+    )
+
+
+_ELEVATION_DUCK = f"""
+{_RAW_BM25_CTES},
+m AS (SELECT doc_id, sum(term_score) AS score FROM sc
+      WHERE term IN ('spark', 'join')
+      GROUP BY doc_id HAVING count(*) = 2),
+pin AS (SELECT * FROM (VALUES (1, 7), (2, 3)) p(rank, doc_id)),
+pinscore AS (SELECT p.rank, p.doc_id,
+                    ROUND(COALESCE(m.score, 0.0), 4) AS score
+             FROM pin p LEFT JOIN m ON p.doc_id = m.doc_id),
+org AS (SELECT doc_id, score FROM m WHERE doc_id NOT IN (7, 3, 5)),
+orgr AS (SELECT 2 + row_number() OVER (
+           ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, ROUND(score, 4) AS score FROM org)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       score
+FROM (SELECT * FROM pinscore UNION ALL SELECT * FROM orgr) u
+ORDER BY rank ASC LIMIT 10
+"""
+
+_PAIRS["q72_elevation"] = ("", _ELEVATION_DUCK)
+
+
+def _q_join_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!join from=source-name to=source-name} through the REAL
+    engine: docs sharing a source with ANY 'dup' match (the one
+    selective term in the corpus: df 25, 17 of 20 sources) — a
+    constant-scoring cross-doc semi-join; first 30 ids ascending, which
+    straddles excluded sources at both scales (first excluded id 6 /
+    4)."""
+    eng = _docs_engine(spark, sf_dir)
+    hits = eng.join_search("dup", "source-name", "source-name", k=10**9)
+    pmap = _eng_pmap(eng)
+    ids = sorted(pmap[d] for d in hits)[:30]
+    return spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
+
+
+_JOIN_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),
+keys AS (SELECT DISTINCT d.source FROM m
+         JOIN documents d ON m.doc_id = d.doc_id)
+SELECT DISTINCT d2.doc_id FROM documents d2
+JOIN keys k ON d2.source = k.source
+ORDER BY d2.doc_id ASC LIMIT 30
+"""
+
+_PAIRS["q73_join_parser"] = ("", _JOIN_DUCK)
+
+
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr TermVectorComponent / Lucene Terms.termVectors through the
+    REAL engine: doc 11's full term vector — term, tf, and every decoded
+    index position (gap+varbyte payload round-trip), exploded to one row
+    per position for robust cross-engine hashing."""
+    eng = _docs_engine(spark, sf_dir)
+    pmap = _eng_pmap(eng)
+    inv = {orig: e for e, orig in pmap.items()}
+    tv = eng.term_vectors(inv[11])
+    rows = [
+        (term, int(tf), int(p)) for term, tf, pos in tv for p in pos
+    ]
+    return spark.createDataFrame(rows, "term string, tf long, pos long")
+
+
+_TERM_VECTORS_DUCK = """
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS toks
+  FROM documents WHERE doc_id = 11),
+tok AS (SELECT unnest(toks) AS term,
+               generate_subscripts(toks, 1) - 1 AS pos FROM t)
+SELECT term, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS tf,
+       CAST(pos AS BIGINT) AS pos
+FROM tok
+"""
+
+_PAIRS["q74_term_vectors"] = ("", _TERM_VECTORS_DUCK)
+
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
@@ -2742,6 +2969,11 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_expr_field_clause": _q_expr_field_clause,
     "q68_expr_multiterm": _q_expr_multiterm,
     "q69_expr_distributed": _q_expr_distributed,
+    "q70_boost_query": _q_boost_query,
+    "q71_collapse": _q_collapse,
+    "q72_elevation": _q_elevation,
+    "q73_join_parser": _q_join_parser,
+    "q74_term_vectors": _q_term_vectors,
 }
 
 

@@ -1033,6 +1033,44 @@ class ExtractorEngine:
                 out["fulltext"] = rows[0]["content"]
         return out
 
+    def term_vectors(
+        self, doc_id: int
+    ) -> list[tuple[str, int, list[int]]]:
+        """Per-doc term vector — Solr TermVectorComponent / Lucene
+        ``Terms.termVectors(doc)``: every indexed term of ``doc_id`` with
+        its in-doc tf and (when the index stores positions) its sorted
+        position list. Lucene persists term vectors as a doc-keyed
+        forward store written at flush; here the generation postings
+        tables ARE that store — doc-keyed parquet rows
+        (doc_id, term, tf, positions), so the lookup is one
+        predicate-pushed scan bounded by the doc's vocabulary, never an
+        inverted-index sweep. Tombstoned generations are filtered the
+        same way the query paths filter them (:meth:`_live_postings`).
+        Returns [(term, tf, positions)], term asc; [] for unknown or
+        deleted docs, positions [] when built without positions."""
+        self._check_access("extractor_show")
+        if isinstance(doc_id, bool) or not isinstance(doc_id, int):
+            raise ValidationError(f"doc_id must be an integer, got {doc_id!r}")
+        postings = self._live_postings()
+        if postings is None:
+            return []
+        from ckanext_extractor_spark.operators.codec import varbyte_decode
+
+        rows = (
+            postings.where(F.col("doc_id") == int(doc_id))
+            .select("term", "tf", "positions")
+            .collect()
+        )
+        out = []
+        for r in sorted(rows, key=lambda r: r["term"]):
+            pos: list[int] = []
+            if self.with_positions and r["positions"] is not None:
+                gaps, _ = varbyte_decode(bytes(r["positions"]))
+                if len(gaps):
+                    pos = np.cumsum(gaps.astype(np.int64)).tolist()
+            out.append((r["term"], int(r["tf"]), pos))
+        return out
+
     def _doc_store_rows(self, doc_ids: list[int]) -> list:
         """Point lookups into doc_store (doc_id IN -> pushed filter)."""
         store = self._read_or_none("doc_store")
@@ -1946,6 +1984,64 @@ class ExtractorEngine:
         rows = search_field(fp, field, query).collect()
         return sorted(int(r["doc_id"]) for r in rows)
 
+    def join_search(
+        self,
+        subquery: str,
+        from_field: str,
+        to_field: str,
+        k: int = 10,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[int]:
+        """Join query parser — Solr ``{!join from=f1 to=f2}subq``: the
+        docs whose metadata ``to_field`` value equals SOME ``from_field``
+        value of SOME doc matching ``subquery`` (Solr's index-time
+        self-join; both sides this index). Like Solr, the join is
+        constant-scoring (``score=none``, the default) — results are the
+        sorted doc-id list, truncated to ``k``, exactly the fq-style
+        shape :meth:`search_field` returns. Multi-valued metadata joins
+        on ANY value (EAV rows are already one row per value).
+
+        Distributed shape: match kernel (unscored, k=None) ⋈ from-side
+        EAV rows → DISTINCT join keys → semi-join against the to-side
+        EAV rows → sort + limit. Both sides stay cluster-side; the
+        distinct key set is the shuffle payload, never the match set."""
+        self._check_access("extractor_search")
+        _require_query(subquery)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        for name, f in (("from_field", from_field), ("to_field", to_field)):
+            if not isinstance(f, str) or not f.strip():
+                raise ValidationError(
+                    f"{name} must be a non-empty string, got {f!r}"
+                )
+        mm = self._match_and_meta(subquery, conjunctive, min_match,
+                                  scored=False)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        keys = (
+            per_doc.select("doc_id")
+            .join(
+                dm.where(F.col("field") == from_field)
+                .select("doc_id", "value"),
+                "doc_id",
+            )
+            .select("value")
+            .distinct()
+        )
+        rows = (
+            dm.where(F.col("field") == to_field)
+            .select("doc_id", "value")
+            .join(keys, "value", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .orderBy(F.asc("doc_id"))
+            .limit(min(k, int(self.corpus_stats()["n_docs"])))
+            .collect()
+        )
+        return [int(r["doc_id"]) for r in rows]
+
     def search_distributed(
         self,
         query: str,
@@ -2109,6 +2205,84 @@ class ExtractorEngine:
             tls, k, st["avgdl"], conjunctive=conjunctive,
             min_match=min_match, after=after_k,
         )
+
+    def search_elevated(
+        self,
+        query: str,
+        elevate: list[int],
+        k: int = 10,
+        exclude_ids: list[int] | None = None,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Query elevation — Solr QueryElevationComponent (elevate.xml):
+        ``elevate`` is the editorially-pinned doc-id list for this query,
+        returned FIRST and in the GIVEN order regardless of score (Solr
+        keeps config order); the remainder of the page is the organic
+        ranking (score desc, doc_id asc) minus the pinned and excluded
+        ids. Pinned docs appear even when they don't match the query
+        (QEC ORs the elevated ids into the query; forceElevation
+        semantics) — a non-matching pinned doc reports score 0.0.
+        ``exclude_ids`` is elevate.xml's ``exclude="true"`` list: those
+        docs are removed from the organic ranking entirely. Pinned ids
+        that don't exist or are deleted are skipped (Solr logs and skips
+        unknown elevation ids). Returns [(doc_id, score)], len <= k.
+
+        Distributed shape: one manifest probe bounded by len(elevate)
+        validates liveness; the organic ranking is the scored k=None
+        match kernel with the pinned/excluded ids filtered INSIDE the
+        plan, one TakeOrdered k — the match set never reaches the
+        driver."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        elevate = _require_doc_ids(elevate)
+        exclude_ids = (
+            _require_doc_ids(exclude_ids) if exclude_ids else []
+        )
+        dropped = set(elevate) | set(exclude_ids)
+        live: set[int] = set()
+        if elevate:
+            live = {
+                int(r["doc_id"])
+                for r in read_doc_manifest(self.spark, self.root)
+                .where(
+                    F.col("doc_id").isin(list(set(elevate)))
+                    & (F.col("status") == "indexed")
+                )
+                .select("doc_id")
+                .collect()
+            }
+        pinned: list[int] = []
+        for d in elevate:
+            if d in live and d not in pinned and d not in set(exclude_ids):
+                pinned.append(d)
+        pinned = pinned[:k]
+        per_doc = self._match_docs(query, conjunctive, min_match,
+                                   scored=True)
+        scores: dict[int, float] = {}
+        organic: list[tuple[int, float]] = []
+        n_tail = k - len(pinned)
+        if per_doc is not None:
+            per_doc = per_doc.select("doc_id", "score")
+            if pinned:
+                rows = per_doc.where(
+                    F.col("doc_id").isin(pinned)
+                ).collect()
+                scores = {int(r["doc_id"]): float(r["score"]) for r in rows}
+            if n_tail > 0:
+                tail = per_doc
+                if dropped:
+                    tail = tail.where(~F.col("doc_id").isin(list(dropped)))
+                n_tail = min(n_tail, int(self.corpus_stats()["n_docs"]))
+                organic = [
+                    (int(r["doc_id"]), float(r["score"]))
+                    for r in tail.orderBy(
+                        F.desc("score"), F.asc("doc_id")
+                    ).limit(n_tail).collect()
+                ]
+        return [(d, scores.get(d, 0.0)) for d in pinned] + organic
 
     def dismax_search(
         self,
@@ -3154,6 +3328,73 @@ class ExtractorEngine:
         rows = vals.orderBy(*order).limit(lim).collect()
         return [(int(r["doc_id"]), r["value"]) for r in rows]
 
+    def boost_query_search(
+        self,
+        query: str,
+        bq: str,
+        k: int = 10,
+        weight: float = 1.0,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Boost query — edismax ``bq`` (additive query boost):
+        ``score' = BM25(query) + weight * BM25(bq)`` for docs in the
+        MAIN query's match set. The boost query is a SHOULD clause the
+        Lucene way — it re-ranks but never admits a doc the main query
+        doesn't match, and docs outside the bq match set keep their
+        plain score (boost contribution 0). The main query is
+        conjunctive by default; the boost query is always disjunctive
+        (Solr's bq is a free-standing OR-ish query layered on top).
+        Reference analog: CKAN deployments tune package_search with bq
+        on dataset type/org (plugin.py:40,140 runs that parser config).
+        Returns [(doc_id, score)], boosted score desc, doc_id asc.
+
+        Distributed: two bucket-pruned decode-kernel match sets
+        (scored, k=None), one left join on doc_id, one TakeOrdered —
+        doc ids never reach the driver. BM25 idf follows the pre-merge
+        docFreq convention of the scored distributed head
+        (:meth:`_match_and_meta`)."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_query(bq)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if isinstance(weight, bool) or not isinstance(weight, (int, float)):
+            raise ValidationError(
+                f"weight must be a number, got {weight!r}"
+            )
+        main = self._match_docs(query, conjunctive, min_match, scored=True)
+        if main is None:
+            return []
+        bqm = self._match_docs(bq, False, None, scored=True)
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        scored = main.select("doc_id", "score")
+        if bqm is not None:
+            scored = (
+                scored.join(
+                    bqm.select(
+                        "doc_id", F.col("score").alias("_bq")
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    (
+                        F.col("score")
+                        + F.lit(float(weight)) * F.coalesce("_bq", F.lit(0.0))
+                    ).alias("score"),
+                )
+            )
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def boosted_search(
         self,
         query: str,
@@ -3162,12 +3403,17 @@ class ExtractorEngine:
         weight: float = 1.0,
         conjunctive: bool = True,
         min_match: int | None = None,
+        multiplicative: bool = False,
     ) -> list[tuple[int, float]]:
         """Function-query boosting — edismax ``bf`` (additive boost):
         ``score' = BM25 + weight * numeric(metadata[boost_field])``, the
         way CKAN-style installs boost fresher/more-popular datasets.
         Docs whose field is missing or non-numeric get boost 0 (Solr
-        returns 0 for missing function values). Returns
+        returns 0 for missing function values).
+        ``multiplicative=True`` is edismax ``boost`` (``{!boost b=f}``):
+        ``score' = BM25 * weight * numeric(field)`` — Solr's fieldvalue
+        source also yields 0 for missing values, so unboosted docs score
+        0 and rank by doc_id (pinned parity). Returns
         [(doc_id, score)], boosted score desc, doc_id asc.
 
         Distributed: the scored k=None match kernel left-joins the EAV
@@ -3186,6 +3432,7 @@ class ExtractorEngine:
             raise ValidationError(
                 f"weight must be a number, got {weight!r}"
             )
+        _require_bool("multiplicative", multiplicative)
         mm = self._match_and_meta(query, conjunctive, min_match,
                                   scored=True)
         if mm is None:
@@ -3204,16 +3451,15 @@ class ExtractorEngine:
         k = min(k, int(self.corpus_stats()["n_docs"]))
         if k <= 0:
             return []
+        bv = F.coalesce("_bv", F.lit(0.0))
+        if multiplicative:
+            boosted = F.col("score") * F.lit(float(weight)) * bv
+        else:
+            boosted = F.col("score") + F.lit(float(weight)) * bv
         rows = (
             per_doc.select("doc_id", "score")
             .join(bf, "doc_id", "left")
-            .select(
-                "doc_id",
-                (
-                    F.col("score")
-                    + F.lit(float(weight)) * F.coalesce("_bv", F.lit(0.0))
-                ).alias("score"),
-            )
+            .select("doc_id", boosted.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
@@ -3742,6 +3988,104 @@ class ExtractorEngine:
             (r["value"], float(r["best"]), int(r["n"]),
              by_val.get(r["value"], []))
             for r in groups
+        ]
+
+    def collapse_search(
+        self,
+        query: str,
+        collapse_field: str,
+        k: int = 10,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+        expand: int = 0,
+    ) -> list[tuple[int, float, str, list[tuple[int, float]]]]:
+        """Field collapsing — Solr ``{!collapse field=f}`` (+ the expand
+        component): the result list keeps ONE doc per distinct
+        ``collapse_field`` value — the group's highest-scoring doc
+        (ties doc_id asc) — and ranks those heads like a normal search
+        (score desc, doc_id asc), truncated to ``k``. Unlike
+        :meth:`grouped_search` (group-centric: top groups by best
+        score), collapse is DOC-centric: the rest of the result pipeline
+        (paging, ranking) sees a plain doc list. Docs without the field
+        are dropped (Solr nullPolicy=ignore, the default). ``expand > 0``
+        attaches, per head, the next ``expand`` docs of its group
+        (score desc, doc_id asc, head excluded) — Solr's
+        ``expand=true&expand.rows=n``. Returns
+        [(doc_id, score, value, [(doc_id, score), ...])].
+
+        Distributed shape: scored match kernel ⋈ EAV rows, one window
+        row_number per value (rank-in-group), heads through a
+        TakeOrdered k; the expansion re-reads the persisted join pruned
+        to the k winning values — driver materialization is bounded by
+        k * (1 + expand), never the match count."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(collapse_field, str) or not collapse_field.strip():
+            raise ValidationError(
+                f"collapse_field must be a non-empty string, "
+                f"got {collapse_field!r}"
+            )
+        if isinstance(expand, bool) or not isinstance(expand, int) \
+                or expand < 0:
+            raise ValidationError(
+                f"expand must be a non-negative integer, got {expand!r}"
+            )
+        mm = self._match_and_meta(query, conjunctive, min_match,
+                                  scored=True)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        from pyspark.sql.window import Window
+
+        # clamp: TakeOrdered sizes its per-partition heap by the LIMIT
+        # literal (the r2 all-matches-phrase OOM class)
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        j = per_doc.select("doc_id", "score").join(
+            dm.where(F.col("field") == collapse_field)
+            .select("doc_id", "value"),
+            "doc_id",
+        )
+        w = Window.partitionBy("value").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = j.withColumn("_rn", F.row_number().over(w))
+        if expand:
+            # heads AND expansions read the ranked join — persist so the
+            # decode kernel + window run once
+            ranked = ranked.persist()
+        try:
+            heads = (
+                ranked.where(F.col("_rn") == 1)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            exp_by_val: dict[str, list[tuple[int, float]]] = {}
+            if expand and heads:
+                keep = [r["value"] for r in heads]
+                rows = (
+                    ranked.where(
+                        F.col("value").isin(keep)
+                        & (F.col("_rn") > 1)
+                        & (F.col("_rn") <= 1 + expand)
+                    )
+                    .collect()
+                )
+                for r in sorted(rows, key=lambda r: (r["value"], r["_rn"])):
+                    exp_by_val.setdefault(r["value"], []).append(
+                        (int(r["doc_id"]), float(r["score"]))
+                    )
+        finally:
+            if expand:
+                ranked.unpersist()
+        return [
+            (int(r["doc_id"]), float(r["score"]), r["value"],
+             exp_by_val.get(r["value"], []))
+            for r in heads
         ]
 
     def phrase_search(

@@ -76,6 +76,51 @@ def cmd_status(args) -> int:
 
 def cmd_query(args) -> int:
     eng = _engine(args)
+    if args.collapse:
+        for rank, (doc_id, score, value, exp) in enumerate(
+            eng.collapse_search(args.q, args.collapse, k=args.k,
+                                conjunctive=not args.use_or,
+                                expand=args.expand), 1
+        ):
+            print(json.dumps({
+                "rank": rank, "doc_id": doc_id, "score": round(score, 6),
+                "value": value,
+                "expanded": [{"doc_id": d, "score": round(s, 6)}
+                             for d, s in exp],
+            }))
+        return 0
+    if args.elevate:
+        hits = eng.search_elevated(
+            args.q, [int(x) for x in args.elevate.split(",")], k=args.k,
+            exclude_ids=[int(x) for x in args.elevate_exclude.split(",")]
+            if args.elevate_exclude else None,
+            conjunctive=not args.use_or, min_match=args.min_match,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6)}))
+        return 0
+    if args.bq:
+        hits = eng.boost_query_search(
+            args.q, args.bq, k=args.k, weight=args.bq_weight,
+            conjunctive=not args.use_or, min_match=args.min_match,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6)}))
+        return 0
+    if args.bf or args.boost:
+        spec = args.bf or args.boost
+        field, _, w = spec.partition("^")
+        hits = eng.boosted_search(
+            args.q, field, k=args.k, weight=float(w) if w else 1.0,
+            conjunctive=not args.use_or, min_match=args.min_match,
+            multiplicative=bool(args.boost),
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6)}))
+        return 0
     if args.group:
         for rank, (value, best, n, docs) in enumerate(
             eng.grouped_search(args.q, args.group, k=args.k,
@@ -207,6 +252,23 @@ def cmd_terms(args) -> int:
     rows = eng.terms(prefix=args.prefix, limit=args.k,
                      min_df=args.min_df)
     print(json.dumps([{"term": t, "df": d} for t, d in rows]))
+    return 0
+
+
+def cmd_join(args) -> int:
+    eng = _engine(args)
+    for d in eng.join_search(args.q, args.from_field, args.to_field,
+                             k=args.k, conjunctive=not args.use_or):
+        print(d)
+    return 0
+
+
+def cmd_termvectors(args) -> int:
+    eng = _engine(args)
+    print(json.dumps([
+        {"term": t, "tf": tf, "positions": pos}
+        for t, tf, pos in eng.term_vectors(args.doc_id)
+    ]))
     return 0
 
 
@@ -348,6 +410,23 @@ def main(argv=None) -> int:
                         "query terms; 0 = strict phrase)")
     q.add_argument("--distributed", action="store_true",
                    help="cluster-scale phrase plan (no driver collect)")
+    q.add_argument("--collapse", default=None, metavar="FIELD",
+                   help="field collapsing (Solr {!collapse field=...})")
+    q.add_argument("--expand", type=int, default=0,
+                   help="with --collapse: expand.rows per group")
+    q.add_argument("--elevate", default=None, metavar="ID,ID",
+                   help="query elevation: pinned doc ids, in order")
+    q.add_argument("--elevate-exclude", dest="elevate_exclude",
+                   default=None, metavar="ID,ID",
+                   help="query elevation: excluded doc ids")
+    q.add_argument("--bq", default=None, metavar="QUERY",
+                   help="edismax bq: additive boost query")
+    q.add_argument("--bq-weight", dest="bq_weight", type=float,
+                   default=1.0, help="weight for --bq")
+    q.add_argument("--bf", default=None, metavar="FIELD^W",
+                   help="edismax bf: additive function boost")
+    q.add_argument("--boost", default=None, metavar="FIELD^W",
+                   help="edismax boost: multiplicative function boost")
     q.add_argument("--snippets", action="store_true",
                    help="include highlight windows (store_content index)")
     q.add_argument("--buckets", type=int, default=64)
@@ -440,6 +519,27 @@ def main(argv=None) -> int:
                     help="minimum docFreq (terms.mincount)")
     tm.add_argument("--buckets", type=int, default=64)
     tm.set_defaults(fn=cmd_terms)
+
+    jn = sub.add_parser(
+        "join", help="cross-field semi-join query (Solr {!join})"
+    )
+    jn.add_argument("--index", required=True)
+    jn.add_argument("--q", required=True,
+                    help="subquery selecting the from-side docs")
+    jn.add_argument("--from", dest="from_field", required=True)
+    jn.add_argument("--to", dest="to_field", required=True)
+    jn.add_argument("-k", type=int, default=10)
+    jn.add_argument("--or", dest="use_or", action="store_true")
+    jn.add_argument("--buckets", type=int, default=64)
+    jn.set_defaults(fn=cmd_join)
+
+    tv = sub.add_parser(
+        "termvectors", help="per-doc term vector (Solr TermVectorComponent)"
+    )
+    tv.add_argument("--index", required=True)
+    tv.add_argument("doc_id", type=int)
+    tv.add_argument("--buckets", type=int, default=64)
+    tv.set_defaults(fn=cmd_termvectors)
 
     g = sub.add_parser("lineage", help="per-partition build metrics")
     g.add_argument("--index", required=True)
