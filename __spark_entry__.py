@@ -2258,6 +2258,204 @@ FROM tok
 _PAIRS["q74_term_vectors"] = ("", _TERM_VECTORS_DUCK)
 
 
+def _q_update_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic metadata updates (Solr atomic update set / null=remove)
+    through the REAL engine: docs 0-4 get lang rewritten ('zz-' prefix),
+    docs 3-7 lose n-chars — sidecar-only rewrites, no re-extract — then
+    the first 10 docs' metadata EAV rows are read back. Fresh engine
+    (never the cached one: the update mutates state)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Lang"), F.array(F.col("lang")),
+            F.lit("N_Chars"), F.array(F.col("n_chars").cast("string")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_upd_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("lang", "n-chars"),
+    )
+    eng.extract(corpus, build_id="entry-upd")
+    pmap = _eng_pmap(eng)
+    inv = {orig: e for e, orig in pmap.items()}
+    langs = {
+        int(r["doc_id"]): r["lang"]
+        for r in docs.where(F.col("doc_id") <= 4)
+        .select("doc_id", "lang").collect()
+    }
+    changes: dict[int, dict] = {}
+    for orig in range(8):
+        c: dict = {}
+        if orig <= 4:
+            c["Lang"] = "zz-" + langs[orig]
+        if 3 <= orig <= 7:
+            c["N_Chars"] = None
+        changes[inv[orig]] = c
+    eng.update_metadata(changes)
+    ds = spark.read.parquet(eng._p("doc_stats"))
+    rows = []
+    for r in ds.select(
+        "doc_id", F.explode(F.col("metadata")).alias("field", "value")
+    ).collect():
+        orig = pmap[int(r["doc_id"])]
+        if orig < 10:
+            rows.append((orig, r["field"], r["value"]))
+    rows.sort()
+    return spark.createDataFrame(
+        rows, "doc_id long, field string, value string"
+    )
+
+
+_UPDATE_META_DUCK = """
+WITH base AS (SELECT doc_id, lang, CAST(n_chars AS VARCHAR) AS nc
+              FROM documents WHERE doc_id < 10),
+eav AS (
+  SELECT doc_id, 'lang' AS field,
+         CASE WHEN doc_id <= 4 THEN 'zz-' || lang ELSE lang END AS value
+  FROM base
+  UNION ALL
+  SELECT doc_id, 'n-chars' AS field, nc AS value FROM base
+  WHERE doc_id NOT BETWEEN 3 AND 7
+)
+SELECT doc_id, field, value FROM eav ORDER BY doc_id, field
+"""
+
+_PAIRS["q75_update_metadata"] = ("", _UPDATE_META_DUCK)
+
+
+def _q_interval_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.interval through the REAL engine: per-interval doc
+    counts of 'spark' matchers' numeric n-chars metadata, overlapping
+    intervals and mixed bracket bounds included (the capability range
+    facets can't express)."""
+    eng = _docs_engine(spark, sf_dir)
+    out = eng.interval_facets(
+        "spark", "n-chars",
+        ["[0,100)", "[100,300]", "(300,*]", "[*,*]", "(50,150]"],
+    )
+    return spark.createDataFrame(
+        [(s, int(c)) for s, c in out], "iv string, cnt long"
+    )
+
+
+_INTERVAL_FACETS_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT m.doc_id, CAST(d.n_chars AS DOUBLE) AS x
+      FROM m JOIN documents d ON m.doc_id = d.doc_id)
+SELECT iv, cnt FROM (
+  SELECT '[0,100)' AS iv,
+         CAST(count(DISTINCT doc_id) FILTER (x >= 0 AND x < 100)
+              AS BIGINT) AS cnt, 1 AS ord FROM v
+  UNION ALL
+  SELECT '[100,300]',
+         CAST(count(DISTINCT doc_id) FILTER (x >= 100 AND x <= 300)
+              AS BIGINT), 2 FROM v
+  UNION ALL
+  SELECT '(300,*]',
+         CAST(count(DISTINCT doc_id) FILTER (x > 300) AS BIGINT), 3
+  FROM v
+  UNION ALL
+  SELECT '[*,*]', CAST(count(DISTINCT doc_id) AS BIGINT), 4 FROM v
+  UNION ALL
+  SELECT '(50,150]',
+         CAST(count(DISTINCT doc_id) FILTER (x > 50 AND x <= 150)
+              AS BIGINT), 5 FROM v
+) u ORDER BY ord
+"""
+
+_PAIRS["q76_interval_facets"] = ("", _INTERVAL_FACETS_DUCK)
+
+
+def _q_dismax_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax qf INCLUDING the main content index (q77): qf =
+    {_text_: 1, tag: 2, lang: 3}, tie 0.3, over 'spark en' — 'spark'
+    lives in the body AND the tag field (first body word), so the
+    DisjunctionMax + tie actually bites; 'en' matches only the lang
+    field. Fresh engine with a Tag sidecar derived from the text."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Tag"), F.array(F.split(F.col("text"), " ").getItem(0)),
+            F.lit("Lang"), F.array(F.col("lang")),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_dmb_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("tag", "lang"),
+    )
+    eng.extract(corpus, build_id="entry-dmb")
+    hits = eng.dismax_search(
+        "spark en", {"_text_": 1.0, "tag": 2.0, "lang": 3.0},
+        k=10**9, tie=0.3,
+    )
+    pmap = _eng_pmap(eng)
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_DISMAX_BODY_DUCK = f"""
+{_RAW_BM25_CTES},
+body AS (SELECT doc_id, term AS clause, term_score AS s FROM sc
+         WHERE term IN ('spark', 'en')),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+tagv AS (SELECT doc_id, split_part(text, ' ', 1) AS v FROM documents),
+tagdf AS (SELECT v, CAST(count(*) AS DOUBLE) AS df FROM tagv GROUP BY v),
+tag AS (SELECT t.doc_id, t.v AS clause,
+               2.0 * ln(1.0 + (n.nd - d.df + 0.5) / (d.df + 0.5)) AS s
+        FROM tagv t JOIN tagdf d ON t.v = d.v CROSS JOIN n
+        WHERE t.v IN ('spark', 'en')),
+langdf AS (SELECT lang, CAST(count(*) AS DOUBLE) AS df FROM documents
+           GROUP BY lang),
+lg AS (SELECT d2.doc_id, d2.lang AS clause,
+              3.0 * ln(1.0 + (n.nd - ld.df + 0.5) / (ld.df + 0.5)) AS s
+       FROM documents d2 JOIN langdf ld ON d2.lang = ld.lang CROSS JOIN n
+       WHERE d2.lang IN ('spark', 'en')),
+u AS (SELECT * FROM body UNION ALL SELECT * FROM tag
+      UNION ALL SELECT * FROM lg),
+pc AS (SELECT doc_id, clause,
+              max(s) + 0.3 * (sum(s) - max(s)) AS ds
+       FROM u GROUP BY doc_id, clause),
+agg AS (SELECT doc_id, sum(ds) AS score FROM pc GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM agg
+ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q77_dismax_body"] = ("", _DISMAX_BODY_DUCK)
+
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
@@ -2974,6 +3172,9 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_elevation": _q_elevation,
     "q73_join_parser": _q_join_parser,
     "q74_term_vectors": _q_term_vectors,
+    "q75_update_metadata": _q_update_metadata,
+    "q76_interval_facets": _q_interval_facets,
+    "q77_dismax_body": _q_dismax_body,
 }
 
 

@@ -302,6 +302,9 @@ class ExtractorEngine:
     # searcher, never as process-global id sets)
     FILTER_CLOSURE_MAX = 100_000
     KILLS_BROADCAST_MAX = 1_000_000
+    # reserved qf pseudo-field targeting the main content index (Solr's
+    # catch-all text field in an edismax qf, schema.xml:161)
+    BODY_FIELD = "_text_"
 
     def __init__(
         self,
@@ -1281,6 +1284,215 @@ class ExtractorEngine:
         self._write_meta()
         self.cool()
         self.maybe_compact()
+
+    def update_metadata(
+        self, changes: dict[int, dict]
+    ) -> None:
+        """Atomic metadata updates — Solr atomic updates
+        (``{"set": v}`` / ``{"set": null}`` = remove) WITHOUT re-extract:
+        ``changes`` maps doc_id -> {field: new value}, where a value is a
+        string, a list of strings (collapsed ', '-joined, exactly like
+        extract's multivalue normalization, reference tasks.py:89-95), or
+        ``None`` to remove the field. Content, postings, and segments are
+        untouched — only the metadata sidecar tables (doc_stats map,
+        field_postings, field_norms) are rewritten, and only the affected
+        docs' rows change (Lucene analog: doc-values field update, which
+        rewrites the DV file but never the postings).
+
+        Field keys are cleaned like extract (lowercase, '_' -> '-') and
+        must match ``indexed_fields`` — a non-indexed key raises (Solr
+        rejects fields outside the schema). Unknown or deleted doc ids
+        raise. Point-update API: the changes dict is driver-resident by
+        construction; bulk rewrites at cluster scale go through
+        :meth:`update_metadata_df`, which takes DataFrames end-to-end."""
+        import fnmatch as _fn
+
+        self._check_access("extractor_delete")
+        if not isinstance(changes, dict) or not changes:
+            raise ValidationError(
+                "changes must be a non-empty {doc_id: {field: value}} dict"
+            )
+        pats = [p.lower() for p in self.indexed_fields]
+        sets: list[tuple[int, str, str]] = []
+        removes: list[tuple[int, str]] = []
+        for d, fields in changes.items():
+            if isinstance(d, bool) or not isinstance(d, int):
+                raise ValidationError(
+                    f"doc ids must be integers, got {d!r}"
+                )
+            if not isinstance(fields, dict) or not fields:
+                raise ValidationError(
+                    f"changes[{d}] must be a non-empty {{field: value}} "
+                    f"dict, got {fields!r}"
+                )
+            for k, v in fields.items():
+                if not isinstance(k, str) or not k.strip():
+                    raise ValidationError(
+                        f"field names must be non-empty strings, got {k!r}"
+                    )
+                ck = k.lower().replace("_", "-")
+                if not any(p == "*" or _fn.fnmatch(ck, p) for p in pats):
+                    raise ValidationError(
+                        f"field {ck!r} does not match indexed_fields "
+                        f"{tuple(self.indexed_fields)!r}"
+                    )
+                if v is None:
+                    removes.append((int(d), ck))
+                    continue
+                if isinstance(v, (list, tuple)):
+                    if not all(isinstance(x, str) for x in v):
+                        raise ValidationError(
+                            f"list values must be strings: {ck}={v!r}"
+                        )
+                    v = ", ".join(v)
+                if not isinstance(v, str):
+                    raise ValidationError(
+                        f"values must be str, list[str], or None: "
+                        f"{ck}={v!r}"
+                    )
+                sets.append((int(d), ck, v))
+        spark = self.spark
+        set_df = (
+            spark.createDataFrame(
+                sets, "doc_id long, field string, value string"
+            )
+            if sets else None
+        )
+        remove_df = (
+            spark.createDataFrame(removes, "doc_id long, field string")
+            if removes else None
+        )
+        self.update_metadata_df(set_df, remove_df)
+
+    def update_metadata_df(
+        self,
+        set_df: DataFrame | None,
+        remove_df: DataFrame | None = None,
+    ) -> None:
+        """Bulk atomic metadata updates, DataFrames end-to-end (the
+        cluster-scale path under :meth:`update_metadata`): ``set_df`` is
+        (doc_id, field, value) rows to upsert, ``remove_df`` is
+        (doc_id, field) rows to drop. Field names must arrive CLEANED
+        (lowercase, '-' form) — the dict wrapper cleans; DataFrame
+        callers own their normalization. Any referenced doc id that is
+        not currently indexed fails the whole update (atomic: nothing
+        publishes). Shape: one anti-join + union rebuilds the affected
+        docs' metadata maps; field_postings/field_norms re-derive from
+        the rebuilt maps for affected docs only, merged with the same
+        kept/dropped discipline extract uses — no driver
+        materialization beyond a 1-row validation count."""
+        self._check_access("extractor_delete")
+        if set_df is None and remove_df is None:
+            raise ValidationError("nothing to update")
+        ds = self._read_or_none("doc_stats")
+        if ds is None or "metadata" not in ds.columns:
+            raise ValidationError(
+                "index has no metadata sidecar to update"
+            )
+        touched = None
+        for df in (set_df, remove_df):
+            if df is None:
+                continue
+            t = df.select("doc_id").distinct()
+            touched = t if touched is None else touched.union(t).distinct()
+        from ckanext_extractor_spark.manifest import read_doc_manifest
+
+        live = (
+            read_doc_manifest(self.spark, self.root)
+            .where(F.col("status") == "indexed")
+            .select("doc_id")
+        )
+        n_bad = touched.join(live, "doc_id", "left_anti").count()
+        if n_bad:
+            raise ValidationError(
+                f"{n_bad} updated doc id(s) are not currently indexed"
+            )
+        if not self._acquire_lock(f"meta-update-{uuid.uuid4().hex[:8]}"):
+            raise BuildInProgressError(
+                f"index {self.root} has a build in progress: "
+                f"{self.in_progress()}"
+            )
+        try:
+            self._update_metadata_locked(ds, touched, set_df, remove_df)
+        finally:
+            self._release_lock()
+
+    def _update_metadata_locked(
+        self, ds, touched, set_df, remove_df
+    ) -> None:
+        spark = self.spark
+        # rebuild the affected docs' maps: existing EAV rows minus
+        # overwritten/removed (doc, field) pairs, plus the set rows
+        aff = ds.join(touched, "doc_id", "left_semi")
+        eav = aff.select(
+            "doc_id",
+            F.explode_outer(F.col("metadata")).alias("field", "value"),
+        ).where(F.col("field").isNotNull())
+        drop_pairs = None
+        for df in (set_df, remove_df):
+            if df is None:
+                continue
+            p = df.select("doc_id", "field")
+            drop_pairs = p if drop_pairs is None else drop_pairs.union(p)
+        if drop_pairs is not None:
+            eav = eav.join(
+                drop_pairs.distinct(), ["doc_id", "field"], "left_anti"
+            )
+        if set_df is not None:
+            eav = eav.unionByName(
+                set_df.select("doc_id", "field", "value")
+            )
+        newmap = eav.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("field", "value")))
+            ).alias("_newmeta")
+        )
+        rebuilt = (
+            aff.drop("metadata")
+            .join(newmap, "doc_id", "left")
+            .withColumn(
+                "metadata",
+                F.coalesce(
+                    "_newmeta",
+                    F.map_from_arrays(
+                        F.array().cast("array<string>"),
+                        F.array().cast("array<string>"),
+                    ),
+                ),
+            )
+            .drop("_newmeta")
+        )
+        ds2 = ds.join(touched, "doc_id", "left_anti").unionByName(
+            rebuilt.select(*ds.columns)
+        )
+        _atomic_overwrite(ds2, self._p("doc_stats"), spark)
+        # field tables re-derive from the REBUILT maps for affected docs
+        # (extract's kept/dropped merge discipline; norms publish first,
+        # matching the extract path's upgrade-branch ordering)
+        from ckanext_extractor_spark.operators.fields import (
+            build_field_norms,
+            build_field_postings,
+        )
+
+        rebuilt_meta = spark.read.parquet(self._p("doc_stats")).join(
+            touched, "doc_id", "left_semi"
+        )
+        batch_fp = build_field_postings(rebuilt_meta)
+        batch_norms = build_field_norms(batch_fp)
+        prev_fp = self._read_or_none("field_postings")
+        if prev_fp is not None:
+            kept_fp = prev_fp.join(touched, "doc_id", "left_anti")
+            prev_norms = self._read_or_none("field_norms")
+            if prev_norms is None:
+                kept_norms = build_field_norms(kept_fp)
+            else:
+                kept_norms = prev_norms.join(
+                    touched, "doc_id", "left_anti"
+                )
+            batch_fp = kept_fp.unionByName(batch_fp)
+            batch_norms = kept_norms.unionByName(batch_norms)
+        _atomic_overwrite(batch_norms, self._p("field_norms"), spark)
+        _atomic_overwrite(batch_fp, self._p("field_postings"), spark)
 
     # -- compaction ---------------------------------------------------------
     def compact(
@@ -2344,6 +2556,14 @@ class ExtractorEngine:
             raise ValidationError(
                 f"min_match must be a positive integer, got {min_match!r}"
             )
+        if self.BODY_FIELD in qf:
+            if pf:
+                raise ValidationError(
+                    f"pf does not compose with the {self.BODY_FIELD} "
+                    "body pseudo-field; use phrase_search for body "
+                    "phrases (pinned)"
+                )
+            return self._dismax_with_body(query, qf, k, tie, min_match)
         from ckanext_extractor_spark.operators.fields import (
             dismax_search_fields,
         )
@@ -2364,6 +2584,130 @@ class ExtractorEngine:
             norms=self._read_or_none("field_norms"),
             pf=pf, values=values,
         ).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def _dismax_with_body(
+        self,
+        query: str,
+        qf: dict[str, float],
+        k: int,
+        tie: float,
+        min_match: int | None,
+    ) -> list[tuple[int, float]]:
+        """edismax qf INCLUDING the main content index (Solr's usual qf
+        shape: the catch-all text field plus boosted metadata fields,
+        reference schema.xml:161 + plugin.py:40,140). Clauses are the
+        whitespace-split query words; each clause is analyzed PER FIELD
+        (the body's analyzer for ``_text_``, the field chain for
+        metadata — Lucene's edismax analyzes per field too) and scores
+        DisjunctionMax across fields with ``tie``, summed over clauses.
+        A clause whose tokens expand to several terms in a field
+        contributes that field's BM25 sum (pinned simplification of
+        Lucene's per-expansion subqueries; identical whenever a clause
+        analyzes to one token, which is every simple-word query).
+
+        Distributed shape: ONE segments scan builds the body's
+        per-(doc, clause) frame (``scored_terms_distributed``, the q69
+        kernel), one pushed field_postings scan builds the metadata
+        frame, a union + two hash aggregates take the dismax and the
+        doc sum — no driver materialization beyond k rows."""
+        from ckanext_extractor_spark.operators.fields import (
+            analyze_field_query,
+            field_clause_frame,
+        )
+        from ckanext_extractor_spark.operators.wand import (
+            scored_terms_distributed,
+        )
+
+        body_boost = float(qf[self.BODY_FIELD])
+        fqf = {f: float(w) for f, w in qf.items() if f != self.BODY_FIELD}
+        clauses = [c for c in query.split() if c.strip()]
+        if not clauses:
+            return []
+        body_cfg = query_config_for(self.analyzer)
+        body_map = {
+            i: list(dict.fromkeys(analyze_query(c, config=body_cfg)))
+            for i, c in enumerate(clauses)
+        }
+        field_map = {
+            i: list(dict.fromkeys(analyze_field_query(c)))
+            for i, c in enumerate(clauses)
+        }
+        frames = []
+        body_terms = list(
+            dict.fromkeys(t for ts in body_map.values() for t in ts)
+        )
+        if body_terms:
+            seg = self._segments_union(body_terms)
+            if seg is not None:
+                st = self.corpus_stats()
+                dfm = self._df_for_terms(body_terms)
+                n = float(st["n_docs"])
+                terms_idf = {
+                    t: float(
+                        np.log(
+                            1.0 + (n - dfm.get(t, 0) + 0.5)
+                            / (dfm.get(t, 0) + 0.5)
+                        )
+                    )
+                    for t in body_terms
+                }
+                dead_pairs, dead_df = self._dead_for_distributed()
+                ts_df = scored_terms_distributed(
+                    seg, terms_idf, st["avgdl"],
+                    dead_pairs=dead_pairs, dead_df=dead_df,
+                )
+                cmap = self.spark.createDataFrame(
+                    [(t, ci) for ci, toks in body_map.items()
+                     for t in toks],
+                    "term string, clause int",
+                )
+                frames.append(
+                    ts_df.join(F.broadcast(cmap), "term")
+                    .groupBy("doc_id", "clause")
+                    .agg(
+                        (F.sum("term_score") * F.lit(body_boost))
+                        .alias("s")
+                    )
+                    .select(
+                        "doc_id", "clause",
+                        F.lit(self.BODY_FIELD).alias("field"), "s",
+                    )
+                )
+        if fqf:
+            fp = self._read_or_none("field_postings")
+            if fp is not None:
+                frames.append(
+                    field_clause_frame(
+                        fp, field_map, fqf,
+                        norms=self._read_or_none("field_norms"),
+                    ).select("doc_id", "clause", "field", "s")
+                )
+        if not frames:
+            return []
+        allf = frames[0]
+        for f in frames[1:]:
+            allf = allf.unionByName(f)
+        per_clause = allf.groupBy("doc_id", "clause").agg(
+            (
+                F.max("s")
+                + F.lit(float(tie)) * (F.sum("s") - F.max("s"))
+            ).alias("ds")
+        )
+        agg = per_clause.groupBy("doc_id").agg(
+            F.sum("ds").alias("score"), F.count("*").alias("_m")
+        )
+        if min_match is not None:
+            agg = agg.where(F.col("_m") >= int(min_match))
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        rows = (
+            agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     def _df_for_terms(self, terms: list[str]) -> dict[str, int]:
@@ -3768,6 +4112,111 @@ class ExtractorEngine:
             (lo, counts.get(i, 0)) for i, lo in enumerate(lows)
         ]
         return out
+
+    def interval_facets(
+        self,
+        query: str,
+        field: str,
+        intervals: list[str],
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[str, int]]:
+        """Solr interval faceting (``facet.interval.set``): per-interval
+        doc counts of the matching docs' numeric ``field`` values, with
+        intervals in Solr's own syntax — ``[a,b]`` inclusive, ``(a,b)``
+        exclusive, ``*`` unbounded, mixed brackets allowed. Unlike range
+        facets, intervals are arbitrary and MAY overlap (Solr counts a
+        doc in every interval it hits); a multi-valued doc counts once
+        per interval. Non-numeric values are ignored (try_cast bridge,
+        same as range facets). Returns [(interval_as_given, count)] in
+        the given order.
+
+        One distributed aggregate: match kernel ⋈ EAV -> per-interval
+        CASE flags -> one SUM aggregate over countDistinct per label —
+        len(intervals) rows reach the driver."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(field, str) or not field.strip():
+            raise ValidationError(
+                f"field must be a non-empty string, got {field!r}"
+            )
+        if (
+            not isinstance(intervals, (list, tuple)) or not intervals
+            or not all(isinstance(s, str) for s in intervals)
+        ):
+            raise ValidationError(
+                "intervals must be a non-empty list of Solr interval "
+                f"strings like '[0,100)', got {intervals!r}"
+            )
+        if len(intervals) > self.RANGE_FACET_MAX_BUCKETS:
+            raise ValidationError(
+                f"{len(intervals)} intervals exceed "
+                f"RANGE_FACET_MAX_BUCKETS "
+                f"({self.RANGE_FACET_MAX_BUCKETS})"
+            )
+        parsed = []
+        pat = re.compile(
+            r"^([\[\(])\s*(\*|-?\d+(?:\.\d+)?)\s*,"
+            r"\s*(\*|-?\d+(?:\.\d+)?)\s*([\]\)])$"
+        )
+        for s in intervals:
+            m = pat.match(s.strip())
+            if not m:
+                raise ValidationError(
+                    f"bad interval syntax {s!r}; expected e.g. "
+                    "'[0,100)', '(5,*]'"
+                )
+            lo = None if m.group(2) == "*" else float(m.group(2))
+            hi = None if m.group(3) == "*" else float(m.group(3))
+            parsed.append((s, lo, m.group(1) == "[", hi,
+                           m.group(4) == "]"))
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
+            return [(s, 0) for s in intervals]
+        per_doc, dm = mm
+        v = F.col("value").try_cast("double")
+        base = (
+            dm.where(F.col("field") == field)
+            .join(per_doc.select("doc_id"), "doc_id", "left_semi")
+            .where(v.isNotNull())
+            .select("doc_id", v.alias("_v"))
+            # a multi-valued doc counts once per interval: distinct
+            # (doc, value) pairs then per-interval ANY via max(flag)
+            .groupBy("doc_id")
+            .agg(F.collect_set("_v").alias("_vs"))
+        )
+        def _mk_pred(lo, lo_inc, hi, hi_inc):
+            # F.exists requires an arity-1 lambda; close over the bounds
+            def _pred(x):
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (
+                        (x >= F.lit(lo)) if lo_inc else (x > F.lit(lo))
+                    )
+                if hi is not None:
+                    cond = cond & (
+                        (x <= F.lit(hi)) if hi_inc else (x < F.lit(hi))
+                    )
+                return cond
+
+            return _pred
+
+        aggs = []
+        for i, (_, lo, lo_inc, hi, hi_inc) in enumerate(parsed):
+            _pred = _mk_pred(lo, lo_inc, hi, hi_inc)
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.exists(F.col("_vs"), _pred), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias(f"_i{i}")
+            )
+        row = base.agg(*aggs).collect()[0]
+        return [
+            (s, int(row[f"_i{i}"] or 0))
+            for i, (s, *_rest) in enumerate(parsed)
+        ]
 
     def query_facets(
         self,

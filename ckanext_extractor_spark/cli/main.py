@@ -272,6 +272,14 @@ def cmd_termvectors(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    eng = _engine(args)
+    changes = {int(k): v for k, v in json.loads(args.changes).items()}
+    eng.update_metadata(changes)
+    print(json.dumps({"updated": sorted(changes)}))
+    return 0
+
+
 def cmd_facets(args) -> int:
     eng = _engine(args)
     if args.range is not None:
@@ -291,6 +299,12 @@ def cmd_facets(args) -> int:
             fq[label] = q
         print(json.dumps(eng.query_facets(
             args.q, fq, conjunctive=not args.use_or)))
+        return 0
+    if args.interval:
+        field, *sets = args.interval
+        out = eng.interval_facets(args.q, field, sets,
+                                  conjunctive=not args.use_or)
+        print(json.dumps([{"interval": s, "count": c} for s, c in out]))
         return 0
     if not args.fields:
         print("facets: --fields is required unless --range/--fquery "
@@ -502,6 +516,11 @@ def main(argv=None) -> int:
                     metavar="LABEL=QUERY",
                     help="count docs matching --q AND QUERY per label "
                          "(Solr facet.query; repeatable)")
+    fc.add_argument("--interval", nargs="+", default=None,
+                    metavar="ARG",
+                    help="FIELD then interval sets in Solr syntax, e.g. "
+                         "--interval n-chars '[0,100)' '[100,*]' "
+                         "(Solr facet.interval; overlaps allowed)")
     fc.add_argument("--or", dest="use_or", action="store_true")
     fc.add_argument("--buckets", type=int, default=64)
     fc.set_defaults(fn=cmd_facets)
@@ -540,6 +559,16 @@ def main(argv=None) -> int:
     tv.add_argument("doc_id", type=int)
     tv.add_argument("--buckets", type=int, default=64)
     tv.set_defaults(fn=cmd_termvectors)
+
+    up = sub.add_parser(
+        "update", help="atomic metadata updates (Solr atomic update: "
+                       "set / null=remove; no re-extract)"
+    )
+    up.add_argument("--index", required=True)
+    up.add_argument("--changes", required=True,
+                    help='JSON {"doc_id": {"field": "value"|null}}')
+    up.add_argument("--buckets", type=int, default=64)
+    up.set_defaults(fn=cmd_update)
 
     g = sub.add_parser("lineage", help="per-partition build metrics")
     g.add_argument("--index", required=True)

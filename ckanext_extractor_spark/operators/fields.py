@@ -100,6 +100,77 @@ def phrase_tf_expr(value_col, phrase_terms: list[str]):
     ).otherwise(F.lit(0))
 
 
+def field_clause_frame(
+    field_postings: DataFrame,
+    clause_tokens: "dict[int, list[str]]",
+    qf: "dict[str, float]",
+    norms: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, clause, field, s) — per-(doc, user-clause, field) boosted
+    BM25 over the metadata sidecar: for each clause (a whitespace-split
+    query word, index-keyed), the field's score is boost_f * the sum of
+    per-field BM25 of the clause's field-analyzed tokens. This is the
+    metadata half of edismax-with-body: the engine unions it with the
+    body index's clause frame and takes the DisjunctionMax per
+    (doc, clause) across fields.
+
+    Scale shape: same skeleton as :func:`dismax_search_fields` — pushed
+    field/term scans, broadcast stats/df and the tiny (term, clause)
+    map, one hash aggregate keyed (doc, clause, field)."""
+    spark = field_postings.sparkSession
+    empty = spark.createDataFrame(
+        [], f"{id_col} long, clause int, field string, s double"
+    )
+    fields = list(qf)
+    pairs = [
+        (t, int(ci))
+        for ci, toks in clause_tokens.items()
+        for t in toks
+    ]
+    if not fields or not pairs:
+        return empty
+    terms = list(dict.fromkeys(t for t, _ in pairs))
+    cmap = spark.createDataFrame(pairs, "term string, clause int")
+    fp = field_postings.where(F.col("field").isin(fields))
+    if norms is not None:
+        dl = norms.where(F.col("field").isin(fields)).select(
+            id_col, "field", "dl"
+        )
+    else:
+        dl = fp.groupBy(id_col, "field").agg(F.sum("tf").alias("dl"))
+    stats = dl.groupBy("field").agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = (
+        fp.where(F.col("term").isin(terms))
+        .groupBy("field", "term")
+        .agg(F.count("*").alias("df"))
+    )
+    boost = F.lit(None).cast("double")
+    for f_name, f_boost in qf.items():
+        boost = F.when(F.col("field") == f_name, F.lit(float(f_boost))) \
+            .otherwise(boost)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfp = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        fp.where(F.col("term").isin(terms))
+        .join(dl, [id_col, "field"])
+        .join(F.broadcast(stats), "field")
+        .join(F.broadcast(df_t), ["field", "term"])
+        .join(F.broadcast(cmap), "term")
+        .groupBy(id_col, "clause", "field")
+        .agg(F.sum(boost * idf * tfp).alias("s"))
+    )
+
+
 def field_term_scores(
     field_postings: DataFrame,
     field: str,

@@ -202,3 +202,65 @@ def test_cli_facets_range_and_fquery(engine, capsys):
     # flat facets without --fields is a usage error, not a traceback
     assert main(["facets", "--index", engine.root, "--q", "spark",
                  "--buckets", "8"]) == 2
+
+
+# -- interval facets (Solr facet.interval) -------------------------------------
+
+
+def test_interval_facets_counts_and_overlap(engine):
+    # matching docs ('spark'): sizes 5, 15, 25, 35, 105 (+ non-numeric)
+    got = engine.interval_facets(
+        "spark", "size",
+        ["[0,20]", "(20,*]", "[*,*]", "[10,30)", "(35,105)"],
+    )
+    assert got == [
+        ("[0,20]", 2),      # 5, 15
+        ("(20,*]", 3),      # 25, 35, 105
+        ("[*,*]", 5),       # every numeric value (overlaps allowed)
+        ("[10,30)", 2),     # 15, 25
+        ("(35,105)", 0),    # open bounds exclude both ends
+    ]
+
+
+def test_interval_facets_bounds_inclusive_exclusive(engine):
+    got = dict(engine.interval_facets(
+        "spark", "size", ["[5,5]", "(5,15)", "[5,15)", "(5,15]"]))
+    assert got == {"[5,5]": 1, "(5,15)": 0, "[5,15)": 1, "(5,15]": 1}
+
+
+def test_interval_facets_query_restriction(engine):
+    # 'stream' matches only sizes 25 and 35
+    got = engine.interval_facets("stream", "size", ["[*,*]", "[0,30]"])
+    assert got == [("[*,*]", 2), ("[0,30]", 1)]
+
+
+def test_interval_facets_negative_and_unknown(engine):
+    # 'nothing here' doc has size -3 but doesn't match 'spark'
+    got = engine.interval_facets("nothing", "size", ["[*,0)"])
+    assert got == [("[*,0)", 1)]
+    assert engine.interval_facets("spark", "nosuch", ["[*,*]"]) == \
+        [("[*,*]", 0)]
+
+
+def test_interval_facets_validation(engine):
+    with pytest.raises(ValidationError):
+        engine.interval_facets("spark", "size", [])
+    with pytest.raises(ValidationError):
+        engine.interval_facets("spark", "size", ["0,100"])
+    with pytest.raises(ValidationError):
+        engine.interval_facets("spark", "size", ["[a,b]"])
+    with pytest.raises(ValidationError):
+        engine.interval_facets("spark", "", ["[0,1]"])
+
+
+def test_cli_interval_facets(engine, capsys):
+    import json
+
+    from ckanext_extractor_spark.cli.main import main
+
+    assert main(["facets", "--index", engine.root, "--q", "spark",
+                 "--interval", "size", "[0,20]", "(20,*]",
+                 "--buckets", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == [{"interval": "[0,20]", "count": 2},
+                   {"interval": "(20,*]", "count": 3}]
