@@ -2456,6 +2456,66 @@ ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
 _PAIRS["q77_dismax_body"] = ("", _DISMAX_BODY_DUCK)
 
 
+def _q_field_stats_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr stats.facet through the REAL engine: n-chars stats per lang
+    bucket over the 'spark' matches — count/missing, lexicographic
+    min/max (dynamic fields are strings), numeric sum/mean."""
+    eng = _docs_engine(spark, sf_dir)
+    out = eng.field_stats_by("spark", "n-chars", "lang", k=10)
+    rows = [
+        (v, int(st["count"]), int(st["missing"]), st["min"], st["max"],
+         float(round(st["sum"], 4)), float(round(st["mean"], 4)))
+        for v, st in out
+    ]
+    return spark.createDataFrame(
+        rows,
+        "val string, cnt long, miss long, mn string, mx string, "
+        "sm double, mean double",
+    )
+
+
+_FIELD_STATS_BY_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+j AS (SELECT d.lang AS val, CAST(d.n_chars AS VARCHAR) AS sv,
+             CAST(d.n_chars AS DOUBLE) AS nv, d.doc_id
+      FROM m JOIN documents d ON m.doc_id = d.doc_id)
+SELECT val, CAST(count(sv) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS miss,
+       min(sv) AS mn, max(sv) AS mx,
+       ROUND(sum(nv), 4) AS sm,
+       ROUND(avg(nv), 4) AS mean
+FROM j GROUP BY val
+ORDER BY count(DISTINCT doc_id) DESC, val ASC LIMIT 10
+"""
+
+_PAIRS["q78_field_stats_by"] = ("", _FIELD_STATS_BY_DUCK)
+
+
+def _q_match_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /export-analog match DataFrame (pipeline composition surface):
+    the FULL 'spark join' conjunctive match set with scores, cluster-side
+    until this entry's collect — must equal the unlimited BM25 oracle."""
+    eng = _docs_engine(spark, sf_dir)
+    df = eng.match_frame("spark join")
+    pmap = _eng_pmap(eng)
+    rows = sorted(
+        (pmap[int(r["doc_id"])], float(round(r["score"], 4)))
+        for r in df.collect()
+    )
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+_MATCH_FRAME_DUCK = f"""
+{_RAW_BM25_CTES}
+SELECT doc_id, ROUND(sum(term_score), 4) AS score FROM sc
+WHERE term IN ('spark', 'join')
+GROUP BY doc_id HAVING count(*) = 2
+ORDER BY doc_id ASC
+"""
+
+_PAIRS["q79_match_frame"] = ("", _MATCH_FRAME_DUCK)
+
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
@@ -3175,6 +3235,8 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_update_metadata": _q_update_metadata,
     "q76_interval_facets": _q_interval_facets,
     "q77_dismax_body": _q_dismax_body,
+    "q78_field_stats_by": _q_field_stats_by,
+    "q79_match_frame": _q_match_frame,
 }
 
 

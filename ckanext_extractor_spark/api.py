@@ -3965,6 +3965,121 @@ class ExtractorEngine:
             "mean": float(row["mean"]) if numeric else None,
         }
 
+    def field_stats_by(
+        self,
+        query: str,
+        field: str,
+        facet_field: str,
+        k: int = 10,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[str, dict]]:
+        """Solr StatsComponent with ``stats.facet``: :meth:`field_stats`
+        of ``field`` broken down per ``facet_field`` value over the
+        matching docs — count/missing, lexicographic min/max, numeric
+        sum/mean (try_cast bridge, all-numeric gate per bucket like the
+        flat stats). The top ``k`` facet values by matching-doc count
+        (ties value asc), matching the flat facet ranking. A matching
+        doc without the facet field belongs to no bucket (Solr drops
+        them from stats.facet too). Returns [(facet_value, stats_dict)].
+
+        One distributed plan: match ⋈ facet-EAV ⋈ stat-EAV (left), one
+        grouped aggregate — k rows reach the driver."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        for name, f in (("field", field), ("facet_field", facet_field)):
+            if not isinstance(f, str) or not f.strip():
+                raise ValidationError(
+                    f"{name} must be a non-empty string, got {f!r}"
+                )
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        fv = dm.where(F.col("field") == facet_field).select(
+            "doc_id", F.col("value").alias("_facet")
+        ).join(per_doc.select("doc_id"), "doc_id", "left_semi")
+        sv = dm.where(F.col("field") == field).select(
+            "doc_id", F.col("value").alias("_sv")
+        )
+        num = F.col("_sv").try_cast("double")
+        rows = (
+            fv.join(sv, "doc_id", "left")
+            .groupBy("_facet")
+            .agg(
+                F.count_distinct("doc_id").alias("ndocs"),
+                F.count("_sv").alias("cnt"),
+                F.sum(F.col("_sv").isNull().cast("long")).alias("miss"),
+                F.min("_sv").alias("mn"),
+                F.max("_sv").alias("mx"),
+                F.count(num).alias("numeric_cnt"),
+                F.sum(num).alias("sm"),
+                F.avg(num).alias("mean"),
+            )
+            .orderBy(F.desc("ndocs"), F.asc("_facet"))
+            .limit(k)
+            .collect()
+        )
+        out = []
+        for r in rows:
+            numeric = int(r["numeric_cnt"]) == int(r["cnt"]) and \
+                int(r["cnt"]) > 0
+            out.append((
+                r["_facet"],
+                {
+                    "count": int(r["cnt"]),
+                    "missing": int(r["miss"] or 0),
+                    "min": r["mn"],
+                    "max": r["mx"],
+                    "sum": float(r["sm"]) if numeric else None,
+                    "mean": float(r["mean"]) if numeric else None,
+                },
+            ))
+        return out
+
+    def match_frame(
+        self,
+        query: str,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+        scored: bool = True,
+        with_metadata: bool = False,
+    ) -> DataFrame | None:
+        """The full match set as a DataFrame — Solr's /export handler
+        analog for pipeline composition: (doc_id, score) per matching
+        doc (``scored=False`` ships score 1.0 like a filter query), plus
+        the metadata map when ``with_metadata``. Nothing materializes on
+        the driver — downstream consumers (dedup joins, training-data
+        selection, bulk exports) compose Spark plans on top, which is
+        the whole point at 100 TB: the match set never leaves the
+        cluster. ``None`` when the query analyzes to nothing or the
+        index is empty."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_bool("conjunctive", conjunctive)
+        _require_bool("scored", scored)
+        _require_bool("with_metadata", with_metadata)
+        per_doc = self._match_docs(query, conjunctive, min_match,
+                                   scored=scored)
+        if per_doc is None:
+            return None
+        if scored:
+            out = per_doc.select("doc_id", "score")
+        else:
+            # constant-score filter semantics (Lucene ConstantScoreQuery):
+            # the kernel only matched, its partial sums are not a score
+            out = per_doc.select(
+                "doc_id", F.lit(1.0).alias("score"))
+        if with_metadata:
+            ds = self._read_or_none("doc_stats")
+            if ds is not None and "metadata" in ds.columns:
+                out = out.join(
+                    ds.select("doc_id", "metadata"), "doc_id", "left"
+                )
+        return out
+
     TERMS_MAX_LIMIT = 10_000
 
     def terms(

@@ -221,6 +221,12 @@ def cmd_mlt(args) -> int:
 
 def cmd_stats(args) -> int:
     eng = _engine(args)
+    if args.facet:
+        out = eng.field_stats_by(args.q, args.field, args.facet,
+                                 k=args.k, conjunctive=not args.use_or)
+        print(json.dumps(
+            [{"value": v, **st} for v, st in out], default=str))
+        return 0
     st = eng.field_stats(args.q, args.field, conjunctive=not args.use_or)
     print(json.dumps(st, default=str))
     return 0
@@ -473,6 +479,11 @@ def main(argv=None) -> int:
     sx.add_argument("--index", required=True)
     sx.add_argument("--q", required=True)
     sx.add_argument("--field", required=True)
+    sx.add_argument("--facet", default=None, metavar="FIELD",
+                    help="break stats down per facet value "
+                         "(Solr stats.facet)")
+    sx.add_argument("-k", type=int, default=10,
+                    help="with --facet: top buckets by doc count")
     sx.add_argument("--or", dest="use_or", action="store_true")
     sx.add_argument("--buckets", type=int, default=64)
     sx.set_defaults(fn=cmd_stats)

@@ -264,3 +264,77 @@ def test_cli_interval_facets(engine, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out == [{"interval": "[0,20]", "count": 2},
                    {"interval": "(20,*]", "count": 3}]
+
+
+# -- stats facets (Solr stats.facet) -------------------------------------------
+
+
+def test_field_stats_by_buckets(engine):
+    # 'spark' matches p0,p1 (web: 5,15), p2,p3 (book: 25,35),
+    # p4,p6 (wiki: 105, not-a-number)
+    got = engine.field_stats_by("spark", "size", "kind")
+    assert [v for v, _ in got] == ["book", "web", "wiki"]  # ties value asc
+    by = dict(got)
+    assert by["web"] == {"count": 2, "missing": 0, "min": "15",
+                         "max": "5", "sum": 20.0, "mean": 10.0}
+    assert by["book"] == {"count": 2, "missing": 0, "min": "25",
+                          "max": "35", "sum": 60.0, "mean": 30.0}
+    # one non-numeric value degrades the bucket to string-only stats
+    assert by["wiki"]["count"] == 2
+    assert by["wiki"]["sum"] is None and by["wiki"]["mean"] is None
+    assert by["wiki"]["min"] == "105" and by["wiki"]["max"] == "not-a-number"
+
+
+def test_field_stats_by_missing_and_k(engine):
+    got = engine.field_stats_by("spark", "nosuch", "kind", k=2)
+    assert len(got) == 2
+    for v, st in got:
+        assert st["count"] == 0 and st["missing"] == 2
+        assert st["sum"] is None
+    assert engine.field_stats_by("spark", "size", "nosuch") == []
+
+
+def test_field_stats_by_validation(engine):
+    with pytest.raises(ValidationError):
+        engine.field_stats_by("spark", "", "kind")
+    with pytest.raises(ValidationError):
+        engine.field_stats_by("spark", "size", " ")
+    with pytest.raises(ValidationError):
+        engine.field_stats_by("", "size", "kind")
+
+
+def test_cli_stats_facet(engine, capsys):
+    import json
+
+    from ckanext_extractor_spark.cli.main import main
+
+    assert main(["stats", "--index", engine.root, "--q", "spark",
+                 "--field", "size", "--facet", "kind", "-k", "2",
+                 "--buckets", "8"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip())
+    assert [r["value"] for r in rows] == ["book", "web"]
+    assert rows[0]["sum"] == 60.0
+
+
+# -- match frame (Solr /export analog) ------------------------------------------
+
+
+def test_match_frame_scored_and_metadata(engine):
+    df = engine.match_frame("spark")
+    rows = {int(r["doc_id"]): float(r["score"]) for r in df.collect()}
+    want = dict(engine.boost_query_search("spark", "qqqzzz", k=100,
+                                          weight=0.0))
+    assert rows.keys() == want.keys()
+    for d, s in rows.items():
+        assert s == pytest.approx(want[d])
+    dfm = engine.match_frame("spark", with_metadata=True)
+    assert "metadata" in dfm.columns
+    m = {int(r["doc_id"]): r["metadata"] for r in dfm.collect()}
+    assert all(v and "kind" in v for v in m.values())
+
+
+def test_match_frame_unscored_and_none(engine):
+    df = engine.match_frame("spark", scored=False)
+    assert {float(r["score"]) for r in df.collect()} == {1.0}
+    with pytest.raises(ValidationError):
+        engine.match_frame("")
