@@ -2516,6 +2516,124 @@ ORDER BY doc_id ASC
 _PAIRS["q79_match_frame"] = ("", _MATCH_FRAME_DUCK)
 
 
+def _q_facet_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet options through the REAL engine: facet.prefix 'src1'
+    + facet.mincount 2 + facet.sort=index over the 'spark' matches'
+    source-name field, facet.missing on both that field (0 — every doc
+    carries a source) and a nonexistent field (= the whole match set).
+    None (the missing bucket) rides as the '_MISSING_' sentinel so the
+    response stays one hash-gated relation."""
+    eng = _docs_engine(spark, sf_dir)
+    out = eng.facets(
+        "spark", ["source-name", "no-such-field"], k_facet=6,
+        prefix="src1", mincount=2, missing=True, sort="index",
+    )
+    rows = []
+    for fld in ("source-name", "no-such-field"):
+        for v, c in out[fld]:
+            rows.append((fld, "_MISSING_" if v is None else v, int(c)))
+    return spark.createDataFrame(
+        rows, "field string, value string, cnt long"
+    )
+
+
+_FACET_OPTIONS_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+c AS (SELECT 'source-name' AS field, d.source AS value,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents d JOIN m USING (doc_id)
+      WHERE d.source LIKE 'src1%'
+      GROUP BY 2 HAVING count(*) >= 2
+      ORDER BY value ASC LIMIT 6)
+SELECT field, value, cnt FROM c
+UNION ALL
+SELECT 'source-name', '_MISSING_', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'no-such-field', '_MISSING_',
+       (SELECT CAST(count(*) AS BIGINT) FROM m)
+"""
+
+_PAIRS["q80_facet_options"] = ("", _FACET_OPTIONS_DUCK)
+
+
+def _q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsComponent percentiles + stddev through the REAL engine:
+    exact linearly-interpolated quantiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, both R-7) and the sample stddev of the
+    numeric n-chars field over the conjunctive 'spark join' matches."""
+    eng = _docs_engine(spark, sf_dir)
+    st = eng.field_stats(
+        "spark join", "n-chars", percentiles=[0.25, 0.5, 0.9]
+    )
+    pc = st["percentiles"]
+    return spark.createDataFrame(
+        [(
+            int(st["count"]), int(st["missing"]),
+            float(round(st["mean"], 4)), float(round(st["stddev"], 4)),
+            float(round(pc[0.25], 4)), float(round(pc[0.5], 4)),
+            float(round(pc[0.9], 4)),
+        )],
+        "cnt long, miss long, mean double, sd double, "
+        "p25 double, p50 double, p90 double",
+    )
+
+
+_STATS_PCT_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT doc_id FROM tok WHERE term IN ('spark', 'join')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+v AS (SELECT CAST(d.n_chars AS DOUBLE) AS nv
+      FROM documents d JOIN m USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS miss,
+       ROUND(avg(nv), 4) AS mean, ROUND(stddev_samp(nv), 4) AS sd,
+       ROUND(quantile_cont(nv, 0.25), 4) AS p25,
+       ROUND(quantile_cont(nv, 0.5), 4) AS p50,
+       ROUND(quantile_cont(nv, 0.9), 4) AS p90
+FROM v
+"""
+
+_PAIRS["q81_stats_percentiles"] = ("", _STATS_PCT_DUCK)
+
+
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms (JLH) through the REAL engine: terms
+    overrepresented in the 'spark' match set vs the corpus — fg df is a
+    tombstone-filtered distinct-doc count, bg df segment n_postings
+    (fresh index: == live df, so the DuckDB oracle is exact), score
+    (fgPct - bgPct) * (fgPct / bgPct), positive-only, min_fg 2."""
+    eng = _docs_engine(spark, sf_dir)
+    rows = eng.significant_terms("spark", k=12, min_fg=2)
+    return spark.createDataFrame(
+        [(t, int(fg), int(bg), float(round(s, 6))) for t, fg, bg, s in rows],
+        "term string, fg long, bg long, score double",
+    )
+
+
+_SIGTERMS_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tdoc AS (SELECT DISTINCT doc_id, term FROM tok),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+nm AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM m),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+fg AS (SELECT term, CAST(count(*) AS BIGINT) AS fg
+       FROM tdoc JOIN m USING (doc_id) GROUP BY term
+       HAVING count(*) >= 2),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tdoc GROUP BY term),
+s AS (SELECT fg.term, fg.fg, bg.df AS bg,
+             ((CAST(fg.fg AS DOUBLE) / nm.n)
+              - (CAST(bg.df AS DOUBLE) / nd.n))
+             * ((CAST(fg.fg AS DOUBLE) / nm.n)
+                / (CAST(bg.df AS DOUBLE) / nd.n)) AS score
+      FROM fg JOIN bg USING (term), nm, nd)
+SELECT term, fg, bg, ROUND(score, 6) AS score FROM s
+WHERE score > 0
+ORDER BY score DESC, term ASC LIMIT 12
+"""
+
+_PAIRS["q82_significant_terms"] = ("", _SIGTERMS_DUCK)
+
+
 _PAIRS["q45_bool_expr"] = ("", _BOOL_EXPR_DUCK)
 _PAIRS["q46_bool_boost"] = ("", _BOOL_BOOST_DUCK)
 _PAIRS["q47_bool_phrase"] = ("", _BOOL_PHRASE_DUCK)
@@ -3184,6 +3302,123 @@ _SEARCH_AFTER_DUCK = _strip_n_matched(
 _PAIRS["q65_search_after"] = ("", _SEARCH_AFTER_DUCK)
 
 
+def _q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr multi-field sort (sort=f1 asc, f2 desc) through the REAL
+    engine: search_sorted_multi over the 'spark' matches orders by
+    (lang asc, n-chars desc) — one conditional-aggregate pivot turns the
+    EAV rows into a wide row, one TakeOrdered materializes the window.
+    Values are Solr-string fields, so n-chars DESC is lexicographic
+    (pinned, same as search_sorted). k=all + driver re-sort with
+    ORIGINAL ids makes value-ties deterministic for the oracle (q48
+    pattern)."""
+    eng = _docs_engine(spark, sf_dir)
+    hits = eng.search_sorted_multi(
+        "spark", [("lang", True), ("n-chars", False)], k=10**9
+    )
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    rows = [(pmap[d], vs[0], vs[1]) for d, vs in hits]
+    rows.sort(key=lambda x: x[0])
+    rows.sort(key=lambda x: x[2], reverse=True)
+    rows.sort(key=lambda x: x[1])
+    return spark.createDataFrame(
+        [(int(d), str(a), str(b)) for d, a, b in rows[:10]],
+        "doc_id long, lang string, nchars string",
+    )
+
+
+_SORT_MULTI_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT d.doc_id, d.lang AS lang, CAST(d.n_chars AS VARCHAR) AS nchars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY lang ASC, nchars DESC, d.doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q83_sort_multi"] = ("", _SORT_MULTI_DUCK)
+
+
+def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ReRankQParser through the REAL engine: rerank_search rescores
+    only the first-pass top-25 window of the 'spark' matches with
+    + 2.0 * BM25('join'); ranks 26..40 keep their first-pass order and
+    scores (reranking never admits, drops, or touches the tail). The
+    window rows and the tail rows are each re-sorted driver-side with
+    ORIGINAL ids (q56 pattern), so the only engine-internal ordering the
+    oracle depends on is the rank-25/26 boundary — a distinct-score cut
+    at both verify scales."""
+    eng = _docs_engine(spark, sf_dir)
+    hits = eng.rerank_search(
+        "spark", "join", k=40, rerank_docs=28, weight=2.0,
+        conjunctive=False,
+    )
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    win = sorted(
+        ((pmap[d], s) for d, s in hits[:28]),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )
+    tail = sorted(
+        ((pmap[d], s) for d, s in hits[28:]),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )
+    return spark.createDataFrame(
+        [
+            (i + 1, int(d), float(round(s, 4)))
+            for i, (d, s) in enumerate(win + tail)
+        ],
+        "rank long, doc_id long, score double",
+    )
+
+
+# unrounded BM25 CTEs: the windowing/rescoring must run on full
+# precision (the shared _bm25_sql rounds its SELECT for hashing);
+# ordering keys round to 6 with a doc_id tie-break, the convention
+# every scored oracle here uses. rerank_docs=28 sits on a >2e-3
+# first-pass score gap at sf0.001 AND sf0.01, so the window boundary
+# never depends on the engine's internal-id tie-break.
+_RERANK_DUCK = f"""
+WITH first AS (
+  SELECT doc_id, score
+  FROM ({_bm25_sql(DUCK_TOK, ["spark"], False, None).replace(
+      "ROUND(score, 4) AS score", "score AS score")}) f
+),
+w AS (SELECT doc_id, score,
+             row_number()
+               OVER (ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS rn
+      FROM first),
+rr AS (
+  SELECT doc_id, score
+  FROM ({_bm25_sql(DUCK_TOK, ["join"], False, None).replace(
+      "ROUND(score, 4) AS score", "score AS score")}) r
+),
+resc AS (SELECT w.doc_id,
+                w.score + 2.0 * COALESCE(rr.score, 0.0) AS score
+         FROM w LEFT JOIN rr USING (doc_id) WHERE w.rn <= 28),
+wr AS (SELECT CAST(row_number()
+               OVER (ORDER BY ROUND(score, 6) DESC, doc_id ASC)
+               AS BIGINT) AS rank,
+              doc_id, ROUND(score, 4) AS score
+       FROM resc),
+tl AS (SELECT CAST(28 + row_number()
+                   OVER (ORDER BY ROUND(score, 6) DESC, doc_id ASC)
+                   AS BIGINT) AS rank,
+              doc_id, ROUND(score, 4) AS score
+       FROM w WHERE rn > 28 AND rn <= 40)
+SELECT rank, doc_id, score FROM wr
+UNION ALL
+SELECT rank, doc_id, score FROM tl
+"""
+
+_PAIRS["q84_rerank"] = ("", _RERANK_DUCK)
+
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -3237,6 +3472,11 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_dismax_body": _q_dismax_body,
     "q78_field_stats_by": _q_field_stats_by,
     "q79_match_frame": _q_match_frame,
+    "q80_facet_options": _q_facet_options,
+    "q81_stats_percentiles": _q_stats_percentiles,
+    "q82_significant_terms": _q_significant_terms,
+    "q83_sort_multi": _q_sort_multi,
+    "q84_rerank": _q_rerank,
 }
 
 

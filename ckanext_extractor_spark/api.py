@@ -3498,13 +3498,25 @@ class ExtractorEngine:
         k_facet: int = 10,
         conjunctive: bool = True,
         min_match: int | None = None,
-    ) -> dict[str, list[tuple[str, int]]]:
+        prefix: str | None = None,
+        mincount: int = 1,
+        missing: bool = False,
+        sort: str = "count",
+    ) -> dict[str, list[tuple[str | None, int]]]:
         """Facet counts over the docs matching ``query`` (Solr faceting —
         the reference's CKAN search UI counts package_search facets over
         the same Solr index, plugin.py IPackageController).
 
         Returns {field: [(value, count), ...]} with each field's top
-        ``k_facet`` values by (count desc, value asc) — facet.sort=count.
+        ``k_facet`` values by (count desc, value asc) — facet.sort=count
+        — or by value asc when ``sort="index"`` (Solr facet.sort=index).
+        ``prefix`` keeps only values starting with it (facet.prefix,
+        applied before ranking like Solr's dictionary walk), ``mincount``
+        drops values below a count floor (facet.mincount), and
+        ``missing=True`` appends one final ``(None, n)`` entry per field
+        counting matching docs with NO value for that field
+        (facet.missing — Solr renders it last regardless of sort; the
+        prefix filter never affects it, Solr parity).
 
         Fully distributed plan, no driver materialization of the match
         set: bucket-pruned segment scan -> decode kernel -> per-doc match
@@ -3515,33 +3527,60 @@ class ExtractorEngine:
         metadata table) -> one (field, value) count aggregate ->
         per-field window top-k. The shuffle is bounded by the query
         terms' df plus the matched docs' metadata rows — never the
-        corpus."""
+        corpus. ``missing`` adds one docs-with-field aggregate (pre
+        prefix filter) and one match-count job, both returning
+        ≤ len(fields)+1 rows."""
         self._check_access("extractor_search")
         _require_query(query)
         _require_k(k_facet)
         _require_bool("conjunctive", conjunctive)
+        _require_bool("missing", missing)
+        if prefix is not None and (
+            not isinstance(prefix, str) or not prefix
+        ):
+            raise ValidationError(
+                f"prefix must be a non-empty string or None, got {prefix!r}"
+            )
+        if isinstance(mincount, bool) or not isinstance(mincount, int) \
+                or mincount < 0:
+            raise ValidationError(
+                f"mincount must be a non-negative integer, got {mincount!r}"
+            )
+        if sort not in ("count", "index"):
+            raise ValidationError(
+                f"sort must be 'count' or 'index', got {sort!r}"
+            )
         if not isinstance(fields, (list, tuple)) or not fields or not all(
             isinstance(f, str) and f.strip() for f in fields
         ):
             raise ValidationError(
                 f"fields must be a non-empty list of strings, got {fields!r}"
             )
-        empty: dict[str, list[tuple[str, int]]] = {f: [] for f in fields}
+        empty: dict[str, list[tuple[str | None, int]]] = {
+            f: [] for f in fields
+        }
         mm = self._match_and_meta(query, conjunctive, min_match)
         if mm is None:
             return empty
         per_doc, dm = mm
         from pyspark.sql.window import Window
 
-        counts = (
-            dm.where(F.col("field").isin(list(fields)))
-            .join(per_doc.select("doc_id"), "doc_id", "left_semi")
-            .groupBy("field", "value")
-            .agg(F.count("*").alias("count"))
+        base = dm.where(F.col("field").isin(list(fields))).join(
+            per_doc.select("doc_id"), "doc_id", "left_semi"
         )
-        w = Window.partitionBy("field").orderBy(
-            F.desc("count"), F.asc("value")
+        vals = base
+        if prefix is not None:
+            vals = vals.where(F.col("value").startswith(prefix))
+        counts = vals.groupBy("field", "value").agg(
+            F.count("*").alias("count")
         )
+        if mincount > 1:
+            counts = counts.where(F.col("count") >= mincount)
+        if sort == "index":
+            order = [F.asc("value")]
+        else:
+            order = [F.desc("count"), F.asc("value")]
+        w = Window.partitionBy("field").orderBy(*order)
         rows = (
             counts.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k_facet)
@@ -3550,6 +3589,16 @@ class ExtractorEngine:
         out = dict(empty)
         for r in sorted(rows, key=lambda r: (r["field"], r["_rn"])):
             out[r["field"]].append((r["value"], int(r["count"])))
+        if missing:
+            n_matched = per_doc.count()
+            with_field = {
+                r["field"]: int(r["n"])
+                for r in base.groupBy("field")
+                .agg(F.count_distinct("doc_id").alias("n"))
+                .collect()
+            }
+            for f in fields:
+                out[f].append((None, n_matched - with_field.get(f, 0)))
         return out
 
     def _match_and_meta(
@@ -3671,6 +3720,156 @@ class ExtractorEngine:
             return []
         rows = vals.orderBy(*order).limit(lim).collect()
         return [(int(r["doc_id"]), r["value"]) for r in rows]
+
+    def search_sorted_multi(
+        self,
+        query: str,
+        specs: list[tuple[str, bool]],
+        k: int = 10,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, list[str]]]:
+        """Matching docs ordered by SEVERAL metadata fields — Solr
+        ``sort=f1 asc, f2 desc`` — with ``specs`` a list of
+        (field, ascending) pairs applied left to right, final tie
+        doc_id asc. Returns ``[(doc_id, [value per spec])]``. Docs
+        missing ANY sort field are excluded (the same
+        inner-join/sortMissingLast resolution :meth:`search_sorted`
+        pins for one field).
+
+        One distributed plan: the k=None match kernel joins the exploded
+        metadata rows once, a conditional-aggregate pivot turns the ≤
+        len(specs) EAV rows per doc into one wide row (no per-field
+        re-scan), and a global TakeOrdered materializes only the
+        k-window."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(specs, (list, tuple)) or not specs or not all(
+            isinstance(s, (list, tuple)) and len(s) == 2
+            and isinstance(s[0], str) and s[0].strip()
+            and isinstance(s[1], bool)
+            for s in specs
+        ):
+            raise ValidationError(
+                "specs must be a non-empty list of (field, ascending) "
+                f"pairs, got {specs!r}"
+            )
+        fields = [s[0] for s in specs]
+        if len(set(fields)) != len(fields):
+            raise ValidationError(f"duplicate sort fields in {specs!r}")
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        wide = (
+            dm.where(F.col("field").isin(fields))
+            .join(per_doc.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(*[
+                F.max(
+                    F.when(F.col("field") == f, F.col("value"))
+                ).alias(f"_v{i}")
+                for i, f in enumerate(fields)
+            ])
+        )
+        for i in range(len(fields)):
+            wide = wide.where(F.col(f"_v{i}").isNotNull())
+        order = [
+            F.asc(f"_v{i}") if asc else F.desc(f"_v{i}")
+            for i, (_, asc) in enumerate(specs)
+        ] + [F.asc("doc_id")]
+        lim = min(k, int(self.corpus_stats()["n_docs"]))
+        if lim <= 0:
+            return []
+        rows = wide.orderBy(*order).limit(lim).collect()
+        return [
+            (int(r["doc_id"]), [r[f"_v{i}"] for i in range(len(fields))])
+            for r in rows
+        ]
+
+    def rerank_search(
+        self,
+        query: str,
+        rerank_query: str,
+        k: int = 10,
+        rerank_docs: int = 200,
+        weight: float = 2.0,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Two-pass reranking — Solr's ReRankQParser
+        (``rq={!rerank reRankQuery=... reRankDocs=N reRankWeight=w}``):
+        the first pass ranks by BM25(query); only its top
+        ``rerank_docs`` window is rescored as
+        ``score + weight * BM25(rerank_query)`` and re-sorted; docs
+        below the window keep their first-pass order behind the window
+        (Solr parity — reranking never admits or drops docs, and never
+        touches the tail). The window boundary is first-pass
+        (score desc, doc_id asc), tie-safe.
+
+        Distributed: two scored k=None match kernels; the window is a
+        TakeOrdered LIMIT (cluster-side), the rescoring one left join on
+        it, the tail an OFFSET of the same first-pass ordering — the
+        driver materializes k rows, never the window. This is the cheap
+        precision-at-top pattern when ``rerank_query`` is expensive
+        (long dismax, function queries): the full corpus pays only the
+        first pass."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_query(rerank_query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if isinstance(rerank_docs, bool) or not isinstance(rerank_docs, int) \
+                or rerank_docs < 1:
+            raise ValidationError(
+                f"rerank_docs must be a positive integer, got {rerank_docs!r}"
+            )
+        if isinstance(weight, bool) or not isinstance(weight, (int, float)):
+            raise ValidationError(f"weight must be a number, got {weight!r}")
+        main = self._match_docs(query, conjunctive, min_match, scored=True)
+        if main is None:
+            return []
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        first = main.select("doc_id", "score")
+        window = first.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(rerank_docs)
+        rr = self._match_docs(rerank_query, False, None, scored=True)
+        rescored = window
+        if rr is not None:
+            rescored = (
+                window.join(
+                    rr.select("doc_id", F.col("score").alias("_rr")),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    (
+                        F.col("score")
+                        + F.lit(float(weight)) * F.coalesce("_rr", F.lit(0.0))
+                    ).alias("score"),
+                )
+            )
+        rows = (
+            rescored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        out = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        if k > rerank_docs and len(out) == rerank_docs:
+            tail = (
+                first.orderBy(F.desc("score"), F.asc("doc_id"))
+                .offset(rerank_docs)
+                .limit(k - rerank_docs)
+                .collect()
+            )
+            out.extend((int(r["doc_id"]), float(r["score"])) for r in tail)
+        return out
 
     def boost_query_search(
         self,
@@ -3911,14 +4110,22 @@ class ExtractorEngine:
         field: str,
         conjunctive: bool = True,
         min_match: int | None = None,
+        percentiles: list[float] | None = None,
     ) -> dict:
         """Solr StatsComponent (``stats.field``) over the matching docs:
         ``count`` (docs carrying the field), ``missing`` (matching docs
         without it), lexicographic ``min``/``max`` (the reference's
-        dynamic fields are Solr strings), and ``sum``/``mean`` when
-        every present value parses as a number (Solr numeric stats),
-        else None. One distributed aggregate over the match ⋈ EAV join —
-        a single row reaches the driver."""
+        dynamic fields are Solr strings), and ``sum``/``mean``/
+        ``stddev`` when every present value parses as a number (Solr
+        numeric stats; stddev is the sample estimator, Solr parity),
+        else None. ``percentiles`` (fractions in (0, 1] — Solr's
+        ``percentiles`` param takes percent, divide by 100) adds
+        ``{"percentiles": {p: value}}``; Spark's ``percentile`` is the
+        EXACT linearly-interpolated quantile (a distributed sort-based
+        aggregate), a pinned upgrade over Solr's approximate t-digest —
+        exact answers, same single-aggregate shape. One distributed
+        aggregate over the match ⋈ EAV join — a single row reaches the
+        driver."""
         self._check_access("extractor_search")
         _require_query(query)
         _require_bool("conjunctive", conjunctive)
@@ -3926,8 +4133,20 @@ class ExtractorEngine:
             raise ValidationError(
                 f"field must be a non-empty string, got {field!r}"
             )
+        if percentiles is not None:
+            if not isinstance(percentiles, (list, tuple)) or not percentiles \
+                    or not all(
+                        isinstance(p, float) and 0.0 < p <= 1.0
+                        for p in percentiles
+                    ):
+                raise ValidationError(
+                    "percentiles must be a non-empty list of floats in "
+                    f"(0, 1], got {percentiles!r}"
+                )
         empty = {"count": 0, "missing": 0, "min": None, "max": None,
-                 "sum": None, "mean": None}
+                 "sum": None, "mean": None, "stddev": None}
+        if percentiles is not None:
+            empty["percentiles"] = {p: None for p in percentiles}
         mm = self._match_and_meta(query, conjunctive, min_match)
         if mm is None:
             return empty
@@ -3938,32 +4157,52 @@ class ExtractorEngine:
         # try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW
         # on non-numeric strings; stats must degrade to string-only
         num = F.col("value").try_cast("double")
+        aggs = [
+            F.count("value").alias("cnt"),
+            F.sum(F.col("value").isNull().cast("long")).alias("miss"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.count(num).alias("numeric_cnt"),
+            F.sum(num).alias("sm"),
+            F.avg(num).alias("mean"),
+            F.stddev_samp(num).alias("sd"),
+        ]
+        if percentiles is not None:
+            aggs.append(
+                F.percentile(
+                    num, F.array(*[F.lit(float(p)) for p in percentiles])
+                ).alias("pcts")
+            )
         row = (
             per_doc.join(
                 vals.select("doc_id", "value"), "doc_id", "left"
             )
-            .agg(
-                F.count("value").alias("cnt"),
-                F.sum(F.col("value").isNull().cast("long")).alias("miss"),
-                F.min("value").alias("mn"),
-                F.max("value").alias("mx"),
-                F.count(num).alias("numeric_cnt"),
-                F.sum(num).alias("sm"),
-                F.avg(num).alias("mean"),
-            )
+            .agg(*aggs)
             .collect()[0]
         )
         if row["cnt"] == 0:
             return {**empty, "missing": int(row["miss"] or 0)}
         numeric = int(row["numeric_cnt"]) == int(row["cnt"])
-        return {
+        out = {
             "count": int(row["cnt"]),
             "missing": int(row["miss"] or 0),
             "min": row["mn"],
             "max": row["mx"],
             "sum": float(row["sm"]) if numeric else None,
             "mean": float(row["mean"]) if numeric else None,
+            "stddev": (
+                float(row["sd"]) if numeric and row["sd"] is not None
+                else None
+            ),
         }
+        if percentiles is not None:
+            pc = row["pcts"] if numeric else None
+            out["percentiles"] = {
+                p: (float(pc[i]) if pc is not None and pc[i] is not None
+                    else None)
+                for i, p in enumerate(percentiles)
+            }
+        return out
 
     def field_stats_by(
         self,
@@ -4079,6 +4318,105 @@ class ExtractorEngine:
                     ds.select("doc_id", "metadata"), "doc_id", "left"
                 )
         return out
+
+    def significant_terms(
+        self,
+        query: str,
+        k: int = 10,
+        min_fg: int = 2,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[str, int, int, float]]:
+        """Terms statistically overrepresented in the docs matching
+        ``query`` versus the whole corpus — Elasticsearch's
+        significant_terms aggregation with its default JLH heuristic
+        ``(fgPct - bgPct) * (fgPct / bgPct)`` where ``fgPct`` is the
+        term's share of the ``n_matched`` foreground docs and ``bgPct``
+        its share of the corpus. The training-data angle: surface what a
+        filtered slice is *about* (near-dup cluster labels, topic drift,
+        contamination probes) without shipping the slice anywhere.
+
+        Foreground df is a tombstone-filtered distinct-doc count; the
+        background df comes from segment ``n_postings`` metadata — like
+        Lucene's pre-merge ``docFreq``, tombstoned docs count until
+        compaction (the same pinned divergence as MLT/suggest). The
+        background DENOMINATOR matches: live docs + tombstoned versions
+        (Lucene ``maxDoc``, one row per killed version until compaction
+        GC), so bgPct's numerator and denominator are both pre-merge —
+        mixing live N with pre-merge df would deflate every term's
+        significance after bulk deletes. Only positively significant
+        terms (fgPct > bgPct) survive, ES parity.
+        ``min_fg`` is ES ``min_doc_count`` (default 2: singletons are
+        noise). Returns [(term, fg_df, bg_df, score)] by score desc,
+        term asc.
+
+        One distributed plan, k rows to the driver: live postings
+        column-pruned to (term, doc_id) -> semi-join the match kernel's
+        doc set -> per-term distinct count -> join the column-pruned
+        segment-metadata background aggregate -> scored TakeOrdered.
+        The foreground side scans the corpus postings' two columns once
+        (ES pays the same via shard term vectors and caps it with
+        sampling — narrow the query to narrow the cost)."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if isinstance(min_fg, bool) or not isinstance(min_fg, int) \
+                or min_fg < 1:
+            raise ValidationError(
+                f"min_fg must be a positive integer, got {min_fg!r}"
+            )
+        per_doc = self._match_docs(query, conjunctive, min_match)
+        if per_doc is None:
+            return []
+        postings = self._live_postings()
+        if postings is None:
+            return []
+        n_matched = per_doc.count()
+        if n_matched == 0:
+            return []
+        st = self.corpus_stats()
+        # pre-merge maxDoc: live docs + killed versions (see docstring)
+        n_docs = float(int(st["n_docs"]) + self._tombstone_count())
+        fg = (
+            postings.select("term", "doc_id")
+            .join(per_doc.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count_distinct("doc_id").alias("fg"))
+        )
+        if min_fg > 1:
+            fg = fg.where(F.col("fg") >= min_fg)
+        seg = self._segments_union()
+        if seg is None:
+            return []
+        bg = (
+            seg.select("term", "n_postings")
+            .groupBy("term")
+            .agg(F.sum("n_postings").alias("df"))
+        )
+        # a term present in live postings always has segment rows; the
+        # coalesce only guards a (never-expected) metadata gap
+        dfc = F.coalesce(F.col("df"), F.col("fg")).cast("double")
+        fgp = F.col("fg").cast("double") / F.lit(float(n_matched))
+        bgp = dfc / F.lit(n_docs)
+        score = (fgp - bgp) * (fgp / bgp)
+        rows = (
+            fg.join(bg, "term", "left")
+            .select(
+                "term",
+                "fg",
+                dfc.cast("long").alias("bg"),
+                score.alias("score"),
+            )
+            .where(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k)
+            .collect()
+        )
+        return [
+            (r["term"], int(r["fg"]), int(r["bg"]), float(r["score"]))
+            for r in rows
+        ]
 
     TERMS_MAX_LIMIT = 10_000
 

@@ -143,6 +143,28 @@ def cmd_query(args) -> int:
             print(json.dumps({"rank": rank, "doc_id": doc_id,
                               "value": value}))
         return 0
+    if args.sort_multi:
+        specs = []
+        for spec in args.sort_multi.split(","):
+            field, _, direction = spec.partition(":")
+            specs.append((field, direction.lower() != "desc"))
+        for rank, (doc_id, values) in enumerate(
+            eng.search_sorted_multi(args.q, specs, k=args.k,
+                                    conjunctive=not args.use_or), 1
+        ):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "values": values}))
+        return 0
+    if args.rerank:
+        for rank, (doc_id, score) in enumerate(
+            eng.rerank_search(args.q, args.rerank, k=args.k,
+                              rerank_docs=args.rerank_docs,
+                              weight=args.rerank_weight,
+                              conjunctive=not args.use_or), 1
+        ):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6)}))
+        return 0
     if args.qf:
         def _boosts(specs):
             out = {}
@@ -227,7 +249,11 @@ def cmd_stats(args) -> int:
         print(json.dumps(
             [{"value": v, **st} for v, st in out], default=str))
         return 0
-    st = eng.field_stats(args.q, args.field, conjunctive=not args.use_or)
+    st = eng.field_stats(args.q, args.field, conjunctive=not args.use_or,
+                         percentiles=args.percentiles)
+    if "percentiles" in st:
+        st = {**st, "percentiles": {str(p): v for p, v
+                                    in st["percentiles"].items()}}
     print(json.dumps(st, default=str))
     return 0
 
@@ -327,11 +353,24 @@ def cmd_facets(args) -> int:
     out = eng.facets(
         args.q, args.fields, k_facet=args.k,
         conjunctive=not args.use_or,
+        prefix=args.prefix, mincount=args.mincount,
+        missing=args.missing, sort=args.sort,
     )
     print(json.dumps(
         {f: [{"value": v, "count": c} for v, c in vs]
          for f, vs in out.items()}
     ))
+    return 0
+
+
+def cmd_sigterms(args) -> int:
+    eng = _engine(args)
+    for term, fg, bg, score in eng.significant_terms(
+        args.q, k=args.k, min_fg=args.min_fg,
+        conjunctive=not args.use_or,
+    ):
+        print(json.dumps({"term": term, "fg": fg, "bg": bg,
+                          "score": round(score, 6)}))
     return 0
 
 
@@ -393,6 +432,21 @@ def main(argv=None) -> int:
                         "of score (Solr sort=field)")
     q.add_argument("--desc", action="store_true",
                    help="with --sort: descending order")
+    q.add_argument("--sort-multi", dest="sort_multi", default=None,
+                   metavar="F1[:desc][,F2[:desc]...]",
+                   help="order matches by several metadata fields "
+                        "(Solr sort=f1 asc, f2 desc)")
+    q.add_argument("--rerank", default=None, metavar="QUERY",
+                   help="rescore the top window with a second query "
+                        "(Solr ReRankQParser rq)")
+    q.add_argument("--rerank-docs", dest="rerank_docs", type=int,
+                   default=200,
+                   help="first-pass window size reranking touches "
+                        "(reRankDocs, default 200)")
+    q.add_argument("--rerank-weight", dest="rerank_weight", type=float,
+                   default=2.0,
+                   help="weight of the rerank query's score "
+                        "(reRankWeight, default 2.0)")
     q.add_argument("--expr", action="store_true",
                    help="treat --q as a boolean query-language expression "
                         "(AND/OR/NOT, parentheses, -term, term^boost)")
@@ -484,6 +538,10 @@ def main(argv=None) -> int:
                          "(Solr stats.facet)")
     sx.add_argument("-k", type=int, default=10,
                     help="with --facet: top buckets by doc count")
+    sx.add_argument("--percentiles", type=float, nargs="+", default=None,
+                    metavar="P",
+                    help="exact quantiles as fractions in (0, 1] "
+                         "(Solr stats percentiles takes percent)")
     sx.add_argument("--or", dest="use_or", action="store_true")
     sx.add_argument("--buckets", type=int, default=64)
     sx.set_defaults(fn=cmd_stats)
@@ -532,9 +590,36 @@ def main(argv=None) -> int:
                     help="FIELD then interval sets in Solr syntax, e.g. "
                          "--interval n-chars '[0,100)' '[100,*]' "
                          "(Solr facet.interval; overlaps allowed)")
+    fc.add_argument("--prefix", default=None,
+                    help="keep only values starting with this "
+                         "(Solr facet.prefix)")
+    fc.add_argument("--mincount", type=int, default=1,
+                    help="drop values below this count "
+                         "(Solr facet.mincount)")
+    fc.add_argument("--missing", action="store_true",
+                    help="append a null bucket counting matching docs "
+                         "without the field (Solr facet.missing)")
+    fc.add_argument("--sort", choices=("count", "index"), default="count",
+                    help="count desc (facet.sort=count) or value asc "
+                         "(facet.sort=index)")
     fc.add_argument("--or", dest="use_or", action="store_true")
     fc.add_argument("--buckets", type=int, default=64)
     fc.set_defaults(fn=cmd_facets)
+
+    sig = sub.add_parser(
+        "sigterms",
+        help="terms overrepresented in the match set vs the corpus "
+             "(ES significant_terms, JLH)"
+    )
+    sig.add_argument("--index", required=True)
+    sig.add_argument("--q", required=True)
+    sig.add_argument("-k", type=int, default=10)
+    sig.add_argument("--min-fg", dest="min_fg", type=int, default=2,
+                     help="minimum foreground doc count (ES "
+                          "min_doc_count)")
+    sig.add_argument("--or", dest="use_or", action="store_true")
+    sig.add_argument("--buckets", type=int, default=64)
+    sig.set_defaults(fn=cmd_sigterms)
 
     tm = sub.add_parser(
         "terms", help="index dictionary terms with docFreq "
