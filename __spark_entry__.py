@@ -3341,6 +3341,46 @@ ORDER BY lang ASC, nchars DESC, d.doc_id ASC LIMIT 10
 _PAIRS["q83_sort_multi"] = ("", _SORT_MULTI_DUCK)
 
 
+def _q_sort_score_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr sort=score desc, f asc through the REAL engine: the 'score'
+    pseudo-field in search_sorted_multi ships the scored distributed
+    head's real BM25 sum (idf from segment n_postings metadata — fresh
+    index, so == live df and the plain BM25 SQL oracle), tie-broken by
+    the lang metadata value. k=all + driver re-sort with ORIGINAL ids
+    and rounded score keys (q83/q48 pattern)."""
+    eng = _docs_engine(spark, sf_dir)
+    hits = eng.search_sorted_multi(
+        "spark", [("score", False), ("lang", True)], k=10**9
+    )
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    rows = sorted(
+        ((pmap[d], float(vs[0]), str(vs[1])) for d, vs in hits),
+        key=lambda x: (-round(x[1], 6), x[2], x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4)), lg) for d, s, lg in rows],
+        "doc_id long, score double, lang string",
+    )
+
+
+_SORT_SCORE_FIELD_DUCK = f"""
+WITH b AS (
+  SELECT doc_id, score
+  FROM ({_bm25_sql(DUCK_TOK, ["spark"], True, None).replace(
+      "ROUND(score, 4) AS score", "score AS score")}) f
+)
+SELECT b.doc_id, ROUND(b.score, 4) AS score, d.lang AS lang
+FROM b JOIN documents d USING (doc_id)
+ORDER BY ROUND(b.score, 6) DESC, lang ASC, b.doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q87_sort_score_field"] = ("", _SORT_SCORE_FIELD_DUCK)
+
+
 def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ReRankQParser through the REAL engine: rerank_search rescores
     only the first-pass top-25 window of the 'spark' matches with
@@ -3419,6 +3459,171 @@ SELECT rank, doc_id, score FROM tl
 _PAIRS["q84_rerank"] = ("", _RERANK_DUCK)
 
 
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene IndexSearcher.explain / Solr debugQuery through the REAL
+    engine: the per-term BM25 decomposition (tf, df, doc_len, idf,
+    contribution) of the top-ranked 'spark join' doc. The target doc is
+    selected by (round(score,6) desc, ORIGINAL doc_id asc) over the FULL
+    match set (match_frame), so the choice never depends on the engine's
+    internal id assignment; the decomposition rows are the claim under
+    test — explain() must reproduce the kernel's scoring stats exactly."""
+    eng = _docs_engine(spark, sf_dir)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    hits = [
+        (pmap[int(r["doc_id"])], int(r["doc_id"]), float(r["score"]))
+        for r in eng.match_frame("spark join").collect()
+    ]
+    orig, eng_id, _ = min(hits, key=lambda x: (-round(x[2], 6), x[0]))
+    ex = eng.explain("spark join", eng_id)
+    assert ex["match"]
+    return spark.createDataFrame(
+        [
+            (
+                orig,
+                t["term"],
+                int(t["tf"]),
+                int(t["df"]),
+                int(t["doc_len"]),
+                float(round(t["idf"], 4)),
+                float(round(t["score"], 4)),
+            )
+            for t in ex["terms"]
+        ],
+        "doc_id long, term string, tf long, df long, doc_len long, "
+        "idf double, contrib double",
+    )
+
+
+_EXPLAIN_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM (SELECT d.doc_id, COALESCE(dl.doc_len, 0) AS doc_len
+        FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) x),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.doc_len, df.df,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf,
+         (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / s.avgdl))
+           AS tfn
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'join')),
+top1 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, sum(idf * tfn) AS score
+    FROM scored GROUP BY doc_id HAVING count(*) = 2) r
+  ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 1)
+SELECT s.doc_id, s.term, CAST(s.tf AS BIGINT) AS tf,
+       CAST(s.df AS BIGINT) AS df, CAST(s.doc_len AS BIGINT) AS doc_len,
+       ROUND(s.idf, 4) AS idf, ROUND(s.idf * s.tfn, 4) AS contrib
+FROM scored s JOIN top1 USING (doc_id)
+ORDER BY s.term
+"""
+
+_PAIRS["q85_explain"] = ("", _EXPLAIN_DUCK)
+
+
+def _q_interesting_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr mlt.interestingTerms=details through the REAL engine: the
+    MLT term selection for seed doc 7 — tf * (1 + ln(N/(df+1)))
+    (ClassicSimilarity idf, df from segment n_postings metadata,
+    df >= 2, ties term-asc, top 25) with the selection score as the
+    boost. Rank is part of the claim (it IS the interestingness
+    ordering), rounded-key ordering both sides (q50 pattern)."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_iterms_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, store_content=True,
+    )
+    eng.extract(corpus, build_id="entry-iterms")
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    seed = next(e for e, o in pmap.items() if o == 7)
+    got = eng.interesting_terms(seed, max_query_terms=25)
+    ranked = sorted(got, key=lambda x: (-round(x[1], 6), x[0]))
+    return spark.createDataFrame(
+        [
+            (i + 1, t, float(round(b, 4)))
+            for i, (t, b) in enumerate(ranked)
+        ],
+        "rank long, term string, boost double",
+    )
+
+
+_ITERMS_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+seed AS (SELECT term, CAST(count(*) AS DOUBLE) AS tf
+         FROM tok WHERE doc_id = 7 GROUP BY term),
+dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tok GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+sc AS (SELECT s.term,
+              s.tf * (1.0 + ln(n.n_docs / (dfx.df + 1.0))) AS boost
+       FROM seed s JOIN dfx USING (term) CROSS JOIN n
+       WHERE dfx.df >= 2)
+SELECT CAST(row_number()
+         OVER (ORDER BY ROUND(boost, 6) DESC, term ASC) AS BIGINT) AS rank,
+       term, ROUND(boost, 4) AS boost
+FROM sc
+ORDER BY rank LIMIT 25
+"""
+
+_PAIRS["q86_interesting_terms"] = ("", _ITERMS_DUCK)
+
+
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Luke handler through the REAL engine: index_stats() — n_docs,
+    n_terms (distinct encoded terms), n_postings (segment-metadata sum,
+    fresh index == live (doc, term) pairs), total_tokens (doc_len sum).
+    One column-pruned aggregate over segment rows, no blob decode."""
+    eng = _docs_engine(spark, sf_dir)
+    st = eng.index_stats()
+    return spark.createDataFrame(
+        [(
+            int(st["n_docs"]),
+            int(st["n_terms"]),
+            int(st["n_postings"]),
+            int(st["total_tokens"]),
+        )],
+        "n_docs long, n_terms long, n_postings long, total_tokens long",
+    )
+
+
+_INDEX_STATS_DUCK = f"""
+WITH tok AS ({DUCK_TOK})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(DISTINCT (doc_id, term)) AS BIGINT) AS n_postings,
+       CAST(count(*) AS BIGINT) AS total_tokens
+FROM tok
+"""
+
+_PAIRS["q88_index_stats"] = ("", _INDEX_STATS_DUCK)
+
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -3477,6 +3682,10 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_significant_terms": _q_significant_terms,
     "q83_sort_multi": _q_sort_multi,
     "q84_rerank": _q_rerank,
+    "q85_explain": _q_explain,
+    "q86_interesting_terms": _q_interesting_terms,
+    "q87_sort_score_field": _q_sort_score_field,
+    "q88_index_stats": _q_index_stats,
 }
 
 

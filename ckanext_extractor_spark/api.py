@@ -1001,6 +1001,45 @@ class ExtractorEngine:
             self._stats_cache = row.asDict()
         return self._stats_cache
 
+    def index_stats(self) -> dict:
+        """Index-level statistics — the Solr Luke handler /
+        ``CheckIndex`` surface (``/admin/luke``: numDocs, numTerms,
+        per-index aggregates; the reference's ops view of the Solr core
+        it maintains). ONE column-pruned distributed aggregate over the
+        segment metadata rows (term + n_postings, no blob decode) plus
+        the doc_stats doc_len sum; everything else is driver-held
+        manifest state. ``n_terms`` / ``n_postings`` are PRE-MERGE
+        (tombstoned docs count until compaction, like Lucene's maxDoc /
+        un-GC'd docFreq — the same pin terms() takes); on a fresh index
+        they equal the live counts. Returns ``{n_docs, avgdl,
+        total_tokens, n_terms, n_postings, generations, tombstones,
+        segments_disk_bytes}``."""
+        self._check_access("extractor_list")
+        st = self.corpus_stats()
+        out = {
+            "n_docs": int(st["n_docs"]),
+            "avgdl": float(st["avgdl"]),
+            "total_tokens": 0,
+            "n_terms": 0,
+            "n_postings": 0,
+            "generations": len(self._gens),
+            "tombstones": self._tombstone_count(),
+            "segments_disk_bytes": self._segments_disk_bytes(),
+        }
+        seg = self._segments_union()
+        if seg is not None:
+            row = seg.agg(
+                F.countDistinct("term").alias("nt"),
+                F.sum("n_postings").alias("np"),
+            ).collect()[0]
+            out["n_terms"] = int(row["nt"] or 0)
+            out["n_postings"] = int(row["np"] or 0)
+        ds = self._read_or_none("doc_stats")
+        if ds is not None:
+            row = ds.agg(F.sum("doc_len").alias("t")).collect()[0]
+            out["total_tokens"] = int(row["t"] or 0)
+        return out
+
     def list_indexed(self) -> DataFrame:
         """Docs with completed metadata (extractor_list, action.py:153-166;
         in-flight/ignored docs excluded, test logic/test_action.py:51-56)."""
@@ -1073,6 +1112,94 @@ class ExtractorEngine:
                     pos = np.cumsum(gaps.astype(np.int64)).tolist()
             out.append((r["term"], int(r["tf"]), pos))
         return out
+
+    def explain(
+        self,
+        query: str,
+        doc_id: int,
+        conjunctive: bool = True,
+    ) -> dict:
+        """Score decomposition for one (query, doc) pair — Lucene
+        ``IndexSearcher.explain`` / Solr ``debugQuery=true`` (the
+        reference exposes Solr's debug component through CKAN's
+        package_search passthrough). The numbers reproduce
+        :meth:`search`'s kernel scoring EXACTLY: df/idf come from the
+        same live (tombstone-filtered) postings the kernels score with,
+        tf/doc_len from the doc's posting row, so
+        ``sum(t["score"] for matched t) == search(query)``'s score for
+        this doc bit-for-bit (pinned by test).
+
+        Returns::
+
+            {"doc_id", "match", "score", "n_docs", "avgdl", "k1", "b",
+             "terms": [{"term", "matched", "tf", "df", "doc_len",
+                        "idf", "tf_norm", "score"}, ...]}   # query order
+
+        A conjunctive non-match (some term absent from the doc) reports
+        ``match=False, score=0.0`` with the per-term rows it DID match
+        (Lucene's "failure to meet condition ... NO_MATCH" explain); a
+        disjunctive query scores whatever subset matched.
+        """
+        self._check_access("extractor_search")
+        if isinstance(doc_id, bool) or not isinstance(doc_id, int):
+            raise ValidationError(f"doc_id must be an integer, got {doc_id!r}")
+        if not isinstance(query, str) or not query.strip():
+            raise ValidationError("query must be a non-empty string")
+        from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
+
+        st = self.corpus_stats()
+        avgdl = float(st["avgdl"])
+        terms = list(
+            dict.fromkeys(
+                analyze_query(query, config=query_config_for(self.analyzer))
+            )
+        )
+        tls = {tp.term: tp for tp in self._term_postings(terms, st)}
+        details: list[dict] = []
+        total = 0.0
+        n_matched = 0
+        for t in terms:
+            tp = tls.get(t)
+            row: dict = {
+                "term": t,
+                "matched": False,
+                "tf": 0,
+                "df": int(len(tp.doc_ids)) if tp is not None else 0,
+                "doc_len": 0,
+                "idf": float(tp.idf) if tp is not None else 0.0,
+                "tf_norm": 0.0,
+                "score": 0.0,
+            }
+            if tp is not None and len(tp.doc_ids):
+                i = int(np.searchsorted(tp.doc_ids, doc_id))
+                if i < len(tp.doc_ids) and int(tp.doc_ids[i]) == doc_id:
+                    tf = float(tp.tfs[i])
+                    dl = float(tp.doc_lens[i])
+                    tfn = (tf * (BM25_K1 + 1.0)) / (
+                        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                    )
+                    row.update(
+                        matched=True,
+                        tf=int(tf),
+                        doc_len=int(dl),
+                        tf_norm=float(tfn),
+                        score=float(tp.idf * tfn),
+                    )
+                    total += tp.idf * tfn
+                    n_matched += 1
+            details.append(row)
+        match = n_matched == len(terms) if conjunctive else n_matched > 0
+        return {
+            "doc_id": int(doc_id),
+            "match": bool(match),
+            "score": float(total) if match else 0.0,
+            "n_matched": n_matched,
+            "n_docs": int(st["n_docs"]),
+            "avgdl": avgdl,
+            "k1": BM25_K1,
+            "b": BM25_B,
+            "terms": details,
+        }
 
     def _doc_store_rows(self, doc_ids: list[int]) -> list:
         """Point lookups into doc_store (doc_id IN -> pushed filter)."""
@@ -1217,6 +1344,136 @@ class ExtractorEngine:
                 "…" if hi < len(text) else ""
             )
             out.append((d, s, snippet))
+        return out
+
+    def _all_positions(
+        self, doc_ids: list[int], terms: list[str]
+    ) -> dict[int, list[int]]:
+        """Every index position of ANY of ``terms`` per doc, sorted asc
+        (multi-fragment highlighting's anchor set — :meth:`_first_positions`
+        generalized); {} when built without positions."""
+        if not self.with_positions or not terms or not doc_ids:
+            return {}
+        from ckanext_extractor_spark.operators.phrase import _positions_by_doc
+
+        wanted = set(doc_ids)
+        dead = self._dead_docs()
+        acc: dict[int, set] = {}
+        for t in terms:
+            for row in self._segment_rows(t):
+                for d, pos in _positions_by_doc(row, dead).items():
+                    if d in wanted and len(pos):
+                        acc.setdefault(d, set()).update(int(p) for p in pos)
+        return {d: sorted(ps) for d, ps in acc.items()}
+
+    def highlight(
+        self,
+        query: str,
+        k: int = 10,
+        width: int = 60,
+        n_snippets: int = 3,
+        hits: "list[tuple[int, float]] | None" = None,
+        conjunctive: bool = True,
+        mode: str = "auto",
+        pre_tag: str | None = None,
+        post_tag: str | None = None,
+    ) -> list[tuple[int, float, list[str]]]:
+        """Multi-fragment highlighting — Solr ``hl.snippets=N`` /
+        ``hl.fragsize`` / ``hl.simple.pre|post`` (the reference serves
+        CKAN result pages from Solr's standard highlighter). Per hit: up
+        to ``n_snippets`` NON-OVERLAPPING ±``width``-char windows, each
+        anchored at an analyzed query-term match position not already
+        covered by an earlier window, in DOCUMENT order (pinned:
+        Lucene's default fragmenter also emits document-order fragments;
+        fragment re-scoring is not implemented). Anchors come from the
+        index's positions (stored-offset blob fast path, whitespace-scan
+        fallback — the same mapping :meth:`snippets` uses), so stemmed /
+        identifier-split matches highlight correctly. With
+        ``pre_tag``/``post_tag`` every match WORD inside a window is
+        wrapped (all in-window anchors, not just the window's seed).
+        Docs with no position anchors fall back to one head-of-doc
+        fragment. Returns ``[(doc_id, score, [fragment, ...]), ...]``."""
+        self._check_access("extractor_snippets")
+        _require_query(query)
+        _require_k(k)
+        if isinstance(n_snippets, bool) or not isinstance(n_snippets, int) \
+                or n_snippets < 1:
+            raise ValidationError(
+                f"n_snippets must be a positive integer, got {n_snippets!r}"
+            )
+        if (pre_tag is None) != (post_tag is None):
+            raise ValidationError(
+                "pre_tag and post_tag must be given together"
+            )
+        if not self.store_content:
+            raise ValueError(
+                "highlight() needs an index built with store_content=True"
+            )
+        if hits is None:
+            hits = self.search(query, k=k, conjunctive=conjunctive,
+                               mode=mode)
+        if not hits:
+            return []
+        store_rows = self._doc_store_rows([d for d, _ in hits])
+        texts = {int(r["doc_id"]): r["content"] for r in store_rows}
+        blobs: dict[int, bytes] = {}
+        if store_rows and "pos_offsets" in store_rows[0].__fields__:
+            blobs = {
+                int(r["doc_id"]): r["pos_offsets"]
+                for r in store_rows
+                if r["pos_offsets"]
+            }
+        qterms = list(dict.fromkeys(
+            analyze_query(query, config=query_config_for(self.analyzer))
+        ))
+        all_pos = self._all_positions([int(d) for d, _ in hits], qterms)
+        from ckanext_extractor_spark.operators.offsets import (
+            char_of_position_blob,
+        )
+
+        import re as _re
+
+        def _frag(text: str, lo: int, hi: int, marks: list[int]) -> str:
+            body = text[lo:hi]
+            if pre_tag is not None:
+                for o in sorted(set(marks), reverse=True):
+                    rel = o - lo
+                    m = _re.match(r"\S+", body[rel:])
+                    end = rel + (len(m.group(0)) if m else 0)
+                    body = (body[:rel] + pre_tag + body[rel:end]
+                            + post_tag + body[end:])
+            return ("…" if lo else "") + body + (
+                "…" if hi < len(text) else ""
+            )
+
+        out = []
+        for d, s in hits:
+            text = texts.get(int(d), "")
+            blob = blobs.get(int(d))
+            chars: list[int] = []
+            for p in all_pos.get(int(d), []):
+                at = (
+                    char_of_position_blob(bytes(blob), p)
+                    if blob is not None
+                    else None
+                )
+                if at is None:
+                    at = self._char_of_position(text, p)
+                chars.append(at)
+            chars = sorted(set(chars))
+            frags: list[str] = []
+            i = 0
+            while i < len(chars) and len(frags) < n_snippets:
+                at = chars[i]
+                lo = max(0, at - width)
+                hi = min(len(text), at + width)
+                in_win = [o for o in chars[i:] if o < hi]
+                i += len(in_win)
+                frags.append(_frag(text, lo, hi, in_win))
+            if not frags:  # no anchors (no positions / term not stored)
+                frags = [text[: 2 * width]
+                         + ("…" if len(text) > 2 * width else "")]
+            out.append((d, s, frags))
         return out
 
     def lineage(self) -> DataFrame:
@@ -2785,6 +3042,40 @@ class ExtractorEngine:
                 raise ValidationError(
                     f"{name} must be a positive integer, got {v!r}"
                 )
+        scored = self._mlt_terms(doc_id, min_term_freq, min_doc_freq)
+        if not scored:
+            return []
+        sel = [t for _, t in scored[:max_query_terms]]
+        st = self.corpus_stats()
+        from ckanext_extractor_spark.operators.wand import (
+            exact_topk,
+            maxscore_topk,
+        )
+
+        tls = [
+            tp for tp in self._term_postings(sel, st) if len(tp.doc_ids)
+        ]
+        if not tls:
+            return []
+        fn = (
+            maxscore_topk
+            if sum(len(tp.doc_ids) for tp in tls) > self.MAXSCORE_AUTO_ROWS
+            else exact_topk
+        )
+        hits = fn(tls, k + 1, st["avgdl"], conjunctive=False)  # room to
+        return [(d, s) for d, s in hits if d != doc_id][:k]    # drop seed
+
+    def _mlt_terms(
+        self,
+        doc_id: int,
+        min_term_freq: int,
+        min_doc_freq: int,
+    ) -> list[tuple[float, str]]:
+        """MoreLikeThis term selection: the seed doc's stored fulltext
+        re-analyzed with the index chain, candidates ranked by
+        ``tf * (1 + ln(N / (df + 1)))`` (ClassicSimilarity idf, ties
+        term-asc). Shared by :meth:`more_like_this` (query tail) and
+        :meth:`interesting_terms` (Solr mlt.interestingTerms)."""
         if not self.store_content:
             raise ValidationError(
                 "more_like_this requires store_content=True (the seed "
@@ -2815,35 +3106,43 @@ class ExtractorEngine:
         vc = toks["term"].value_counts()
         cand = [str(t) for t, c in vc.items() if int(c) >= min_term_freq]
         dfm = self._df_for_terms(cand)
-        st = self.corpus_stats()
-        n = float(st["n_docs"])
+        n = float(self.corpus_stats()["n_docs"])
         scored = []
         for t in cand:
             d = dfm.get(t, 0)
             if d < min_doc_freq:
                 continue
             scored.append((float(vc[t]) * (1.0 + math.log(n / (d + 1.0))), t))
-        if not scored:
-            return []
         scored.sort(key=lambda x: (-x[0], x[1]))
-        sel = [t for _, t in scored[:max_query_terms]]
-        from ckanext_extractor_spark.operators.wand import (
-            exact_topk,
-            maxscore_topk,
-        )
+        return scored
 
-        tls = [
-            tp for tp in self._term_postings(sel, st) if len(tp.doc_ids)
-        ]
-        if not tls:
-            return []
-        fn = (
-            maxscore_topk
-            if sum(len(tp.doc_ids) for tp in tls) > self.MAXSCORE_AUTO_ROWS
-            else exact_topk
-        )
-        hits = fn(tls, k + 1, st["avgdl"], conjunctive=False)  # room to
-        return [(d, s) for d, s in hits if d != doc_id][:k]    # drop seed
+    def interesting_terms(
+        self,
+        doc_id: int,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+    ) -> list[tuple[str, float]]:
+        """Solr ``mlt.interestingTerms=details``: the terms
+        :meth:`more_like_this` would query with, rank order, each with
+        its MLT selection score as the boost (Solr reports the raw
+        interestingness as the term boost when ``mlt.boost=true``).
+        Returns ``[(term, boost), ...]`` — the exact ``max_query_terms``
+        prefix of the MLT ranking, so
+        ``[t for t, _ in interesting_terms(d)]`` IS the disjunctive
+        query term set of ``more_like_this(d)``."""
+        self._check_access("extractor_search")
+        if isinstance(doc_id, bool) or not isinstance(doc_id, int):
+            raise ValidationError(f"doc_id must be an integer, got {doc_id!r}")
+        for name, v in (("max_query_terms", max_query_terms),
+                        ("min_term_freq", min_term_freq),
+                        ("min_doc_freq", min_doc_freq)):
+            if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                raise ValidationError(
+                    f"{name} must be a positive integer, got {v!r}"
+                )
+        scored = self._mlt_terms(doc_id, min_term_freq, min_doc_freq)
+        return [(t, s) for s, t in scored[:max_query_terms]]
 
     def _fq_match_df(self, fq: dict[str, str] | None) -> DataFrame | None:
         """doc_id DataFrame matching ALL fq clauses (Solr filter-query
@@ -3732,10 +4031,13 @@ class ExtractorEngine:
         """Matching docs ordered by SEVERAL metadata fields — Solr
         ``sort=f1 asc, f2 desc`` — with ``specs`` a list of
         (field, ascending) pairs applied left to right, final tie
-        doc_id asc. Returns ``[(doc_id, [value per spec])]``. Docs
-        missing ANY sort field are excluded (the same
-        inner-join/sortMissingLast resolution :meth:`search_sorted`
-        pins for one field).
+        doc_id asc. The pseudo-field ``"score"`` sorts by the query's
+        BM25 score (Solr ``sort=score desc, f asc``); its value in the
+        result row is the float score. Returns
+        ``[(doc_id, [value per spec])]``. Docs missing ANY metadata
+        sort field are excluded (the same inner-join/sortMissingLast
+        resolution :meth:`search_sorted` pins for one field; ``score``
+        is never missing).
 
         One distributed plan: the k=None match kernel joins the exploded
         metadata rows once, a conditional-aggregate pivot turns the ≤
@@ -3759,25 +4061,39 @@ class ExtractorEngine:
         fields = [s[0] for s in specs]
         if len(set(fields)) != len(fields):
             raise ValidationError(f"duplicate sort fields in {specs!r}")
-        mm = self._match_and_meta(query, conjunctive, min_match)
+        # the score pseudo-field needs real BM25 sums (scored=True: idf
+        # from segment n_postings metadata — Lucene pre-merge docFreq,
+        # the same pinned divergence every scored distributed head takes)
+        mm = self._match_and_meta(query, conjunctive, min_match,
+                                  scored="score" in fields)
         if mm is None:
             return []
         per_doc, dm = mm
-        wide = (
-            dm.where(F.col("field").isin(fields))
-            .join(per_doc.select("doc_id"), "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(*[
-                F.max(
-                    F.when(F.col("field") == f, F.col("value"))
-                ).alias(f"_v{i}")
-                for i, f in enumerate(fields)
-            ])
-        )
-        for i in range(len(fields)):
-            wide = wide.where(F.col(f"_v{i}").isNotNull())
+        meta_specs = [
+            (i, f) for i, f in enumerate(fields) if f != "score"
+        ]
+        wide = per_doc.select("doc_id", "score")
+        if meta_specs:
+            piv = (
+                dm.where(F.col("field").isin([f for _, f in meta_specs]))
+                .join(per_doc.select("doc_id"), "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(*[
+                    F.max(
+                        F.when(F.col("field") == f, F.col("value"))
+                    ).alias(f"_v{i}")
+                    for i, f in meta_specs
+                ])
+            )
+            for i, _ in meta_specs:
+                piv = piv.where(F.col(f"_v{i}").isNotNull())
+            wide = wide.join(piv, "doc_id")
+        cols = {
+            i: ("score" if f == "score" else f"_v{i}")
+            for i, f in enumerate(fields)
+        }
         order = [
-            F.asc(f"_v{i}") if asc else F.desc(f"_v{i}")
+            F.asc(cols[i]) if asc else F.desc(cols[i])
             for i, (_, asc) in enumerate(specs)
         ] + [F.asc("doc_id")]
         lim = min(k, int(self.corpus_stats()["n_docs"]))
@@ -3785,7 +4101,13 @@ class ExtractorEngine:
             return []
         rows = wide.orderBy(*order).limit(lim).collect()
         return [
-            (int(r["doc_id"]), [r[f"_v{i}"] for i in range(len(fields))])
+            (
+                int(r["doc_id"]),
+                [
+                    float(r["score"]) if f == "score" else r[f"_v{i}"]
+                    for i, f in enumerate(fields)
+                ],
+            )
             for r in rows
         ]
 

@@ -204,6 +204,16 @@ def cmd_query(args) -> int:
     if args.snippets:
         # window the hits we JUST computed (phrase/--or/--mode respected),
         # never a re-search with default semantics (ADVICE r2)
+        if args.hl_count > 1 or args.hl_pre is not None:
+            for rank, (doc_id, score, frags) in enumerate(
+                eng.highlight(args.q, k=args.k, hits=hits,
+                              n_snippets=args.hl_count,
+                              pre_tag=args.hl_pre, post_tag=args.hl_post), 1
+            ):
+                print(json.dumps({"rank": rank, "doc_id": doc_id,
+                                  "score": round(score, 6),
+                                  "snippets": frags}))
+            return 0
         for rank, (doc_id, score, snip) in enumerate(
             eng.snippets(args.q, k=args.k, hits=hits), 1
         ):
@@ -230,6 +240,14 @@ def cmd_show(args) -> int:
 
 def cmd_mlt(args) -> int:
     eng = _engine(args)
+    if args.interesting_terms:
+        print(json.dumps([
+            {"term": t, "boost": round(b, 6)}
+            for t, b in eng.interesting_terms(
+                args.doc_id, max_query_terms=args.max_terms,
+                min_term_freq=args.min_tf, min_doc_freq=args.min_df)
+        ]))
+        return 0
     for rank, (doc_id, score) in enumerate(
         eng.more_like_this(args.doc_id, k=args.k,
                            max_query_terms=args.max_terms,
@@ -301,6 +319,20 @@ def cmd_termvectors(args) -> int:
         {"term": t, "tf": tf, "positions": pos}
         for t, tf, pos in eng.term_vectors(args.doc_id)
     ]))
+    return 0
+
+
+def cmd_indexstats(args) -> int:
+    eng = _engine(args)
+    print(json.dumps(eng.index_stats()))
+    return 0
+
+
+def cmd_explain(args) -> int:
+    eng = _engine(args)
+    print(json.dumps(eng.explain(
+        args.q, args.doc_id, conjunctive=not args.use_or
+    )))
     return 0
 
 
@@ -503,6 +535,13 @@ def main(argv=None) -> int:
                    help="edismax boost: multiplicative function boost")
     q.add_argument("--snippets", action="store_true",
                    help="include highlight windows (store_content index)")
+    q.add_argument("--hl-count", dest="hl_count", type=int, default=1,
+                   help="fragments per hit (Solr hl.snippets; >1 emits "
+                        "a 'snippets' list per hit)")
+    q.add_argument("--hl-pre", dest="hl_pre", default=None,
+                   help="match-word open tag (Solr hl.simple.pre)")
+    q.add_argument("--hl-post", dest="hl_post", default=None,
+                   help="match-word close tag (Solr hl.simple.post)")
     q.add_argument("--buckets", type=int, default=64)
     q.set_defaults(fn=cmd_query)
 
@@ -524,6 +563,11 @@ def main(argv=None) -> int:
     m.add_argument("--max-terms", dest="max_terms", type=int, default=25)
     m.add_argument("--min-tf", dest="min_tf", type=int, default=1)
     m.add_argument("--min-df", dest="min_df", type=int, default=2)
+    m.add_argument("--interesting-terms", dest="interesting_terms",
+                   action="store_true",
+                   help="print the MLT term selection with boosts "
+                        "(Solr mlt.interestingTerms=details) instead "
+                        "of running the query")
     m.add_argument("--buckets", type=int, default=64)
     m.set_defaults(fn=cmd_mlt)
 
@@ -655,6 +699,27 @@ def main(argv=None) -> int:
     tv.add_argument("doc_id", type=int)
     tv.add_argument("--buckets", type=int, default=64)
     tv.set_defaults(fn=cmd_termvectors)
+
+    ix = sub.add_parser(
+        "indexstats", help="index-level statistics (Solr Luke handler: "
+                           "numDocs, numTerms, postings, generations)"
+    )
+    ix.add_argument("--index", required=True)
+    ix.add_argument("--buckets", type=int, default=64)
+    ix.set_defaults(fn=cmd_indexstats)
+
+    expl = sub.add_parser(
+        "explain", help="per-term BM25 score decomposition for one "
+                        "(query, doc) pair (Solr debugQuery / Lucene "
+                        "IndexSearcher.explain)"
+    )
+    expl.add_argument("--index", required=True)
+    expl.add_argument("--q", required=True)
+    expl.add_argument("doc_id", type=int)
+    expl.add_argument("--or", dest="use_or", action="store_true",
+                      help="disjunctive (default-AND otherwise)")
+    expl.add_argument("--buckets", type=int, default=64)
+    expl.set_defaults(fn=cmd_explain)
 
     up = sub.add_parser(
         "update", help="atomic metadata updates (Solr atomic update: "

@@ -718,10 +718,10 @@ def test_cli_pivot(engine, capsys):
 def test_field_stats_string_field(engine):
     st = engine.field_stats("alpha", "source-name")
     assert st == {"count": 4, "missing": 0, "min": "book", "max": "wiki",
-                  "sum": None, "mean": None}
+                  "sum": None, "mean": None, "stddev": None}
     assert engine.field_stats("alpha", "nope") == {
         "count": 0, "missing": 4, "min": None, "max": None,
-        "sum": None, "mean": None}
+        "sum": None, "mean": None, "stddev": None}
     with pytest.raises(ValidationError):
         engine.field_stats("alpha", "")
 
@@ -881,6 +881,35 @@ def test_mlt_validation(mlt_engine, engine):
     for kw in ("max_query_terms", "min_term_freq", "min_doc_freq"):
         with pytest.raises(ValidationError):
             mlt_engine.more_like_this(1, **{kw: 0})
+
+
+def test_mlt_interesting_terms(mlt_engine):
+    import math
+
+    ids = _ids(mlt_engine)
+    got = mlt_engine.interesting_terms(ids["m0"])
+    # m0 terms with df >= 2: rust(3) tokio(3) async(3) runtime(2);
+    # executor has df 1. tf=1 everywhere -> boost = 1 + ln(5/(df+1)),
+    # runtime's lower df wins, then term asc among the df=3 trio.
+    assert [t for t, _ in got] == ["runtime", "async", "rust", "tokio"]
+    assert got[0][1] == pytest.approx(1.0 + math.log(5 / 3), rel=1e-12)
+    assert got[1][1] == pytest.approx(1.0 + math.log(5 / 4), rel=1e-12)
+    # the selection IS more_like_this's query term set (same ranking)
+    one = mlt_engine.interesting_terms(ids["m0"], max_query_terms=1)
+    assert [t for t, _ in one] == ["runtime"]
+    with pytest.raises(ValidationError):
+        mlt_engine.interesting_terms(ids["m0"], max_query_terms=0)
+
+
+def test_cli_mlt_interesting_terms(mlt_engine, capsys):
+    from ckanext_extractor_spark.cli.main import main
+
+    ids = _ids(mlt_engine)
+    assert main(["mlt", "--index", mlt_engine.root, str(ids["m0"]),
+                 "--interesting-terms", "--buckets", "4"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip())
+    assert [r["term"] for r in rows] == ["runtime", "async", "rust",
+                                         "tokio"]
 
 
 def test_cli_mlt(mlt_engine, capsys):

@@ -112,6 +112,37 @@ def test_sort_multi_k_window(engine):
     ) == full[:3]
 
 
+def test_sort_multi_score_pseudo_field(engine):
+    # Solr sort=score desc, rank asc: primary BM25, metadata tie-break
+    got = engine.search_sorted_multi(
+        "spark", [("score", False), ("rank", True)], k=100
+    )
+    hits = dict(engine.search("spark", k=10**6))
+    meta = _meta(engine)
+    want = sorted(
+        (
+            (-hits[d], meta[d]["rank"], d)
+            for d, _ in hits.items()
+            if "rank" in meta[d]
+        ),
+    )
+    assert [d for d, _ in got] == [d for _, _, d in want]
+    # the score spec's value is the real BM25 float (fresh index:
+    # pre-merge docFreq == live df, so it equals search()'s score)
+    for d, vals in got:
+        assert vals[0] == pytest.approx(hits[d], rel=1e-9)
+        assert vals[1] == meta[d]["rank"]
+
+
+def test_sort_multi_score_only_equals_search(engine):
+    got = engine.search_sorted_multi("spark", [("score", False)], k=10)
+    want = engine.search(
+        "spark", k=10**6
+    )
+    want = sorted(want, key=lambda x: (-x[1], x[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
 def test_sort_multi_validation(engine):
     for bad in ([], [("group",)], [("group", "asc")], [(1, True)],
                 [("group", True), ("group", False)], "group"):
