@@ -3624,6 +3624,66 @@ FROM tok
 _PAIRS["q88_index_stats"] = ("", _INDEX_STATS_DUCK)
 
 
+def _q_phonetic_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr PhoneticFilter (classic Soundex) through the REAL engine:
+    expand_phonetic('spark') — the dictionary terms whose soundex equals
+    S162 (StringStartsWith-pruned scan + cluster-side soundex filter) —
+    each with its pre-merge docFreq. The DuckDB oracle reimplements
+    classic soundex as portable SQL (strip non-alpha -> drop H/W ->
+    translate to codes/dots -> collapse digit runs -> drop dots -> drop
+    the first letter's own run for consonant initials)."""
+    eng = _docs_engine(spark, sf_dir)
+    terms = eng.expand_phonetic("spark")
+    dfm = eng._df_for_terms(terms)
+    return spark.createDataFrame(
+        [(t, int(dfm.get(t, 0))) for t in sorted(terms)],
+        "term string, df long",
+    )
+
+
+# classic soundex in SQL; DuckDB's RE2 has no backreferences, so digit
+# runs collapse with one '{2,}' pattern per code
+_SOUNDEX_COLLAPSE = "translate(replace(replace(alpha, 'H', ''), 'W', ''), " \
+    "'AEIOUYBFPVCGJKQSXZDTLMNR', '......111122222222334556')"
+for _d in "123456":
+    _SOUNDEX_COLLAPSE = (
+        f"regexp_replace({_SOUNDEX_COLLAPSE}, '{_d}{{2,}}', '{_d}', 'g')"
+    )
+_SOUNDEX_SQL = f"""
+SELECT term,
+       CASE WHEN alpha = '' THEN ''
+            ELSE substr(alpha, 1, 1) ||
+                 substr(
+                   (CASE WHEN substr(alpha, 1, 1) IN
+                              ('A','E','I','O','U','Y','H','W')
+                         THEN collapsed
+                         ELSE substr(collapsed, 2) END) || '000',
+                   1, 3)
+       END AS sx
+FROM (
+  SELECT term, alpha,
+         replace({_SOUNDEX_COLLAPSE}, '.', '') AS collapsed
+  FROM (SELECT term,
+               regexp_replace(upper(term), '[^A-Z]', '', 'g') AS alpha
+        FROM cand) a) b
+"""
+
+_PHONETIC_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+cand AS (SELECT DISTINCT term FROM tok WHERE term LIKE 's%'),
+sx AS ({_SOUNDEX_SQL}),
+qcode AS (SELECT sx AS code FROM (
+    WITH cand AS (SELECT 'spark' AS term) {_SOUNDEX_SQL}) q)
+SELECT s.term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df
+FROM sx s JOIN tok t USING (term) CROSS JOIN qcode
+WHERE s.sx = qcode.code
+GROUP BY s.term
+ORDER BY s.term
+"""
+
+_PAIRS["q89_phonetic_expand"] = ("", _PHONETIC_DUCK)
+
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -3686,6 +3746,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_interesting_terms": _q_interesting_terms,
     "q87_sort_score_field": _q_sort_score_field,
     "q88_index_stats": _q_index_stats,
+    "q89_phonetic_expand": _q_phonetic_expand,
 }
 
 

@@ -1,0 +1,63 @@
+"""Classic American Soundex — Solr ``PhoneticFilterFactory``
+(``encoder="Soundex"``) parity for query-time phonetic matching.
+
+Reference analog: the reference's Solr schema can attach a
+PhoneticFilter to any field chain (solrconfig/schema.xml extension
+point); Lucene encodes phonetic tokens at INDEX time so query time is a
+plain term lookup. This engine keeps the index surface unchanged and
+rewrites phonetically at QUERY time instead (a MultiTermQuery-style
+dictionary expansion, like prefix/wildcard/fuzzy): soundex preserves the
+first letter, so the candidate scan is a StringStartsWith-pruned
+dictionary slice filtered cluster-side.
+
+Rules implemented (the classic algorithm, incl. the H/W rule):
+  * keep the first letter;
+  * b f p v -> 1, c g j k q s x z -> 2, d t -> 3, l -> 4, m n -> 5,
+    r -> 6; a e i o u y separate; h w are TRANSPARENT (same codes on
+    both sides of h/w collapse — Ashcraft -> A261, not A226);
+  * adjacent identical codes collapse (Pfister -> P236);
+  * identical codes separated by a vowel are coded twice (Tymczak ->
+    T522);
+  * pad/truncate to letter + 3 digits.
+
+The same construction is expressible as portable SQL
+(strip-non-alpha -> drop H/W -> translate to codes/dots -> collapse
+digit runs -> drop dots -> drop the first letter's own run when the
+first letter is a consonant), which is how the DuckDB oracle gates the
+expansion set.
+"""
+
+from __future__ import annotations
+
+import re
+
+_CODES = {
+    c: d
+    for letters, d in (
+        ("BFPV", "1"),
+        ("CGJKQSXZ", "2"),
+        ("DT", "3"),
+        ("L", "4"),
+        ("MN", "5"),
+        ("R", "6"),
+    )
+    for c in letters
+}
+
+_RUN = re.compile(r"([1-6])\1+")
+
+
+def soundex(word: str) -> str:
+    """Soundex code (letter + 3 digits), '' for words with no letters."""
+    w = [c for c in word.upper() if "A" <= c <= "Z"]
+    if not w:
+        return ""
+    first = w[0]
+    # H/W removed BEFORE run-collapse (transparent); vowels become '.'
+    # separators removed AFTER (they break runs)
+    s = "".join(_CODES.get(c, ".") for c in w if c not in "HW")
+    s = _RUN.sub(r"\1", s).replace(".", "")
+    if first in _CODES:
+        # the leading digit is the first letter's own (collapsed) run
+        s = s[1:]
+    return first + (s + "000")[:3]

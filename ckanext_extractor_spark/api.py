@@ -1752,6 +1752,60 @@ class ExtractorEngine:
         _atomic_overwrite(batch_fp, self._p("field_postings"), spark)
 
     # -- compaction ---------------------------------------------------------
+    def snapshot(self, dest_root: str) -> dict:
+        """Consistent point-in-time backup of the whole index —
+        Solr replication-handler ``command=backup`` / Lucene
+        SnapshotDeletionPolicy. Takes the build lock (the copy sees no
+        concurrent publish/GC), then copies every table the index root
+        holds — generations, doc_stats/doc_store sidecars, manifest,
+        tombstones, ``index_meta.json`` — EXCEPT the transient
+        ``staging/`` area and the lock file itself, via the FsIO
+        byte-copy primitive (no Spark job; on HDFS/S3A it is a
+        FileUtil.copy through the same FileSystem the engine publishes
+        with). The result is a complete standalone index root: point an
+        :class:`ExtractorEngine` at it to restore (it serves queries
+        immediately), exactly as a Solr core restores from a backup
+        directory. ``dest_root`` must be on the same filesystem scheme
+        as the index root and must not be a non-empty directory."""
+        self._check_access("extractor_extract")
+        if not isinstance(dest_root, str) or not dest_root.strip():
+            raise ValidationError(
+                f"dest_root must be a non-empty string, got {dest_root!r}"
+            )
+        dest = dest_root.rstrip("/")
+        root = self.root.rstrip("/")
+        if (dest == root or dest.startswith(root + "/")
+                or root.startswith(dest + "/")):
+            raise ValidationError(
+                "snapshot destination must be outside the index root"
+            )
+        if self.fs.exists(dest) and self.fs.listdir(dest):
+            raise ValidationError(
+                f"snapshot destination {dest!r} exists and is not empty"
+            )
+        if not self._acquire_lock(f"snapshot-{uuid.uuid4().hex[:8]}"):
+            raise BuildInProgressError(
+                f"index {self.root} has a build in progress: "
+                f"{self.in_progress()}"
+            )
+        try:
+            if self._read_meta() is None:
+                raise ValidationError(f"no index at {self.root} to snapshot")
+            self.fs.makedirs(dest)
+            copied = []
+            for name in sorted(self.fs.listdir(self.root)):
+                if name in ("staging", ".build_lock"):
+                    continue
+                self.fs.copytree(self._p(name), os.path.join(dest, name))
+                copied.append(name)
+        finally:
+            self._release_lock()
+        return {
+            "dest": dest,
+            "generations": len(self._gens),
+            "tables": copied,
+        }
+
     def compact(
         self,
         dead_frac: float | None = None,
@@ -3266,6 +3320,79 @@ class ExtractorEngine:
         self._check_access("extractor_search")
         _require_k(k)
         terms = self.expand_prefix(prefix, max_expansions)
+        return self._expanded_topk(terms, k)
+
+    def expand_phonetic(
+        self, term: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Index terms whose classic-Soundex code equals ``term``'s —
+        Solr ``PhoneticFilterFactory`` (encoder=Soundex) reimagined as a
+        query-time MultiTermQuery rewrite (Lucene encodes phonetic
+        tokens at index time; this engine keeps the index surface
+        unchanged and expands against the dictionary like
+        prefix/wildcard/fuzzy do). Soundex preserves the first letter,
+        so the scan is a StringStartsWith-PRUNED dictionary slice
+        (row-group min/max on term), with the soundex filter applied
+        CLUSTER-side (one small python UDF over the single-initial
+        distinct-terms slice — a dictionary-sized op, never a postings
+        scan) and only the matching terms collected, capped at
+        maxClauseCount. Warm mode filters the cached term dictionary."""
+        self._check_access("extractor_search")
+        from ckanext_extractor_spark.analysis.phonetic import soundex
+
+        if not isinstance(term, str) or not term.strip():
+            raise ValidationError("term must be a non-empty string")
+        t = term.strip().lower()
+        if " " in t:
+            raise ValidationError(
+                f"phonetic expansion takes a single term, got {term!r}"
+            )
+        code = soundex(t)
+        if not code:
+            raise ValidationError(
+                f"term {term!r} has no letters to encode"
+            )
+        cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
+        first = t[0]
+        if self._rows_cache is not None and not self._lazy_serve:
+            terms = sorted(
+                x for x in self._rows_cache
+                if x.startswith(first) and soundex(x) == code
+            )
+        else:
+            seg = self._segments_union()
+            if seg is None:
+                return []
+            sx = F.udf(soundex, "string")
+            rows = (
+                seg.select("term")
+                .where(F.col("term").startswith(first))
+                .distinct()
+                .where(sx(F.col("term")) == code)
+                .orderBy("term")
+                .limit(cap + 1)
+                .collect()
+            )
+            terms = [r["term"] for r in rows]
+        if len(terms) > cap:
+            raise ValidationError(
+                f"phonetic code {code} matches more than {cap} terms; "
+                "raise max_expansions"
+            )
+        return terms
+
+    def phonetic_search(
+        self, term: str, k: int = 10,
+        max_expansions: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k for a phonetic match query — every doc containing a
+        term that SOUNDS like ``term`` (classic Soundex), scored as a
+        scoring-boolean OR with per-expansion idf (the prefix/wildcard
+        rewrite tail; Lucene phonetic fields score the encoded token the
+        same way)."""
+        self._check_access("extractor_search")
+        _require_k(k)
+        terms = self.expand_phonetic(term, max_expansions)
         return self._expanded_topk(terms, k)
 
     def search_expr(self, query: str, k: int = 10) -> list[tuple[int, float]]:

@@ -184,6 +184,8 @@ def cmd_query(args) -> int:
         hits = eng.search_expr(args.q, k=args.k)
     elif args.prefix:
         hits = eng.prefix_search(args.q, k=args.k)
+    elif args.phonetic:
+        hits = eng.phonetic_search(args.q, k=args.k)
     elif args.wildcard:
         hits = eng.wildcard_search(args.q, k=args.k)
     elif args.fuzzy is not None:
@@ -322,6 +324,12 @@ def cmd_termvectors(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    eng = _engine(args)
+    print(json.dumps(eng.snapshot(args.dest)))
+    return 0
+
+
 def cmd_indexstats(args) -> int:
     eng = _engine(args)
     print(json.dumps(eng.index_stats()))
@@ -451,6 +459,9 @@ def main(argv=None) -> int:
     q.add_argument("--prefix", action="store_true",
                    help="treat --q as a term prefix (PrefixQuery, "
                         "scoring-boolean rewrite over index terms)")
+    q.add_argument("--phonetic", action="store_true",
+                   help="match terms that SOUND like --q (classic "
+                        "Soundex, Solr PhoneticFilter analog)")
     q.add_argument("--start", type=int, default=0,
                    help="skip the first N ranked hits (Solr start/rows "
                         "pagination)")
@@ -699,6 +710,15 @@ def main(argv=None) -> int:
     tv.add_argument("doc_id", type=int)
     tv.add_argument("--buckets", type=int, default=64)
     tv.set_defaults(fn=cmd_termvectors)
+
+    sn = sub.add_parser(
+        "snapshot", help="consistent point-in-time index backup (Solr "
+                         "replication backup; restore = open the copy)"
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument("dest")
+    sn.add_argument("--buckets", type=int, default=64)
+    sn.set_defaults(fn=cmd_snapshot)
 
     ix = sub.add_parser(
         "indexstats", help="index-level statistics (Solr Luke handler: "

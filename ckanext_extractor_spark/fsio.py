@@ -112,6 +112,27 @@ class FsIO:
             except Exception:
                 pass
 
+    def copytree(self, src: str, dst: str) -> None:
+        """Recursive copy of a file or directory (snapshot/backup
+        primitive). Local roots use shutil; URI roots use Hadoop
+        FileUtil.copy through the same FileSystem the engine publishes
+        with — a snapshot is just bytes, no Spark job."""
+        if self.is_local:
+            s, d = _lp(src), _lp(dst)
+            if os.path.isdir(s):
+                shutil.copytree(s, d, dirs_exist_ok=True)
+            else:
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                shutil.copy2(s, d)
+        else:
+            ok = self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+                self._jfs, self._jpath(src),
+                self._jfs, self._jpath(dst),
+                False, True, self._jfs.getConf(),
+            )
+            if not ok:
+                raise OSError(f"copy failed: {src} -> {dst}")
+
     def unlink(self, path: str) -> None:
         if self.is_local:
             try:
