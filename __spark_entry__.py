@@ -3684,6 +3684,91 @@ ORDER BY s.term
 _PAIRS["q89_phonetic_expand"] = ("", _PHONETIC_DUCK)
 
 
+def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING (pairs -> connected components): a verified-pair graph
+    (q13 shape, denser sample, threshold 0.7; sampled docs, exact Jaccard >= 0.7) resolved to
+    components by the distributed large-star/small-star algorithm
+    (Kiveris et al., SoCC'14) — cluster_id = component min doc id. The
+    DuckDB oracle computes the same components with a recursive CTE
+    (reachability closure + min per node)."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.dedup import (
+        jaccard_candidate_pairs,
+        neardup_clusters,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 10 == 0)
+        .withColumnRenamed("text", "content")
+    )
+    pairs = jaccard_candidate_pairs(docs, threshold=0.7)
+    return (
+        neardup_clusters(docs, threshold=0.7, candidates=pairs)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One survivor per near-dup cluster: component-min docs plus all
+    unpaired docs of the same sample (the end state of the dedup
+    pipeline — what actually ships to training)."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.dedup import (
+        dedup_representatives,
+        jaccard_candidate_pairs,
+        neardup_clusters,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 10 == 0)
+        .withColumnRenamed("text", "content")
+    )
+    pairs = jaccard_candidate_pairs(docs, threshold=0.7)
+    clusters = neardup_clusters(docs, threshold=0.7, candidates=pairs)
+    return (
+        dedup_representatives(docs, clusters)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+# reachability closure via recursive CTE; UNION (distinct) terminates it
+_CC_COMP_DUCK = (
+    f"pairs AS ({_JACCARD.format(tok=DUCK_TOK).replace('% 50', '% 10').replace('>= 0.5', '>= 0.7')}), "
+    "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach(id, r) AS ("
+    "SELECT u, u FROM (SELECT DISTINCT u FROM edges) n "
+    "UNION "
+    "SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id), "
+    "comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"
+)
+
+_PAIRS["q90_neardup_clusters"] = (
+    "",
+    f"WITH RECURSIVE {_CC_COMP_DUCK} "
+    "SELECT CAST(id AS BIGINT) AS doc_id, "
+    "CAST(cluster_id AS BIGINT) AS cluster_id FROM comp ORDER BY doc_id",
+)
+
+_PAIRS["q91_dedup_representatives"] = (
+    "",
+    f"WITH RECURSIVE {_CC_COMP_DUCK} "
+    "SELECT CAST(d.doc_id AS BIGINT) AS doc_id "
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id "
+    "WHERE d.doc_id % 10 = 0 "
+    "AND (c.id IS NULL OR c.cluster_id = d.doc_id) ORDER BY doc_id",
+)
+
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -3747,6 +3832,8 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_sort_score_field": _q_sort_score_field,
     "q88_index_stats": _q_index_stats,
     "q89_phonetic_expand": _q_phonetic_expand,
+    "q90_neardup_clusters": _q_neardup_clusters,
+    "q91_dedup_representatives": _q_dedup_representatives,
 }
 
 

@@ -214,3 +214,155 @@ def simhash64(df: DataFrame, text_col: str = "content",
             F.expr(f"shiftleft(cast(1 as bigint), {b})"),
         ).otherwise(F.lit(0).cast("long"))
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 50,
+                         checkpoint: bool = True) -> DataFrame:
+    """Distributed connected components over an undirected edge list —
+    the clustering step of a near-dup pipeline (pairs -> components ->
+    one representative per component).
+
+    Alternating large-star / small-star (the MapReduce CC algorithm of
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round is two groupBy(min) aggregates + joins, and the
+    edge set converges to stars (every node -> its component minimum) in
+    O(log n) rounds even for path graphs — unlike plain min-label
+    propagation, whose round count is the graph DIAMETER (a 1M-doc
+    boilerplate chain would need 1M rounds). No collect_set: per-node
+    neighborhood minima are hash aggregates, so a celebrity node (one doc
+    near-dup to millions) never materializes its neighbor list on one
+    task.
+
+    Returns (node, cluster_id) for every node appearing in an edge,
+    cluster_id = the smallest node id in its component. Nodes with no
+    edges don't appear (callers union singletons back if needed).
+    ``checkpoint`` truncates the iterative plan's lineage each round via
+    localCheckpoint — without it the plan doubles per round and Catalyst
+    analysis time explodes by round ~8.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _chk(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if checkpoint else df
+
+    def _canon_sig(df: DataFrame) -> tuple[int, int]:
+        # xor-fold (order-independent, overflow-free; edges are distinct)
+        row = df.select(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(greatest(u, v), least(u, v)))"),
+                F.lit(0),
+            ).alias("s"),
+        ).collect()[0]
+        return int(row["n"]), int(row["s"])
+
+    e = _chk(e)
+    prev = _canon_sig(e)
+    for _ in range(max_iter):
+        # large-star: every node u connects its strictly-larger
+        # neighbors to min(N(u) + {u})
+        bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
+        )
+        e = (
+            bidir.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: direct edges large->small; every node u connects
+        # its (smaller) neighbors and itself to min(N(u))
+        directed = (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        joined = directed.join(mins, "u")
+        e = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = _chk(e)
+        sig = _canon_sig(e)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # converged edge set is a star forest: u -> component min
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(
+            e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
+    )
+
+
+def neardup_clusters(df: DataFrame, text_col: str = "content",
+                     id_col: str = "doc_id", threshold: float = 0.5,
+                     n_hashes: int = 8, rows_per_band: int = 2,
+                     candidates: DataFrame | None = None,
+                     include_singletons: bool = False) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs ->
+    exact-Jaccard verify at ``threshold`` -> connected components.
+    Returns (doc_id, cluster_id); with ``include_singletons`` every
+    corpus doc appears (un-paired docs cluster to themselves).
+
+    Pass ``candidates`` to skip LSH (e.g. the all-pairs verify on a
+    sample, or pre-computed pairs from another blocking scheme)."""
+    if candidates is None:
+        candidates = minhash_lsh_pairs(
+            df, text_col, id_col, n_hashes, rows_per_band
+        )
+    verified = jaccard_candidate_pairs(
+        df, text_col, id_col, threshold, candidates=candidates
+    )
+    comp = connected_components(verified, "doc_a", "doc_b").select(
+        F.col("node").alias(id_col), "cluster_id"
+    )
+    if include_singletons:
+        comp = (
+            df.select(id_col)
+            .join(comp, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("cluster_id", F.col(id_col).cast("long")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+    return comp
+
+
+def dedup_representatives(df: DataFrame, clusters: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative per near-dup cluster: the smallest doc id
+    of each component survives; docs absent from ``clusters`` (no
+    near-dup pair) survive untouched. One broadcast-or-shuffle left join
+    against the (doc, cluster) frame — the corpus is never collected."""
+    keep = clusters.where(
+        F.col(id_col) == F.col("cluster_id")
+    ).select(id_col)
+    unpaired = df.select(id_col).join(
+        clusters.select(id_col), id_col, "left_anti"
+    )
+    return df.join(keep.union(unpaired), id_col, "left_semi")
