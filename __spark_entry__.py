@@ -3752,6 +3752,160 @@ _CC_COMP_DUCK = (
     "comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"
 )
 
+_BJ_ENGINE_CACHE: dict[str, object] = {}
+
+
+def _blockjoin_engine(spark: SparkSession, sf_dir: str):
+    """Engine with a relational block structure over the documents
+    table: docs with doc_id % 5 == 0 are parents; every other doc's
+    metadata carries Parent_Path = doc/<preceding multiple of 5> (the
+    table-shaped Lucene block / Solr _root_). Content and analyzer are
+    identical to _docs_engine, so BM25 stats match _RAW_BM25_CTES."""
+    if sf_dir in _BJ_ENGINE_CACHE:
+        return _BJ_ENGINE_CACHE[sf_dir]
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.create_map(
+                F.lit("Parent_Path"),
+                F.array(
+                    F.concat(
+                        F.lit("doc/"),
+                        (F.col("doc_id") - F.col("doc_id") % 5).cast(
+                            "string"
+                        ),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.create_map().cast("map<string, array<string>>")
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_bj_eng_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("parent-path",),
+    )
+    eng.extract(corpus, build_id="entry-bj-eng")
+    _BJ_ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def _q_blockjoin_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!parent} / ToParentBlockJoinQuery through the REAL engine:
+    parents of children matching 'spark', ScoreMode=max — each parent
+    scores its best matching child."""
+    eng = _blockjoin_engine(spark, sf_dir)
+    hits = eng.parent_search("spark", "parent-path", k=10**9,
+                             score_mode="max")
+    pmap = _eng_pmap(eng)
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_BJ_PARENT_DUCK = f"""
+{_RAW_BM25_CTES},
+cm AS (SELECT doc_id, sum(term_score) AS s FROM sc
+       WHERE term = 'spark' GROUP BY doc_id),
+par AS (SELECT (doc_id - doc_id % 5) AS pid, max(s) AS score
+        FROM cm WHERE doc_id % 5 <> 0 GROUP BY (doc_id - doc_id % 5))
+SELECT CAST(pid AS BIGINT) AS doc_id, ROUND(score, 4) AS score FROM par
+ORDER BY ROUND(score, 6) DESC, pid ASC LIMIT 10
+"""
+
+_PAIRS["q93_blockjoin_parent"] = ("", _BJ_PARENT_DUCK)
+
+
+def _q_blockjoin_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!child} / ToChildBlockJoinQuery through the REAL engine:
+    children of parents matching 'spark join' (conjunctive), each child
+    inheriting its parent's BM25."""
+    eng = _blockjoin_engine(spark, sf_dir)
+    hits = eng.child_search("spark join", "parent-path", k=10**9)
+    pmap = _eng_pmap(eng)
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )[:20]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_BJ_CHILD_DUCK = f"""
+{_RAW_BM25_CTES},
+pm AS (SELECT doc_id, sum(term_score) AS s FROM sc
+       WHERE term IN ('spark', 'join')
+       GROUP BY doc_id HAVING count(*) = 2),
+par AS (SELECT doc_id AS pid, s FROM pm WHERE doc_id % 5 = 0),
+ch AS (SELECT d.doc_id, p.s FROM documents d
+       JOIN par p ON (d.doc_id - d.doc_id % 5) = p.pid
+       WHERE d.doc_id % 5 <> 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(s, 4) AS score FROM ch
+ORDER BY ROUND(s, 6) DESC, doc_id ASC LIMIT 20
+"""
+
+_PAIRS["q94_blockjoin_child"] = ("", _BJ_CHILD_DUCK)
+
+
+def _q_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr function-query language through the REAL engine: edismax
+    bf=sum(recip(n-chars,1,1000,1000), product(0.001, n-chars)) — a
+    length-decay plus a linear length reward composed in the value-
+    source expression language, compiled to ONE Catalyst column over
+    the narrowed metadata pivot and added to conjunctive BM25."""
+    eng = _docs_engine(spark, sf_dir)
+    hits = eng.function_query_search(
+        "spark",
+        "sum(recip(n-chars,1,1000,1000), product(0.001, n-chars))",
+        k=10**9,
+    )
+    pmap = _eng_pmap(eng)
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_FUNCQUERY_DUCK = f"""
+{_RAW_BM25_CTES},
+main AS (SELECT doc_id, sum(term_score) AS s FROM sc
+         WHERE term = 'spark' GROUP BY doc_id),
+fx AS (SELECT m.doc_id,
+              m.s + (1000.0 / (1.0 * d.n_chars + 1000.0)
+                     + 0.001 * d.n_chars) AS s2
+       FROM main m JOIN documents d USING (doc_id))
+SELECT doc_id, ROUND(s2, 4) AS score FROM fx
+ORDER BY ROUND(s2, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q92_function_query"] = ("", _FUNCQUERY_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -3834,6 +3988,9 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_phonetic_expand": _q_phonetic_expand,
     "q90_neardup_clusters": _q_neardup_clusters,
     "q91_dedup_representatives": _q_dedup_representatives,
+    "q92_function_query": _q_function_query,
+    "q93_blockjoin_parent": _q_blockjoin_parent,
+    "q94_blockjoin_child": _q_blockjoin_child,
 }
 
 

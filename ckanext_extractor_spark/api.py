@@ -2565,6 +2565,133 @@ class ExtractorEngine:
         )
         return [int(r["doc_id"]) for r in rows]
 
+    _BLOCKJOIN_SCORE_MODES = ("max", "total", "avg", "min", "none")
+
+    def parent_search(
+        self,
+        child_query: str,
+        of_field: str,
+        k: int = 10,
+        score_mode: str = "max",
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Block join, child->parent — Solr ``{!parent}`` / Lucene
+        ToParentBlockJoinQuery: the PARENTS of children matching
+        ``child_query``, scored by ``score_mode`` over each parent's
+        matching-child scores (Lucene ScoreMode: ``max`` default,
+        ``total`` = sum, ``avg``, ``min``, ``none`` = 1.0). Lucene
+        identifies blocks positionally (children precede their parent
+        in the segment); this engine is relational, so a child carries
+        its parent's ``path`` in metadata ``of_field`` — the natural
+        translation of ``_root_`` to a table-shaped corpus.
+
+        Distributed shape: scored child match kernel (k=None) ⋈
+        child-side EAV(of_field) -> ONE hash aggregate per parent key ->
+        join doc_stats on path to resolve the parent doc -> TakeOrdered
+        k. The match set and child-score frame never reach the driver."""
+        self._check_access("extractor_search")
+        _require_query(child_query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(of_field, str) or not of_field.strip():
+            raise ValidationError(
+                f"of_field must be a non-empty string, got {of_field!r}"
+            )
+        if score_mode not in self._BLOCKJOIN_SCORE_MODES:
+            raise ValidationError(
+                f"score_mode must be one of {self._BLOCKJOIN_SCORE_MODES},"
+                f" got {score_mode!r}"
+            )
+        mm = self._match_and_meta(child_query, conjunctive, min_match,
+                                  scored=True)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        child_scores = per_doc.select("doc_id", "score").join(
+            dm.where(F.col("field") == of_field)
+            .select("doc_id", F.col("value").alias("_ppath")),
+            "doc_id",
+        )
+        agg = {
+            "max": F.max("score"),
+            "total": F.sum("score"),
+            "avg": F.avg("score"),
+            "min": F.min("score"),
+            "none": F.lit(1.0),
+        }[score_mode]
+        per_parent = child_scores.groupBy("_ppath").agg(
+            agg.alias("score")
+        )
+        ds = self._read_or_none("doc_stats")
+        if ds is None:
+            return []
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        rows = (
+            per_parent.join(
+                ds.select("doc_id", F.col("path").alias("_ppath")),
+                "_ppath",
+            )
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def child_search(
+        self,
+        parent_query: str,
+        of_field: str,
+        k: int = 10,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Block join, parent->child — Solr ``{!child}`` / Lucene
+        ToChildBlockJoinQuery: the CHILDREN of parents matching
+        ``parent_query``, each child scoring its parent's BM25 (Lucene
+        propagates the parent score to every child). Same relational
+        block encoding as :meth:`parent_search` (child metadata
+        ``of_field`` = parent ``path``).
+
+        Distributed shape: scored parent match kernel -> doc_stats path
+        resolve -> ONE equi-join against the child-side EAV rows ->
+        TakeOrdered k."""
+        self._check_access("extractor_search")
+        _require_query(parent_query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(of_field, str) or not of_field.strip():
+            raise ValidationError(
+                f"of_field must be a non-empty string, got {of_field!r}"
+            )
+        mm = self._match_and_meta(parent_query, conjunctive, min_match,
+                                  scored=True)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        ds = self._read_or_none("doc_stats")
+        if ds is None:
+            return []
+        parents = per_doc.select("doc_id", "score").join(
+            ds.select("doc_id", F.col("path").alias("_ppath")), "doc_id"
+        ).select("_ppath", "score")
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        rows = (
+            dm.where(F.col("field") == of_field)
+            .select("doc_id", F.col("value").alias("_ppath"))
+            .join(parents, "_ppath")
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def search_distributed(
         self,
         query: str,
@@ -4452,6 +4579,98 @@ class ExtractorEngine:
             per_doc.select("doc_id", "score")
             .join(bf, "doc_id", "left")
             .select("doc_id", boosted.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def function_query_search(
+        self,
+        query: str,
+        boost_expr: str,
+        k: int = 10,
+        weight: float = 1.0,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+        multiplicative: bool = False,
+    ) -> list[tuple[int, float]]:
+        """Function-query boosting with the full Solr value-source
+        expression language — edismax ``bf=<expr>`` (additive) /
+        ``boost=<expr>`` (multiplicative) where ``<expr>`` composes
+        ``sum/sub/product/div/min/max/abs/log/ln/sqrt/pow/recip/if/
+        exists/field`` over metadata fields and literals (e.g.
+        ``recip(n-chars,1,1000,1000)`` length decay,
+        ``if(exists(popularity),product(popularity,2),1)``).
+
+        The expression parses ONCE on the driver and compiles to ONE
+        Catalyst column; field references resolve from a conditional-
+        aggregate pivot of the metadata EAV rows NARROWED to exactly the
+        referenced fields, left-joined to the scored k=None match
+        kernel, then a single TakeOrdered materializes k rows — no
+        per-row Python, no driver-side match set. Missing/non-numeric
+        field values read 0.0 (Lucene FunctionValues parity);
+        ``boosted_search(boost_field=f)`` is the one-field special case
+        of this."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        _require_bool("multiplicative", multiplicative)
+        if isinstance(weight, bool) or not isinstance(weight, (int, float)):
+            raise ValidationError(f"weight must be a number, got {weight!r}")
+        from ckanext_extractor_spark.operators.funcquery import (
+            FuncQuerySyntaxError,
+            compile_funcquery,
+            parse_funcquery,
+            referenced_fields,
+        )
+
+        try:
+            ast = parse_funcquery(boost_expr)
+        except FuncQuerySyntaxError as e:
+            raise ValidationError(f"bad boost_expr: {e}") from e
+        fields = sorted(referenced_fields(ast))
+        mm = self._match_and_meta(query, conjunctive, min_match, scored=True)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        rows_df = per_doc.select("doc_id", "score")
+        if fields:
+            # one narrow pivot: <=len(fields) conditional MAX aggregates
+            pivot = dm.where(F.col("field").isin(fields)).groupBy(
+                "doc_id"
+            ).agg(
+                *[
+                    F.max(
+                        F.when(
+                            F.col("field") == f_,
+                            F.col("value").try_cast("double"),
+                        )
+                    ).alias(f"_f{i}")
+                    for i, f_ in enumerate(fields)
+                ]
+            )
+            rows_df = rows_df.join(pivot, "doc_id", "left")
+            colmap = {f_: F.col(f"_f{i}") for i, f_ in enumerate(fields)}
+        else:
+            colmap = {}
+
+        def field_col(name: str):
+            if name not in colmap:
+                raise AssertionError(name)  # referenced_fields covers all
+            return colmap[name]
+
+        bv = compile_funcquery(ast, field_col)
+        if multiplicative:
+            boosted = F.col("score") * F.lit(float(weight)) * bv
+        else:
+            boosted = F.col("score") + F.lit(float(weight)) * bv
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        rows = (
+            rows_df.select("doc_id", boosted.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()

@@ -109,14 +109,41 @@ def cmd_query(args) -> int:
             print(json.dumps({"rank": rank, "doc_id": doc_id,
                               "score": round(score, 6)}))
         return 0
+    if args.parent_of:
+        hits = eng.parent_search(
+            args.q, args.parent_of, k=args.k, score_mode=args.score_mode,
+            conjunctive=not args.use_or, min_match=args.min_match,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6)}))
+        return 0
+    if args.child_of:
+        hits = eng.child_search(
+            args.q, args.child_of, k=args.k,
+            conjunctive=not args.use_or, min_match=args.min_match,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6)}))
+        return 0
     if args.bf or args.boost:
         spec = args.bf or args.boost
-        field, _, w = spec.partition("^")
-        hits = eng.boosted_search(
-            args.q, field, k=args.k, weight=float(w) if w else 1.0,
-            conjunctive=not args.use_or, min_match=args.min_match,
-            multiplicative=bool(args.boost),
-        )
+        multiplicative = bool(args.boost)
+        if "(" in spec:
+            # full value-source expression (Solr bf=recip(...,1,1,1))
+            hits = eng.function_query_search(
+                args.q, spec, k=args.k,
+                conjunctive=not args.use_or, min_match=args.min_match,
+                multiplicative=multiplicative,
+            )
+        else:
+            field, _, w = spec.partition("^")
+            hits = eng.boosted_search(
+                args.q, field, k=args.k, weight=float(w) if w else 1.0,
+                conjunctive=not args.use_or, min_match=args.min_match,
+                multiplicative=multiplicative,
+            )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id,
                               "score": round(score, 6)}))
@@ -536,14 +563,30 @@ def main(argv=None) -> int:
     q.add_argument("--elevate-exclude", dest="elevate_exclude",
                    default=None, metavar="ID,ID",
                    help="query elevation: excluded doc ids")
+    q.add_argument("--parent-of", dest="parent_of", default=None,
+                   metavar="FIELD",
+                   help="block join {!parent}: --q matches CHILDREN; "
+                        "return their parents (child metadata FIELD = "
+                        "parent path)")
+    q.add_argument("--child-of", dest="child_of", default=None,
+                   metavar="FIELD",
+                   help="block join {!child}: --q matches PARENTS; "
+                        "return their children with the parent's score")
+    q.add_argument("--score-mode", dest="score_mode", default="max",
+                   choices=["max", "total", "avg", "min", "none"],
+                   help="block-join ScoreMode for --parent-of")
     q.add_argument("--bq", default=None, metavar="QUERY",
                    help="edismax bq: additive boost query")
     q.add_argument("--bq-weight", dest="bq_weight", type=float,
                    default=1.0, help="weight for --bq")
-    q.add_argument("--bf", default=None, metavar="FIELD^W",
-                   help="edismax bf: additive function boost")
-    q.add_argument("--boost", default=None, metavar="FIELD^W",
-                   help="edismax boost: multiplicative function boost")
+    q.add_argument("--bf", default=None, metavar="FIELD^W|EXPR",
+                   help="edismax bf: additive function boost — a field "
+                        "(FIELD^W) or a full value-source expression "
+                        "(sum/product/div/recip/if/exists/... over "
+                        "fields, e.g. recip(n-chars,1,1000,1000))")
+    q.add_argument("--boost", default=None, metavar="FIELD^W|EXPR",
+                   help="edismax boost: multiplicative function boost "
+                        "(field or value-source expression)")
     q.add_argument("--snippets", action="store_true",
                    help="include highlight windows (store_content index)")
     q.add_argument("--hl-count", dest="hl_count", type=int, default=1,
