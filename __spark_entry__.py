@@ -3906,6 +3906,358 @@ ORDER BY ROUND(s2, 6) DESC, doc_id ASC LIMIT 10
 _PAIRS["q92_function_query"] = ("", _FUNCQUERY_DUCK)
 
 
+def _q_json_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JSON Facet API through the REAL engine: terms buckets over
+    lang (limit 5, count sort) each carrying an avg(n-chars) statistic,
+    a nested query facet ('join' within the bucket), and a nested terms
+    sub-facet over source-name (limit 3) — plus a top-level
+    sum(n-chars). Flattened to one row per (lang bucket, src
+    sub-bucket); the oracle reproduces the bucket pruning with
+    row_number windows."""
+    eng = _docs_engine(spark, sf_dir)
+    out = eng.json_facets("spark", {
+        "total_chars": "sum(n-chars)",
+        "langs": {"type": "terms", "field": "lang", "limit": 5, "facet": {
+            "avg_chars": "avg(n-chars)",
+            "has_join": {"type": "query", "q": "join"},
+            "srcs": {"type": "terms", "field": "source-name", "limit": 3},
+        }},
+    })
+    rows = []
+    for b in out["langs"]["buckets"]:
+        for sb in b["srcs"]["buckets"]:
+            rows.append((
+                b["val"], int(b["count"]),
+                float(round(b["avg_chars"], 4)),
+                int(b["has_join"]["count"]), sb["val"], int(sb["count"]),
+                float(round(out["total_chars"], 4)),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "lang string, lcnt long, avg_chars double, has_join long, "
+        "src string, scnt long, total_chars double",
+    )
+
+
+_JSON_FACETS_DUCK = f"""
+WITH tok AS ({{tok}}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+j AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'join'),
+tot AS (SELECT SUM(CAST(d.n_chars AS DOUBLE)) AS total
+        FROM documents d JOIN m USING (doc_id)),
+lv AS (SELECT d.lang AS lang, count(*) AS lcnt,
+              avg(CAST(d.n_chars AS DOUBLE)) AS avg_chars,
+              count(CASE WHEN j.doc_id IS NOT NULL THEN 1 END) AS hj
+       FROM documents d JOIN m USING (doc_id)
+       LEFT JOIN j ON d.doc_id = j.doc_id
+       GROUP BY d.lang),
+lk AS (SELECT *, row_number() OVER (ORDER BY lcnt DESC, lang ASC) AS rn
+       FROM lv),
+sv AS (SELECT d.lang AS lang, d.source AS src, count(*) AS scnt
+       FROM documents d JOIN m USING (doc_id)
+       GROUP BY d.lang, d.source),
+sk AS (SELECT sv.*, row_number() OVER (
+           PARTITION BY lang ORDER BY scnt DESC, src ASC) AS srn
+       FROM sv)
+SELECT k.lang, CAST(k.lcnt AS BIGINT) AS lcnt,
+       ROUND(k.avg_chars, 4) AS avg_chars,
+       CAST(k.hj AS BIGINT) AS has_join,
+       s.src, CAST(s.scnt AS BIGINT) AS scnt,
+       ROUND((SELECT total FROM tot), 4) AS total_chars
+FROM lk k JOIN sk s ON s.lang = k.lang AND s.srn <= 3
+WHERE k.rn <= 5
+ORDER BY k.rn, s.srn
+"""
+
+_PAIRS["q95_json_facets"] = ("", _JSON_FACETS_DUCK.format(tok=DUCK_TOK))
+
+
+def _q_json_facets_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet API range buckets through the REAL engine: n-chars
+    over [0, 500) gap 100, mincount=0 zero-fill (Solr default), each
+    bucket carrying a max(n-chars) statistic (null on empty buckets)."""
+    eng = _docs_engine(spark, sf_dir)
+    out = eng.json_facets("spark", {
+        "sizes": {"type": "range", "field": "n-chars",
+                  "start": 0, "end": 500, "gap": 100,
+                  "facet": {"mx": "max(n-chars)"}},
+    })
+    rows = [
+        (float(b["val"]), int(b["count"]),
+         None if b["mx"] is None else float(b["mx"]))
+        for b in out["sizes"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "lo double, cnt long, mx double")
+
+
+_JSON_FACETS_RANGE_DUCK = f"""
+WITH tok AS ({{tok}}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT CAST(d.n_chars AS DOUBLE) AS v
+      FROM documents d JOIN m USING (doc_id)),
+b AS (SELECT CAST(lo AS DOUBLE) AS lo FROM range(0, 500, 100) t(lo)),
+c AS (SELECT 100.0 * floor(v / 100.0) AS lo,
+             CAST(count(*) AS BIGINT) AS cnt, MAX(v) AS mx
+      FROM v WHERE v >= 0 AND v < 500 GROUP BY 1)
+SELECT b.lo, COALESCE(c.cnt, 0) AS cnt, c.mx
+FROM b LEFT JOIN c USING (lo) ORDER BY b.lo
+"""
+
+_PAIRS["q96_json_facets_range"] = (
+    "", _JSON_FACETS_RANGE_DUCK.format(tok=DUCK_TOK)
+)
+
+
+_GRAPH_ENGINE_CACHE: dict[str, object] = {}
+
+
+def _graph_engine(spark: SparkSession, sf_dir: str):
+    """Engine whose documents chain forward: doc i carries
+    Next_Path = doc/<i+1> unless i+1 is a multiple of 50 (chains of 50
+    docs). Same content/analyzer as _docs_engine so the root match set
+    is the plain 'spark' token set."""
+    if sf_dir in _GRAPH_ENGINE_CACHE:
+        return _GRAPH_ENGINE_CACHE[sf_dir]
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.when(
+            (F.col("doc_id") + 1) % 50 != 0,
+            F.create_map(
+                F.lit("Next_Path"),
+                F.array(
+                    F.concat(
+                        F.lit("doc/"),
+                        (F.col("doc_id") + 1).cast("string"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.create_map().cast("map<string, array<string>>")
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_graph_eng_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("next-path",),
+    )
+    eng.extract(corpus, build_id="entry-graph-eng")
+    _GRAPH_ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def _q_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!graph} through the REAL engine: fixpoint traversal from
+    the 'spark' match set following next-path edges (iterative
+    frontier joins, cycle-safe, lineage-checkpointed per round); the
+    oracle is a DuckDB RECURSIVE CTE over the same chain structure
+    (edges exist only to docs that exist — i+1 <= max(doc_id))."""
+    eng = _graph_engine(spark, sf_dir)
+    hits = eng.graph_search("spark", "next-path")
+    pmap = _eng_pmap(eng)
+    return spark.createDataFrame(
+        [(int(pmap[d]),) for d in hits], "doc_id long"
+    )
+
+
+_GRAPH_DUCK = f"""
+WITH RECURSIVE tok AS ({DUCK_TOK}),
+roots AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+reach(doc_id) AS (
+  SELECT doc_id FROM roots
+  UNION
+  SELECT r.doc_id + 1 FROM reach r, mx
+  WHERE (r.doc_id + 1) % 50 <> 0 AND r.doc_id + 1 <= mx.m
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM reach ORDER BY doc_id
+"""
+
+_PAIRS["q97_graph_traversal"] = ("", _GRAPH_DUCK)
+
+
+def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr streaming expression through the REAL engine:
+    rollup(search(...), over=lang, sum(n-chars), count(*)) — the whole
+    dataflow compiles to ONE Catalyst plan (match kernel -> stored-field
+    join -> hash aggregate); Solr would run it as a pipelined
+    tuple-stream worker graph."""
+    eng = _docs_engine(spark, sf_dir)
+    df = eng.stream_expr(
+        'rollup(search(idx, q="spark", fl="doc_id,lang,n-chars"), '
+        'over="lang", sum(n-chars), count(*))'
+    )
+    from pyspark.sql import functions as F
+
+    return df.toDF("lang", "sum_chars", "cnt").select(
+        "lang", F.round("sum_chars", 4).alias("sum_chars"), "cnt"
+    )
+
+
+_STREAM_ROLLUP_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+g AS (SELECT d.lang AS lang, SUM(CAST(d.n_chars AS DOUBLE)) AS s,
+             count(*) AS c
+      FROM documents d JOIN m USING (doc_id) GROUP BY d.lang)
+SELECT lang, ROUND(s, 4) AS sum_chars, CAST(c AS BIGINT) AS cnt
+FROM g ORDER BY lang
+"""
+
+_PAIRS["q98_stream_rollup"] = ("", _STREAM_ROLLUP_DUCK)
+
+
+def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-expression join pipeline through the REAL engine:
+    fetch(innerJoin(search(spark, scored), search(join)), n-chars) —
+    docs matching BOTH queries keep the 'spark' BM25 score and are
+    enriched with the stored n-chars field; top-10 taken tie-safely
+    after the pmap translation (the established engine-entry shape)."""
+    eng = _docs_engine(spark, sf_dir)
+    df = eng.stream_expr(
+        'fetch(idx, innerJoin('
+        'search(idx, q="spark", fl="doc_id,score"), '
+        'search(idx, q="join", fl="doc_id"), on="doc_id"), '
+        'fl="n-chars", on="doc_id")'
+    )
+    pmap = _eng_pmap(eng)
+    ranked = sorted(
+        (
+            (pmap[int(r["doc_id"])], float(r["score"]), r["n-chars"])
+            for r in df.collect()
+        ),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        [(d, float(round(s, 4)), nc) for d, s, nc in ranked],
+        "doc_id long, score double, nchars string",
+    )
+
+
+_STREAM_JOIN_DUCK = f"""
+{_RAW_BM25_CTES},
+ms AS (SELECT doc_id, sum(term_score) AS s FROM sc
+       WHERE term = 'spark' GROUP BY doc_id),
+j AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'join'),
+x AS (SELECT ms.doc_id, ms.s, CAST(d.n_chars AS VARCHAR) AS nchars
+      FROM ms JOIN j USING (doc_id) JOIN documents d USING (doc_id))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(s, 4) AS score, nchars
+FROM x ORDER BY ROUND(s, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q99_stream_join"] = ("", _STREAM_JOIN_DUCK)
+
+
+_SPATIAL_ENGINE_CACHE: dict[str, object] = {}
+
+
+def _spatial_engine(spark: SparkSession, sf_dir: str):
+    """Engine whose docs carry a deterministic 'lat,lon' grid point in
+    metadata Loc: lat = (doc_id % 160) - 79.5, lon =
+    ((doc_id * 7) % 350) - 174.5 — .5-offset values round-trip exactly
+    through the string metadata encoding."""
+    if sf_dir in _SPATIAL_ENGINE_CACHE:
+        return _SPATIAL_ENGINE_CACHE[sf_dir]
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lat = (F.col("doc_id") % 160).cast("double") - F.lit(79.5)
+    lon = ((F.col("doc_id") * 7) % 350).cast("double") - F.lit(174.5)
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(
+            F.lit("Loc"),
+            F.array(F.concat(
+                lat.cast("string"), F.lit(","), lon.cast("string")
+            )),
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="entry_spatial_eng_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, indexed_fields=("loc",),
+    )
+    eng.extract(corpus, build_id="entry-spatial-eng")
+    _SPATIAL_ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def _q_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!geofilt} + geodist() through the REAL engine: docs
+    matching 'spark' within 2000 km of (0, 0), distances by the pinned
+    Solr-radius haversine (one Catalyst expression); the oracle
+    recomputes the same great-circle arithmetic from doc_id."""
+    eng = _spatial_engine(spark, sf_dir)
+    hits = eng.spatial_search("spark", "loc", (0.0, 0.0), 2000.0,
+                              k=10**9)
+    pmap = _eng_pmap(eng)
+    rows = sorted(
+        (int(pmap[d]), float(round(dist, 4))) for d, dist in hits
+    )
+    return spark.createDataFrame(rows, "doc_id long, dist_km double")
+
+
+_SPATIAL_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+p AS (SELECT d.doc_id,
+             radians((d.doc_id % 160) - 79.5) AS la,
+             radians(((d.doc_id * 7) % 350) - 174.5) AS lo
+      FROM documents d JOIN m USING (doc_id)),
+h AS (SELECT doc_id,
+             2 * 6371.0087714 * asin(least(1.0, sqrt(
+               pow(sin(la / 2), 2)
+               + cos(0.0) * cos(la) * pow(sin(lo / 2), 2)
+             ))) AS dist
+      FROM p)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(dist, 4) AS dist_km
+FROM h WHERE dist <= 2000.0 ORDER BY doc_id
+"""
+
+_PAIRS["q100_spatial"] = ("", _SPATIAL_DUCK)
+
+
+def _q_terms_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr terms.regex + terms.sort=index through the REAL engine:
+    full-match dictionary filter (rlike '^(?:s.*m)$' after the pushed
+    prefix) listed in index order."""
+    eng = _docs_engine(spark, sf_dir)
+    rows = eng.terms(regex="s.*m", limit=15, sort="index")
+    return spark.createDataFrame(
+        [(t, int(d)) for t, d in rows], "term string, df long"
+    )
+
+
+_TERMS_REGEX_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE regexp_full_match(term, 's.*m') GROUP BY term)
+SELECT term, df FROM d ORDER BY term ASC LIMIT 15
+"""
+
+_PAIRS["q101_terms_regex"] = ("", _TERMS_REGEX_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -3991,6 +4343,13 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_function_query": _q_function_query,
     "q93_blockjoin_parent": _q_blockjoin_parent,
     "q94_blockjoin_child": _q_blockjoin_child,
+    "q95_json_facets": _q_json_facets,
+    "q96_json_facets_range": _q_json_facets_range,
+    "q97_graph_traversal": _q_graph_traversal,
+    "q98_stream_rollup": _q_stream_rollup,
+    "q99_stream_join": _q_stream_join,
+    "q100_spatial": _q_spatial,
+    "q101_terms_regex": _q_terms_regex,
 }
 
 

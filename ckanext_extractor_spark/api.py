@@ -2692,6 +2692,277 @@ class ExtractorEngine:
         )
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
+    _GRAPH_MAX_ROUNDS = 100
+
+    def graph_search(
+        self,
+        root_query: str,
+        from_field: str,
+        to_field: str = "path",
+        max_depth: int = -1,
+        return_root: bool = True,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[int]:
+        """Graph traversal — Solr ``{!graph from=f to=t maxDepth=n
+        returnRoot=bool}rootquery`` (Lucene GraphQuery; the same
+        semantics as the ``nodes()`` graph streaming expression): start
+        from the docs matching ``root_query`` and repeatedly follow
+        edges doc A -> doc B where A's metadata ``from_field`` value
+        equals B's node key (``to_field``: a metadata field, or the
+        default ``"path"`` = the doc's path in doc_stats — Solr's
+        ``to=id``). Returns the reachable doc ids sorted ascending —
+        GraphQuery is a constant-score filter, so there are no scores.
+        ``max_depth=-1`` traverses to the fixpoint; ``max_depth=0`` is
+        just the root set; ``return_root=False`` drops roots unless
+        re-reached through an edge (Solr parity). Cycles terminate: the
+        frontier is anti-joined against the visited set each round.
+
+        Distributed shape: per-round frontier ⋈ EAV(from_field) ->
+        values ⋈ node-key frame -> new docs, anti-join visited, union;
+        per-round localCheckpoint truncates the iterative lineage (the
+        connected-components pattern, dedup.py). The visited set stays
+        cluster-side until the final collect; rounds = graph depth, and
+        each round is two equi-joins + one anti-join."""
+        self._check_access("extractor_search")
+        _require_query(root_query)
+        _require_bool("return_root", return_root)
+        _require_bool("conjunctive", conjunctive)
+        for nm, v in (("from_field", from_field), ("to_field", to_field)):
+            if not isinstance(v, str) or not v.strip():
+                raise ValidationError(
+                    f"{nm} must be a non-empty string, got {v!r}"
+                )
+        if isinstance(max_depth, bool) or not isinstance(max_depth, int) \
+                or max_depth < -1:
+            raise ValidationError(
+                f"max_depth must be -1 (unlimited) or >= 0,"
+                f" got {max_depth!r}"
+            )
+        mm = self._match_and_meta(root_query, conjunctive, min_match)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        roots = per_doc.select("doc_id")
+        if max_depth == 0:
+            return sorted(
+                int(r["doc_id"]) for r in roots.collect()
+            ) if return_root else []
+        # multi-valued metadata was collapsed to ', '-joined scalars at
+        # extract (tasks.py:89-95 parity) — split edge fields back so a
+        # doc can carry several outgoing edges (Solr from is typically
+        # multiValued); pinned: edge values must not contain ', '
+        edges_from = dm.where(F.col("field") == from_field).select(
+            "doc_id",
+            F.explode(F.split(F.col("value"), ", ")).alias("value"),
+        )
+        if to_field == "path":
+            ds = self._read_or_none("doc_stats")
+            if ds is None:
+                return []
+            node_key = ds.select(
+                F.col("path").alias("value"),
+                F.col("doc_id").alias("_dst"),
+            )
+        else:
+            node_key = dm.where(F.col("field") == to_field).select(
+                F.explode(F.split(F.col("value"), ", ")).alias("value"),
+                F.col("doc_id").alias("_dst"),
+            )
+        frontier = roots.localCheckpoint(eager=True)
+        visited = frontier
+        depth = 0
+        limit = max_depth if max_depth != -1 else self._GRAPH_MAX_ROUNDS
+        while depth < limit:
+            step = (
+                frontier.join(edges_from, "doc_id")
+                .select("value")
+                .distinct()
+                .join(node_key, "value")
+                .select(F.col("_dst").alias("doc_id"))
+                .distinct()
+            )
+            new = step.join(visited, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new.isEmpty():
+                break
+            visited = visited.union(new).localCheckpoint(eager=True)
+            frontier = new
+            depth += 1
+        else:
+            if max_depth == -1:
+                raise RuntimeError(
+                    f"graph traversal did not converge within "
+                    f"{self._GRAPH_MAX_ROUNDS} rounds"
+                )
+        out = visited
+        if not return_root:
+            # roots stay only if some edge re-reaches them
+            reached = visited.join(roots, "doc_id", "left_anti")
+            re_reached = (
+                visited.join(edges_from, "doc_id")
+                .select("value")
+                .distinct()
+                .join(node_key, "value")
+                .select(F.col("_dst").alias("doc_id"))
+                .distinct()
+                .join(roots, "doc_id", "left_semi")
+            )
+            out = reached.union(re_reached).distinct()
+        return sorted(int(r["doc_id"]) for r in out.collect())
+
+    def stream_expr(self, expr: str) -> DataFrame:
+        """Solr streaming expressions (/stream) compiled to ONE lazy
+        DataFrame plan — ``search``/``select``/``innerJoin``/
+        ``leftOuterJoin``/``hashJoin``/``rollup``/``sort``/``top``/
+        ``unique``/``merge``/``intersect``/``complement``/``having``/
+        ``fetch`` (grammar, semantics, and pinned divergences in
+        :mod:`ckanext_extractor_spark.operators.streamexpr`). Solr
+        executes these as a pipelined tuple-stream graph across worker
+        nodes; here the whole dataflow compiles to a Catalyst plan, so
+        joins reorder, filters push down, rollups aggregate two-phase,
+        and ``hashJoin`` broadcasts its hashed side — nothing runs until
+        the caller acts on the returned DataFrame.
+
+        ``search(col, q=, fl=, sort=, rows=)``: the collection name is
+        accepted and ignored (this engine is the collection); ``q`` is
+        the engine's query language (conjunctive analyzed terms);
+        ``fl`` may name ``doc_id``, ``score``, ``path``, and metadata
+        fields (raw collapsed values). ``fetch(col, s, fl=, on=)``
+        left-joins stored fields onto a stream."""
+        self._check_access("extractor_search")
+        from ckanext_extractor_spark.operators.streamexpr import (
+            Node,
+            Num,
+            Str,
+            StreamExprError,
+            compile_stream,
+            parse_stream_expr,
+        )
+
+        try:
+            ast = parse_stream_expr(expr)
+        except StreamExprError as e:
+            raise ValidationError(f"bad stream expression: {e}") from e
+
+        def fields_frame(fields: list[str]) -> DataFrame | None:
+            """doc_id + stored fields for every live doc (path from
+            doc_stats, metadata pivot for the rest)."""
+            ds = self._read_or_none("doc_stats")
+            if ds is None:
+                return None
+            cols = [F.col("doc_id")]
+            meta = [f_ for f_ in fields if f_ not in ("doc_id", "path")]
+            if "path" in fields:
+                cols.append(F.col("path"))
+            out = ds.select(*cols)
+            if meta:
+                if "metadata" not in ds.columns:
+                    for f_ in meta:
+                        out = out.withColumn(
+                            f_, F.lit(None).cast("string")
+                        )
+                else:
+                    dm = ds.select(
+                        "doc_id",
+                        F.explode(F.col("metadata")).alias(
+                            "field", "value"
+                        ),
+                    )
+                    pivot = dm.where(F.col("field").isin(meta)).groupBy(
+                        "doc_id"
+                    ).agg(
+                        *[
+                            F.max(
+                                F.when(
+                                    F.col("field") == f_, F.col("value")
+                                )
+                            ).alias(f_)
+                            for f_ in meta
+                        ]
+                    )
+                    out = out.join(pivot, "doc_id", "left")
+            return out.select(
+                "doc_id", *[f_ for f_ in fields if f_ != "doc_id"]
+            )
+
+        def provider(node: Node) -> DataFrame:
+            fl_raw = node.params.get("fl")
+            if not isinstance(fl_raw, Str) or not fl_raw.value.strip():
+                raise StreamExprError(f"{node.name}() needs fl=\"...\"")
+            fl = [s.strip() for s in fl_raw.value.split(",") if s.strip()]
+            if node.name == "_fetch":
+                if "score" in fl:
+                    raise StreamExprError(
+                        "fetch(): score is not a stored field"
+                    )
+                frame = fields_frame(list(dict.fromkeys(["doc_id"] + fl)))
+                if frame is None:
+                    raise StreamExprError("fetch(): no index to fetch from")
+                return frame
+            if len(node.args) != 1 or not isinstance(node.args[0], Str):
+                raise StreamExprError(
+                    "search(collection, q=..., fl=...) needs a "
+                    "collection name"
+                )
+            q = node.params.get("q")
+            if not isinstance(q, Str) or not q.value.strip():
+                raise StreamExprError("search() needs q=\"...\"")
+            per_doc = self._match_docs(q.value, True, None, scored=True)
+            stored = [f_ for f_ in fl if f_ not in ("doc_id", "score")]
+            if per_doc is None:
+                schema = ", ".join(
+                    f"`{f_}` double" if f_ == "score" else (
+                        f"`{f_}` long" if f_ == "doc_id"
+                        else f"`{f_}` string"
+                    )
+                    for f_ in fl
+                )
+                return self.spark.createDataFrame([], schema)
+            frame = per_doc.select("doc_id", "score")
+            if stored:
+                sf_frame = fields_frame(["doc_id"] + stored)
+                if sf_frame is not None:
+                    frame = frame.join(sf_frame, "doc_id", "left")
+                else:
+                    for f_ in stored:
+                        frame = frame.withColumn(
+                            f_, F.lit(None).cast("string")
+                        )
+            frame = frame.select(*fl)
+            sort = node.params.get("sort")
+            if sort is not None:
+                from ckanext_extractor_spark.operators.streamexpr import (
+                    _sort_cols,
+                )
+
+                if not isinstance(sort, Str):
+                    raise StreamExprError("search(): bad sort=")
+                frame = frame.orderBy(*_sort_cols(sort.value))
+            rows = node.params.get("rows")
+            if rows is not None:
+                if not isinstance(rows, Num) or rows.value <= 0 or \
+                        rows.value != int(rows.value):
+                    raise StreamExprError(
+                        "search(): rows= must be a positive integer"
+                    )
+                frame = frame.limit(int(rows.value))
+            return frame
+
+        try:
+            return compile_stream(ast, provider)
+        except StreamExprError as e:
+            raise ValidationError(f"bad stream expression: {e}") from e
+
+    def stream(self, expr: str, max_rows: int = 1000) -> list[dict]:
+        """Collect a streaming expression's tuples (the /stream HTTP
+        response analog) — ``max_rows`` bounds driver materialization;
+        use :meth:`stream_expr` for the unbounded DataFrame."""
+        _require_k(max_rows)
+        df = self.stream_expr(expr)
+        return [r.asDict() for r in df.limit(max_rows).collect()]
+
     def search_distributed(
         self,
         query: str,
@@ -4677,6 +4948,384 @@ class ExtractorEngine:
         )
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
+    def json_facets(
+        self,
+        query: str,
+        spec: dict,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> dict:
+        """Solr JSON Facet API (``json.facet={...}``) — the recursive
+        facet spec that supersedes flat facet.field/facet.pivot in the
+        Solr the reference indexes into (plugin.py IPackageController
+        feeds the same index CKAN's package_search facets over): *terms*
+        / *range* / *query* bucket facets carrying per-bucket statistics
+        (``"avg_len": "avg(n-chars)"``) and arbitrarily nested
+        sub-facets, with buckets sortable by any sibling statistic
+        (``"sort": {"avg_len": "desc"}``).
+
+        Spec grammar, semantics, and pinned divergences are documented
+        in :mod:`ckanext_extractor_spark.operators.jsonfacet` (the
+        validator/parser/stat-compiler). Response shape is Solr's:
+        ``{"count": N, <stat>: value, <query>: {"count": n},
+        <terms/range>: {"buckets": [{"val": v, "count": n,
+        <substat>: x, <subfacet>: {...}}, ...]}}``.
+
+        Distributed shape (the pivot_facets design generalized): ONE
+        persisted wide frame = match set ⋈ metadata pivot narrowed to
+        the referenced stat fields ⋈ one match-flag column per distinct
+        query-facet q; then ONE hash-aggregate job per bucket node —
+        grouped by the node's bucket path, pruned to the parent's kept
+        buckets by a broadcast join (≤ the product of limits rows),
+        window-top-k per parent (count/index/any sibling stat as the
+        key) — so the driver only ever materializes bucket rows, never
+        match sets. Range facets zero-fill their bucket spine
+        (mincount=0 Solr default) from a driver-built starts frame
+        (≤ 10k buckets, ≤ 100k parent×bucket rows enforced)."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_bool("conjunctive", conjunctive)
+        import math
+
+        from pyspark.sql.window import Window
+
+        from ckanext_extractor_spark.operators.jsonfacet import (
+            JsonFacetError,
+            parse_facet_spec,
+            referenced_queries,
+            referenced_stat_fields,
+            stat_column,
+        )
+
+        try:
+            fs = parse_facet_spec(spec)
+        except JsonFacetError as e:
+            raise ValidationError(f"bad json.facet spec: {e}") from e
+
+        def shell(fset, count: int) -> dict:
+            out: dict = {"count": count}
+            for name in fset.stats:
+                out[name] = None
+            for name in fset.queries:
+                out[name] = {"count": 0}
+            for name in fset.buckets:
+                out[name] = {"buckets": []}
+            return out
+
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
+            return shell(fs, 0)
+        per_doc, dm = mm
+        num_fields, raw_fields = referenced_stat_fields(fs)
+        queries = referenced_queries(fs)
+
+        wide = per_doc.select("doc_id")
+        numcol: dict[str, F.Column] = {}
+        rawcol: dict[str, F.Column] = {}
+        pf = sorted(num_fields | raw_fields)
+        if pf:
+            aggs = []
+            for i, f_ in enumerate(pf):
+                if f_ in num_fields:
+                    aggs.append(
+                        F.max(
+                            F.when(
+                                F.col("field") == f_,
+                                F.col("value").try_cast("double"),
+                            )
+                        ).alias(f"_n{i}")
+                    )
+                    numcol[f_] = F.col(f"_n{i}")
+                if f_ in raw_fields:
+                    aggs.append(
+                        F.max(
+                            F.when(F.col("field") == f_, F.col("value"))
+                        ).alias(f"_s{i}")
+                    )
+                    rawcol[f_] = F.col(f"_s{i}")
+            pivot = dm.where(F.col("field").isin(pf)).groupBy(
+                "doc_id"
+            ).agg(*aggs)
+            wide = wide.join(pivot, "doc_id", "left")
+        qflag: dict[str, F.Column] = {}
+        for qi, q2 in enumerate(queries):
+            m2 = self._match_docs(q2, True, None)
+            if m2 is None:
+                wide = wide.withColumn(f"_q{qi}", F.lit(None).cast("int"))
+            else:
+                wide = wide.join(
+                    m2.select("doc_id").withColumn(f"_q{qi}", F.lit(1)),
+                    "doc_id",
+                    "left",
+                )
+            qflag[q2] = F.col(f"_q{qi}")
+
+        def stat_aggs(node) -> list:
+            cols = []
+            for name, s in node.stats.items():
+                src = rawcol[s.field] if s.fn == "unique" else numcol[s.field]
+                cols.append(stat_column(s, src).alias(name))
+            for name, qf2 in node.queries.items():
+                cols.append(
+                    F.count(
+                        F.when(qflag[qf2.q].isNotNull(), F.lit(1))
+                    ).alias(name)
+                )
+            return cols
+
+        def to_bucket(node, r, bcol: str) -> dict:
+            b: dict = {"val": r[bcol], "count": int(r["count"])}
+            for name, s in node.stats.items():
+                v = r[name]
+                if v is None:
+                    b[name] = None
+                elif s.fn == "unique":
+                    b[name] = int(v)
+                else:
+                    b[name] = float(v)
+            for name in node.queries:
+                b[name] = {"count": int(r[name])}
+            return b
+
+        def eval_bucket(node, frame, depth, parent_keys, key_types):
+            """One aggregate job for this node (+ recursion into its
+            sub-bucket facets). Returns ordered
+            [(full key tuple, bucket dict), ...]."""
+            bcol = f"_b{depth}"
+            gcols = [f"_b{i}" for i in range(depth + 1)]
+            if node.kind == "terms":
+                eav = (
+                    dm.where(F.col("field") == node.field)
+                    .select("doc_id", F.col("value").alias(bcol))
+                    .distinct()
+                )
+                nf = frame.join(eav, "doc_id")
+                my_type = "string"
+            else:
+                x = numcol[node.field]
+                start, gap = node.start, node.gap
+                nf = frame.where(
+                    x.isNotNull()
+                    & (x >= F.lit(start))
+                    & (x < F.lit(node.end))
+                ).withColumn(
+                    bcol,
+                    F.lit(start)
+                    + F.lit(gap) * F.floor((x - F.lit(start)) / F.lit(gap)),
+                )
+                my_type = "double"
+            grp = nf.groupBy(*gcols).agg(
+                F.count("*").alias("count"), *stat_aggs(node)
+            )
+            if depth > 0:
+                grp = grp.join(F.broadcast(parent_keys), gcols[:-1])
+            if node.kind == "terms":
+                if node.mincount > 0:
+                    grp = grp.where(F.col("count") >= node.mincount)
+                if node.sort_key == "count":
+                    key = F.col("count")
+                elif node.sort_key == "index":
+                    key = F.col(bcol)
+                else:
+                    key = F.col(node.sort_key)
+                primary = (
+                    key.desc_nulls_last()
+                    if node.sort_dir == "desc"
+                    else key.asc_nulls_first()
+                )
+                w = Window.partitionBy(
+                    *(gcols[:-1] or [F.lit(0)])
+                ).orderBy(primary, F.asc(bcol))
+                ranked = grp.withColumn("_rn", F.row_number().over(w))
+                if node.limit != -1:
+                    ranked = ranked.where(F.col("_rn") <= node.limit)
+                rows = ranked.collect()
+                rows.sort(
+                    key=lambda r: (
+                        tuple(r[g] for g in gcols[:-1]),
+                        r["_rn"],
+                    )
+                )
+            else:
+                n_b = int(
+                    math.ceil((node.end - node.start) / node.gap - 1e-12)
+                )
+                starts = [node.start + i * node.gap for i in range(n_b)]
+                spine = self.spark.createDataFrame(
+                    [(s,) for s in starts], f"{bcol} double"
+                )
+                if depth > 0:
+                    n_parents = parent_keys.count()
+                    if n_parents * n_b > 100_000:
+                        raise ValidationError(
+                            f"range facet over {node.field}: "
+                            f"{n_parents}x{n_b} parent-bucket rows "
+                            "exceeds the 100000 cap"
+                        )
+                    spine = parent_keys.crossJoin(spine)
+                filled = spine.join(grp, gcols, "left").fillna(
+                    {"count": 0}
+                )
+                if node.mincount > 0:
+                    filled = filled.where(F.col("count") >= node.mincount)
+                rows = filled.collect()
+                rows.sort(key=lambda r: tuple(r[g] for g in gcols))
+            by_key: dict[tuple, dict] = {}
+            out = []
+            for r in rows:
+                kt = tuple(r[g] for g in gcols)
+                b = to_bucket(node, r, bcol)
+                by_key[kt] = b
+                out.append((kt, b))
+            for cname, cnode in node.buckets.items():
+                for _, b in out:
+                    b[cname] = {"buckets": []}
+                if not out:
+                    continue
+                pk_schema = ", ".join(
+                    f"_b{i} {t}"
+                    for i, t in enumerate(key_types + [my_type])
+                )
+                pk_df = self.spark.createDataFrame(
+                    [k for k, _ in out], pk_schema
+                )
+                for ckt, cb in eval_bucket(
+                    cnode, nf, depth + 1, pk_df, key_types + [my_type]
+                ):
+                    by_key[ckt[:-1]][cname]["buckets"].append(cb)
+            return out
+
+        wide = wide.persist()
+        try:
+            n_matched = int(wide.count())
+            result: dict = {"count": n_matched}
+            top = stat_aggs(fs)
+            if top:
+                row = wide.agg(*top).collect()[0]
+                for name, s in fs.stats.items():
+                    v = row[name]
+                    if v is None:
+                        result[name] = None
+                    elif s.fn == "unique":
+                        result[name] = int(v)
+                    else:
+                        result[name] = float(v)
+                for name in fs.queries:
+                    result[name] = {"count": int(row[name])}
+            for name, node in fs.buckets.items():
+                result[name] = {
+                    "buckets": [
+                        b for _, b in eval_bucket(node, wide, 0, None, [])
+                    ]
+                }
+            return result
+        finally:
+            wide.unpersist()
+
+    # Solr DistanceUtils.EARTH_MEAN_RADIUS_KM — pinned so geodist()
+    # values match Solr's haversine to the meter
+    _EARTH_RADIUS_KM = 6371.0087714
+
+    def spatial_search(
+        self,
+        query: str,
+        field: str,
+        pt: tuple[float, float],
+        d_km: float,
+        k: int = 10,
+        sort: str = "distance",
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Spatial filter + distance sort — Solr
+        ``fq={!geofilt sfield=f pt=lat,lon d=km}`` with
+        ``sort=geodist() asc`` (LatLonPointSpatialField): keep the
+        matching docs whose ``field`` metadata holds a ``"lat,lon"``
+        point within ``d_km`` great-circle km of ``pt``, returning
+        ``(doc_id, distance_km)`` ordered by ``sort="distance"``
+        (geodist asc, doc_id tie-break) or ``sort="doc_id"``.
+
+        The haversine evaluates as ONE Catalyst expression (radians/
+        sin/cos/asin are all JVM built-ins — no Python in the loop)
+        over the match-set ⋈ metadata pivot frame, with Solr's earth
+        mean radius (6371.0087714 km) pinned for geodist parity;
+        malformed / missing points never match (Lucene skips docs
+        without the field). The driver materializes k rows via
+        TakeOrdered; the filter and distance never leave the cluster."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if not isinstance(field, str) or not field.strip():
+            raise ValidationError(
+                f"field must be a non-empty string, got {field!r}"
+            )
+        if (
+            not isinstance(pt, (tuple, list)) or len(pt) != 2
+            or any(isinstance(c, bool) or not isinstance(c, (int, float))
+                   for c in pt)
+            or not -90 <= pt[0] <= 90 or not -180 <= pt[1] <= 180
+        ):
+            raise ValidationError(
+                f"pt must be a (lat, lon) pair with lat in [-90, 90] "
+                f"and lon in [-180, 180], got {pt!r}"
+            )
+        if isinstance(d_km, bool) or not isinstance(d_km, (int, float)) \
+                or d_km <= 0:
+            raise ValidationError(
+                f"d_km must be a positive number, got {d_km!r}"
+            )
+        if sort not in ("distance", "doc_id"):
+            raise ValidationError(
+                f"sort must be 'distance' or 'doc_id', got {sort!r}"
+            )
+        mm = self._match_and_meta(query, conjunctive, min_match)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        parts = F.split(F.col("value"), ",", 2)
+        lat = F.trim(parts.getItem(0)).try_cast("double")
+        lon = F.trim(parts.getItem(1)).try_cast("double")
+        pts = dm.where(
+            (F.col("field") == field) & (F.size(parts) == 2)
+        ).select(
+            "doc_id", lat.alias("_lat"), lon.alias("_lon")
+        ).where(F.col("_lat").isNotNull() & F.col("_lon").isNotNull())
+        lat1 = F.radians(F.lit(float(pt[0])))
+        lon1 = F.radians(F.lit(float(pt[1])))
+        lat2 = F.radians(F.col("_lat"))
+        lon2 = F.radians(F.col("_lon"))
+        h = (
+            F.pow(F.sin((lat2 - lat1) / 2), 2)
+            + F.cos(lat1) * F.cos(lat2)
+            * F.pow(F.sin((lon2 - lon1) / 2), 2)
+        )
+        dist = (
+            F.lit(2.0 * self._EARTH_RADIUS_KM)
+            * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+        )
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        frame = (
+            per_doc.select("doc_id")
+            .join(pts, "doc_id")
+            .withColumn("_dist", dist)
+            .where(F.col("_dist") <= F.lit(float(d_km)))
+        )
+        order = (
+            [F.asc("_dist"), F.asc("doc_id")]
+            if sort == "distance"
+            else [F.asc("doc_id")]
+        )
+        rows = (
+            frame.select("doc_id", "_dist")
+            .orderBy(*order)
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["_dist"])) for r in rows]
+
     def pivot_facets(
         self,
         query: str,
@@ -5093,10 +5742,16 @@ class ExtractorEngine:
         prefix: str | None = None,
         limit: int = 10,
         min_df: int = 1,
+        regex: str | None = None,
+        sort: str = "count",
     ) -> list[tuple[str, int]]:
         """Solr TermsComponent (``terms.prefix`` / ``terms.limit`` /
-        ``terms.mincount``): index dictionary terms with their document
-        frequency, ranked (df desc, term asc) — ``terms.sort=count``.
+        ``terms.mincount`` / ``terms.regex`` / ``terms.sort``): index
+        dictionary terms with their document frequency, ranked
+        (df desc, term asc) — ``terms.sort=count`` — or term asc with
+        ``sort="index"``. ``regex`` is a FULL-match pattern like Solr's
+        (compiled per-row on the JVM cold / by ``re`` warm — stick to
+        the Java∩Python∩RE2 common subset, a pinned portability note).
         df is the segment ``n_postings`` sum, i.e. Lucene's pre-merge
         ``TermsEnum.docFreq`` — tombstoned docs count until compaction
         (the same pinned divergence MLT/suggest carry; Solr's terms
@@ -5104,7 +5759,9 @@ class ExtractorEngine:
 
         Warm path: a driver pass over the cached dictionary. Cold path:
         one column-pruned (term, n_postings) scan with the prefix pushed
-        as StringStartsWith; only ``limit`` rows reach the driver."""
+        as StringStartsWith (the regex filters AFTER the pushed prefix —
+        pair them to keep the scan pruned); only ``limit`` rows reach
+        the driver."""
         self._check_access("extractor_search")
         if (
             isinstance(limit, bool) or not isinstance(limit, int)
@@ -5120,29 +5777,56 @@ class ExtractorEngine:
             raise ValidationError(
                 f"min_df must be a positive integer, got {min_df!r}"
             )
+        if sort not in ("count", "index"):
+            raise ValidationError(
+                f"sort must be 'count' or 'index', got {sort!r}"
+            )
+        rx = None
+        if regex is not None:
+            if not isinstance(regex, str) or not regex:
+                raise ValidationError(
+                    f"regex must be a non-empty string, got {regex!r}"
+                )
+            try:
+                rx = re.compile(regex)
+            except re.error as e:
+                raise ValidationError(f"bad regex {regex!r}: {e}") from e
         p = self._normalize_prefix(prefix) if prefix is not None else None
+
+        def rank(pairs):
+            key = (
+                (lambda tc: tc[0]) if sort == "index"
+                else (lambda tc: (-tc[1], tc[0]))
+            )
+            return sorted(pairs, key=key)[:limit]
+
         if self._rows_cache is not None and not self._lazy_serve:
             cand = (
                 (t, sum(int(r["n_postings"]) for r in rows))
                 for t, rows in self._rows_cache.items()
-                if p is None or t.startswith(p)
+                if (p is None or t.startswith(p))
+                and (rx is None or rx.fullmatch(t) is not None)
             )
-            ranked = sorted(
-                (tc for tc in cand if tc[1] >= min_df),
-                key=lambda tc: (-tc[1], tc[0]),
-            )
-            return ranked[:limit]
+            return rank(tc for tc in cand if tc[1] >= min_df)
         seg = self._segments_union()
         if seg is None:
             return []
         scan = seg.select("term", "n_postings")
         if p is not None:
             scan = scan.where(F.col("term").startswith(p))
+        if rx is not None:
+            scan = scan.where(
+                F.col("term").rlike(f"^(?:{regex})$")
+            )
+        order = (
+            [F.asc("term")] if sort == "index"
+            else [F.desc("df"), F.asc("term")]
+        )
         rows = (
             scan.groupBy("term")
             .agg(F.sum("n_postings").alias("df"))
             .where(F.col("df") >= min_df)
-            .orderBy(F.desc("df"), F.asc("term"))
+            .orderBy(*order)
             .limit(limit)
             .collect()
         )

@@ -127,6 +127,31 @@ def cmd_query(args) -> int:
             print(json.dumps({"rank": rank, "doc_id": doc_id,
                               "score": round(score, 6)}))
         return 0
+    if args.geo_field:
+        lat_s, _, lon_s = (args.geo_pt or "").partition(",")
+        try:
+            pt = (float(lat_s), float(lon_s))
+        except ValueError:
+            print("query: --geo-pt must be 'lat,lon'", file=sys.stderr)
+            return 2
+        hits = eng.spatial_search(
+            args.q, args.geo_field, pt, args.geo_d, k=args.k,
+            conjunctive=not args.use_or, min_match=args.min_match,
+        )
+        for doc_id, dist in hits:
+            print(json.dumps({"doc_id": doc_id,
+                              "dist_km": round(dist, 6)}))
+        return 0
+    if args.graph_from:
+        ids_ = eng.graph_search(
+            args.q, args.graph_from, to_field=args.graph_to,
+            max_depth=args.graph_depth,
+            return_root=not args.graph_no_root,
+            conjunctive=not args.use_or, min_match=args.min_match,
+        )
+        for doc_id in ids_:
+            print(json.dumps({"doc_id": doc_id}))
+        return 0
     if args.bf or args.boost:
         spec = args.bf or args.boost
         multiplicative = bool(args.boost)
@@ -319,6 +344,13 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    eng = _engine(args)
+    for row in eng.stream(args.expr, max_rows=args.max_rows):
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_delete(args) -> int:
     eng = _engine(args)
     eng.delete(args.doc_ids)
@@ -329,7 +361,8 @@ def cmd_delete(args) -> int:
 def cmd_terms(args) -> int:
     eng = _engine(args)
     rows = eng.terms(prefix=args.prefix, limit=args.k,
-                     min_df=args.min_df)
+                     min_df=args.min_df, regex=args.regex,
+                     sort=args.sort)
     print(json.dumps([{"term": t, "df": d} for t, d in rows]))
     return 0
 
@@ -381,6 +414,11 @@ def cmd_update(args) -> int:
 
 def cmd_facets(args) -> int:
     eng = _engine(args)
+    if args.json_spec is not None:
+        spec = json.loads(args.json_spec)
+        print(json.dumps(eng.json_facets(
+            args.q, spec, conjunctive=not args.use_or)))
+        return 0
     if args.range is not None:
         field, lo, hi, gap = args.range
         out = eng.range_facets(args.q, field, float(lo), float(hi),
@@ -575,6 +613,32 @@ def main(argv=None) -> int:
     q.add_argument("--score-mode", dest="score_mode", default="max",
                    choices=["max", "total", "avg", "min", "none"],
                    help="block-join ScoreMode for --parent-of")
+    q.add_argument("--geo-field", dest="geo_field", default=None,
+                   metavar="FIELD",
+                   help="spatial filter ({!geofilt}): metadata FIELD "
+                        "holds 'lat,lon' points")
+    q.add_argument("--geo-pt", dest="geo_pt", default=None,
+                   metavar="LAT,LON",
+                   help="center point for --geo-field (Solr pt=)")
+    q.add_argument("--geo-d", dest="geo_d", type=float, default=None,
+                   help="radius km for --geo-field (Solr d=); results "
+                        "sort by geodist asc")
+    q.add_argument("--graph-from", dest="graph_from", default=None,
+                   metavar="FIELD",
+                   help="graph traversal ({!graph}): follow edges from "
+                        "metadata FIELD values to --graph-to node keys, "
+                        "starting at the --q match set")
+    q.add_argument("--graph-to", dest="graph_to", default="path",
+                   metavar="FIELD",
+                   help="node key for --graph-from: 'path' (default) or "
+                        "a metadata field (Solr to=)")
+    q.add_argument("--graph-depth", dest="graph_depth", type=int,
+                   default=-1,
+                   help="maxDepth for --graph-from (-1 = fixpoint)")
+    q.add_argument("--graph-no-root", dest="graph_no_root",
+                   action="store_true",
+                   help="returnRoot=false: drop roots unless re-reached "
+                        "through an edge")
     q.add_argument("--bq", default=None, metavar="QUERY",
                    help="edismax bq: additive boost query")
     q.add_argument("--bq-weight", dest="bq_weight", type=float,
@@ -657,6 +721,21 @@ def main(argv=None) -> int:
     sg.add_argument("--buckets", type=int, default=64)
     sg.set_defaults(fn=cmd_suggest)
 
+    st = sub.add_parser(
+        "stream",
+        help="run a Solr streaming expression (/stream) compiled to "
+             "one DataFrame plan",
+    )
+    st.add_argument("--index", required=True)
+    st.add_argument("--expr", required=True,
+                    help="streaming expression, e.g. 'rollup(search("
+                         "idx, q=\"spark\", fl=\"doc_id,lang\"), "
+                         "over=\"lang\", count(*))'")
+    st.add_argument("--max-rows", dest="max_rows", type=int,
+                    default=1000,
+                    help="driver-side row bound for the printed tuples")
+    st.set_defaults(fn=cmd_stream)
+
     d = sub.add_parser("delete", help="tombstone docs")
     d.add_argument("--index", required=True)
     d.add_argument("doc_ids", type=int, nargs="+")
@@ -679,6 +758,13 @@ def main(argv=None) -> int:
                     help="numeric range buckets over a metadata field "
                          "(Solr facet.range; zero buckets included, "
                          "before/after counts reported)")
+    fc.add_argument("--json", dest="json_spec", default=None,
+                    metavar="SPEC",
+                    help="Solr JSON Facet API spec (json.facet): nested "
+                         "terms/range/query buckets with per-bucket "
+                         "statistics, e.g. '{\"langs\": {\"type\": "
+                         "\"terms\", \"field\": \"lang\", \"facet\": "
+                         "{\"avg\": \"avg(n-chars)\"}}}'")
     fc.add_argument("--fquery", action="append", default=None,
                     metavar="LABEL=QUERY",
                     help="count docs matching --q AND QUERY per label "
@@ -730,6 +816,12 @@ def main(argv=None) -> int:
                     help="max terms, ranked df desc then term asc")
     tm.add_argument("--min-df", type=int, default=1,
                     help="minimum docFreq (terms.mincount)")
+    tm.add_argument("--regex", default=None,
+                    help="full-match term filter (terms.regex)")
+    tm.add_argument("--sort", choices=("count", "index"),
+                    default="count",
+                    help="count = df desc; index = term asc "
+                         "(terms.sort)")
     tm.add_argument("--buckets", type=int, default=64)
     tm.set_defaults(fn=cmd_terms)
 

@@ -97,6 +97,36 @@ def test_terms_validation(engine):
         engine.terms(min_df=0)
     with pytest.raises(ValidationError):
         engine.terms(prefix="two words")
+    with pytest.raises(ValidationError):
+        engine.terms(regex="[unclosed")
+    with pytest.raises(ValidationError):
+        engine.terms(regex="")
+    with pytest.raises(ValidationError):
+        engine.terms(sort="df")
+
+
+def test_terms_regex_fullmatch(engine, spark):
+    # terms.regex is a FULL match: s.*k hits only 'spark' (not
+    # 'stream'/'sized'); s.* hits every s-term
+    assert engine.terms(regex="s.*k", limit=10) == [("spark", 6)]
+    assert [t for t, _ in engine.terms(regex="s.*", limit=10)] == [
+        "spark", "stream", "sized", "solo",
+    ]
+    # warm/cold parity incl. regex + pushed-prefix pairing
+    cold = ExtractorEngine(spark, engine.root, n_buckets=8,
+                           salt_threshold=50,
+                           indexed_fields=("size", "kind"))
+    assert cold.terms(prefix="s", regex="s.*k", limit=10) == \
+        engine.terms(prefix="s", regex="s.*k", limit=10)
+
+
+def test_terms_sort_index(engine, spark):
+    got = engine.terms(prefix="s", limit=10, sort="index")
+    assert [t for t, _ in got] == ["sized", "solo", "spark", "stream"]
+    cold = ExtractorEngine(spark, engine.root, n_buckets=8,
+                           salt_threshold=50,
+                           indexed_fields=("size", "kind"))
+    assert cold.terms(prefix="s", limit=10, sort="index") == got
 
 
 # -- range facets -------------------------------------------------------------
