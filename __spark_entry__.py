@@ -4258,6 +4258,105 @@ SELECT term, df FROM d ORDER BY term ASC LIMIT 15
 _PAIRS["q101_terms_regex"] = ("", _TERMS_REGEX_DUCK)
 
 
+def _q_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr LTR LinearModel through the REAL engine: originalScore +
+    a recip length-decay feature + a minmax-normalized n-chars feature,
+    weighted sum, rerank window wider than the match set so the oracle
+    is pure arithmetic over the BM25 CTE."""
+    eng = _docs_engine(spark, sf_dir)
+    hits = eng.ltr_rerank(
+        "spark",
+        {"orig": "originalScore",
+         "decay": "recip(n-chars,1,1000,1000)",
+         "nlen": "n-chars"},
+        {"orig": 1.0, "decay": 2.0, "nlen": 0.5},
+        normalizers={"nlen": ("minmax", 0, 1000)},
+        rerank_docs=10**6, k=10**6,
+    )
+    pmap = _eng_pmap(eng)
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_LTR_DUCK = f"""
+{_RAW_BM25_CTES},
+m AS (SELECT doc_id, sum(term_score) AS s FROM sc
+      WHERE term = 'spark' GROUP BY doc_id),
+x AS (SELECT m.doc_id,
+             m.s + 2.0 * (1000.0 / (1.0 * d.n_chars + 1000.0))
+                 + 0.5 * (d.n_chars / 1000.0) AS model
+      FROM m JOIN documents d USING (doc_id))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(model, 4) AS score
+FROM x ORDER BY ROUND(model, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q102_ltr_rerank"] = ("", _LTR_DUCK)
+
+
+def _q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (size 40, overlap 10) over the documents
+    table — the training-sample windowing op; chunk text md5'd on both
+    sides to keep the compared frame narrow."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, size=40, overlap=10).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+_CHUNKING_DUCK = """
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS toks
+  FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 30)) AS start
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+  CAST(start / 30 AS BIGINT) AS chunk_id,
+  CAST(least(40, len(toks) - start) AS BIGINT) AS n_tokens,
+  md5(array_to_string(list_slice(toks, start + 1, start + 40), ' '))
+    AS chunk_md5
+FROM e
+"""
+
+_PAIRS["q103_chunking"] = ("", _CHUNKING_DUCK)
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-prefix train/test split (engine-independent
+    reproducibility — Spark md5 == DuckDB md5): every doc's
+    assignment at test_frac=0.25, salt 's4'."""
+    from ckanext_extractor_spark.functions.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(
+        docs.select("doc_id"), test_frac=0.25, salt="s4"
+    ).select("doc_id", "split")
+
+
+_HASH_SPLIT_DUCK = """
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 's4'), 1, 4)
+            < '4000'
+       THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+_PAIRS["q104_hash_split"] = ("", _HASH_SPLIT_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -4350,6 +4449,9 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_stream_join": _q_stream_join,
     "q100_spatial": _q_spatial,
     "q101_terms_regex": _q_terms_regex,
+    "q102_ltr_rerank": _q_ltr_rerank,
+    "q103_chunking": _q_chunking,
+    "q104_hash_split": _q_hash_split,
 }
 
 

@@ -5222,6 +5222,169 @@ class ExtractorEngine:
         finally:
             wide.unpersist()
 
+    _LTR_NORMALIZERS = ("minmax", "standard")
+
+    def ltr_rerank(
+        self,
+        query: str,
+        features: dict[str, str],
+        weights: dict[str, float],
+        rerank_docs: int = 1000,
+        k: int = 10,
+        normalizers: dict | None = None,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Learning-to-rank rerank — Solr's LTR contrib
+        (``rq={!ltr model=m reRankDocs=n}``) with a LinearModel: each
+        feature is ``"originalScore"`` (the BM25 retrieval score — Solr
+        OriginalScoreFeature) or a value-source expression over stored
+        fields (Solr SolrFeature/FieldValueFeature — the
+        :mod:`funcquery` language), optionally normalized
+        (``normalizers={name: ("minmax", lo, hi) | ("standard", avg,
+        std)}`` — Solr's MinMax/StandardNormalizer); the model score is
+        ``sum(weights[f] * norm(feature_f))`` and only the top
+        ``rerank_docs`` docs by original score are rescored (Solr's
+        rerank window).
+
+        Distributed shape: scored k=None kernel -> TakeOrdered
+        rerank_docs (cluster-side limit, NOT a driver materialization)
+        -> ONE metadata pivot narrowed to the union of referenced
+        fields -> every feature + the linear model as Catalyst columns
+        -> TakeOrdered k. Feature extraction is whole-stage codegen;
+        the driver sees k rows."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_bool("conjunctive", conjunctive)
+        if isinstance(rerank_docs, bool) or not isinstance(rerank_docs, int) \
+                or rerank_docs < 1:
+            raise ValidationError(
+                f"rerank_docs must be a positive int, got {rerank_docs!r}"
+            )
+        if k > rerank_docs:
+            raise ValidationError(
+                f"k ({k}) cannot exceed rerank_docs ({rerank_docs})"
+            )
+        if not isinstance(features, dict) or not features or not all(
+            isinstance(n, str) and n and isinstance(s, str) and s.strip()
+            for n, s in features.items()
+        ):
+            raise ValidationError(
+                "features must be a non-empty {name: spec} dict of "
+                f"strings, got {features!r}"
+            )
+        if not isinstance(weights, dict) or set(weights) != set(features) \
+                or any(isinstance(w, bool) or
+                       not isinstance(w, (int, float))
+                       for w in weights.values()):
+            raise ValidationError(
+                "weights must give one number per feature name"
+            )
+        norms = normalizers or {}
+        if not isinstance(norms, dict):
+            raise ValidationError(
+                f"normalizers must be a dict, got {norms!r}"
+            )
+        for n, spec in norms.items():
+            if n not in features:
+                raise ValidationError(
+                    f"normalizer for unknown feature {n!r}"
+                )
+            ok = (
+                isinstance(spec, (tuple, list)) and len(spec) == 3
+                and spec[0] in self._LTR_NORMALIZERS
+                and all(isinstance(x, (int, float))
+                        and not isinstance(x, bool) for x in spec[1:])
+            )
+            if ok and spec[0] == "minmax" and spec[2] <= spec[1]:
+                ok = False
+            if ok and spec[0] == "standard" and spec[2] <= 0:
+                ok = False
+            if not ok:
+                raise ValidationError(
+                    f"normalizer for {n!r} must be ('minmax', lo, hi) "
+                    f"with hi > lo or ('standard', avg, std) with "
+                    f"std > 0, got {spec!r}"
+                )
+        from ckanext_extractor_spark.operators.funcquery import (
+            FuncQuerySyntaxError,
+            compile_funcquery,
+            parse_funcquery,
+            referenced_fields,
+        )
+
+        asts: dict[str, object] = {}
+        fields: set[str] = set()
+        for name, spec in features.items():
+            if spec == "originalScore":
+                asts[name] = None
+                continue
+            try:
+                asts[name] = parse_funcquery(spec)
+            except FuncQuerySyntaxError as e:
+                raise ValidationError(
+                    f"bad feature {name!r}: {e}"
+                ) from e
+            fields |= referenced_fields(asts[name])
+        mm = self._match_and_meta(query, conjunctive, min_match,
+                                  scored=True)
+        if mm is None:
+            return []
+        per_doc, dm = mm
+        window = (
+            per_doc.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(rerank_docs)
+        )
+        flist = sorted(fields)
+        if flist:
+            pivot = dm.where(F.col("field").isin(flist)).groupBy(
+                "doc_id"
+            ).agg(
+                *[
+                    F.max(
+                        F.when(
+                            F.col("field") == f_,
+                            F.col("value").try_cast("double"),
+                        )
+                    ).alias(f"_f{i}")
+                    for i, f_ in enumerate(flist)
+                ]
+            )
+            window = window.join(pivot, "doc_id", "left")
+        colmap = {f_: F.col(f"_f{i}") for i, f_ in enumerate(flist)}
+
+        def field_col(name: str):
+            return colmap[name]
+
+        model = F.lit(0.0)
+        for name, ast in asts.items():
+            feat = (
+                F.col("score") if ast is None
+                else compile_funcquery(ast, field_col)
+            )
+            nspec = norms.get(name)
+            if nspec is not None:
+                kind, a, b = nspec
+                if kind == "minmax":
+                    feat = (feat - F.lit(float(a))) / F.lit(
+                        float(b) - float(a)
+                    )
+                else:
+                    feat = (feat - F.lit(float(a))) / F.lit(float(b))
+            model = model + F.lit(float(weights[name])) * feat
+        k = min(k, int(self.corpus_stats()["n_docs"]))
+        if k <= 0:
+            return []
+        rows = (
+            window.select("doc_id", model.alias("_model"))
+            .orderBy(F.desc("_model"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["_model"])) for r in rows]
+
     # Solr DistanceUtils.EARTH_MEAN_RADIUS_KM — pinned so geodist()
     # values match Solr's haversine to the meter
     _EARTH_RADIUS_KM = 6371.0087714

@@ -1,0 +1,87 @@
+"""Deterministic sampling / splitting for training-data pipelines:
+hash-based train/test assignment and per-group (stratified) keep rates
+for data mixing.
+
+Why hash-based instead of ``df.sample``: RNG sampling is neither
+reproducible across engines nor stable under repartitioning, and a
+training pipeline must assign the SAME doc to the SAME split on every
+run and every system that reads the corpus. An md5 prefix of
+``id || salt`` is engine-independent (Spark md5 == DuckDB md5 ==
+Python hashlib), order-independent, and join-free — one narrow
+projection, no shuffle, scales to any corpus size. Granularity is
+1/65536 (the first 4 hex chars compared lexicographically against a
+threshold); change ``salt`` to draw an independent split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_prefix(id_col: Column, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 4
+    )
+
+
+def _threshold_hex(frac: float) -> str:
+    if isinstance(frac, bool) or not isinstance(frac, (int, float)) \
+            or not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {frac!r}")
+    n = int(round(frac * 65536))
+    # frac=1.0 must beat every 4-hex prefix; 'g' sorts above 'ffff'
+    # while format(65536)='10000' would sort BELOW it lexicographically
+    return "g" if n >= 65536 else format(n, "04x")
+
+
+def hash_split(
+    df: DataFrame,
+    test_frac: float = 0.1,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add a ``split`` column: 'test' for ~``test_frac`` of rows,
+    'train' otherwise — deterministic per (id, salt)."""
+    thr = _threshold_hex(test_frac)
+    h = _hash_prefix(F.col(id_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(thr), F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    frac: float,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ~``frac`` of rows, deterministically per (id, salt)."""
+    thr = _threshold_hex(frac)
+    return df.where(_hash_prefix(F.col(id_col), salt) < F.lit(thr))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    field: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data mixing: keep each group at its own rate
+    (``fractions[value]``; values not listed keep ``default_frac``) —
+    the up/down-sampling step that balances domains in a training mix.
+    One CASE chain over the group column, no shuffle."""
+    if not isinstance(fractions, dict) or not fractions:
+        raise ValueError(
+            f"fractions must be a non-empty dict, got {fractions!r}"
+        )
+    default_thr = _threshold_hex(default_frac)
+    thr: Column = F.lit(default_thr)
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(field) == value, F.lit(_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.where(_hash_prefix(F.col(id_col), salt) < thr)
