@@ -4357,6 +4357,187 @@ FROM documents
 _PAIRS["q104_hash_split"] = ("", _HASH_SPLIT_DUCK)
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (top-token / top-bigram / dup-token
+    fractions) — the training-data quality gate's repetition signals."""
+    from ckanext_extractor_spark.functions.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+_REPETITION_DUCK = """
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS toks
+  FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS g FROM t),
+uc AS (SELECT doc_id, g, count(*) AS c FROM u GROUP BY 1, 2),
+us AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc
+       FROM uc GROUP BY 1),
+b AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+            FROM t WHERE len(toks) >= 2)),
+bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY 1)
+SELECT t.doc_id,
+  CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(nd, 0) AS BIGINT) AS n_distinct_tokens,
+  ROUND(CASE WHEN coalesce(n, 0) > 0 THEN topc / (1.0 * n)
+             ELSE 0 END, 6) AS top_token_frac,
+  ROUND(CASE WHEN coalesce(n, 0) > 1 THEN coalesce(topb, 0) / (n - 1.0)
+             ELSE 0 END, 6) AS top_bigram_frac,
+  ROUND(CASE WHEN coalesce(n, 0) > 0 THEN 1.0 - nd / (1.0 * n)
+             ELSE 0 END, 6) AS dup_token_frac
+FROM t LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+"""
+
+_PAIRS["q105_repetition_stats"] = ("", _REPETITION_DUCK)
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 3-gram with the
+    deterministic 'benchmark' slice (doc_id % 50 == 0) and how many.
+    Production default is n=13 (GPT-3 appendix C); n=3 keeps the
+    synthetic corpus's overlap set non-trivial at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.decontam import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination(train, bench, n=3)
+
+
+_CONTAMINATION_DUCK = """
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS toks
+  FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 3)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 50 <> 0 GROUP BY 1
+"""
+
+_PAIRS["q106_contamination"] = ("", _CONTAMINATION_DUCK)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + scrubbed-text digest. The synthetic corpus carries
+    no PII, so deterministic PII strings are appended in-plan (same
+    CASE logic on both sides) and the operator must find and redact
+    exactly those."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.pii import pii_scrub, pii_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" mail bob.smith+x@example-site.org now"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" from 10.0.255.3 port 8080"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" acct 123456789012 ok"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    stats = pii_stats(seeded, "text2")
+    scrubbed = pii_scrub(seeded, "text2", out_col="scrubbed").select(
+        "doc_id", F.md5("scrubbed").alias("scrub_md5")
+    )
+    return stats.join(scrubbed, "doc_id")
+
+
+_PII_DUCK = r"""
+WITH d AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' mail bob.smith+x@example-site.org now' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' from 10.0.255.3 port 8080' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN ' acct 123456789012 ok' ELSE '' END AS t2
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t2,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(t2,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+    AS n_ipv4,
+  CAST(len(regexp_extract_all(t2, '\b[0-9]{9,16}\b')) AS BIGINT)
+    AS n_digit_run,
+  CAST(len(regexp_extract_all(t2,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(t2,
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+     + len(regexp_extract_all(t2, '\b[0-9]{9,16}\b')) AS BIGINT)
+    AS n_pii,
+  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\b[0-9]{9,16}\b', '<NUM>', 'g')) AS scrub_md5
+FROM d
+"""
+
+_PAIRS["q107_pii_scrub"] = ("", _PII_DUCK)
+
+
+def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanFirstQuery through the REAL engine: docs whose first
+    'spark' occurrence sits at analyzer position < 5, ranked by the
+    normal single-term BM25 (the position constraint changes the match
+    set, never the scores)."""
+    eng = _docs_engine(spark, sf_dir)
+    hits = eng.span_first_search("spark", end=5, k=10**9)
+    pmap = _eng_pmap(eng)
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_SPAN_FIRST_DUCK = f"""
+{_RAW_BM25_CTES},
+m AS (SELECT doc_id, sum(term_score) AS s FROM sc
+      WHERE term = 'spark' GROUP BY doc_id),
+-- engine positions are 0-based; generate_subscripts is 1-based, so
+-- first_pos < 5 becomes min(pos) <= 5
+fp AS (SELECT doc_id, min(pos) AS mp
+       FROM (SELECT doc_id, unnest(toks) AS term,
+                    generate_subscripts(toks, 1) AS pos
+             FROM (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text),
+                            '[^a-z0-9]+'), x -> x <> '') AS toks
+                   FROM documents))
+       WHERE term = 'spark' GROUP BY doc_id)
+SELECT m.doc_id, ROUND(m.s, 4) AS score
+FROM m JOIN fp ON m.doc_id = fp.doc_id
+WHERE fp.mp <= 5
+ORDER BY ROUND(m.s, 6) DESC, m.doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q108_span_first"] = ("", _SPAN_FIRST_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -4452,6 +4633,10 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_ltr_rerank": _q_ltr_rerank,
     "q103_chunking": _q_chunking,
     "q104_hash_split": _q_hash_split,
+    "q105_repetition_stats": _q_repetition_stats,
+    "q106_contamination": _q_contamination,
+    "q107_pii_scrub": _q_pii_scrub,
+    "q108_span_first": _q_span_first,
 }
 
 

@@ -6547,6 +6547,71 @@ class ExtractorEngine:
                                              slop_mode=slop_mode)
         return phrase_search(self, query, k, slop=slop, slop_mode=slop_mode)
 
+    def span_first_search(
+        self, term: str, end: int, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Lucene SpanFirstQuery: top-k docs whose first occurrence of
+        the (single-term) analyzed query sits at an analyzer position
+        < ``end`` — "matches near the start of the document" (title-ish
+        boosting without stored fields). Matching docs keep their
+        normal single-term BM25 score; the position constraint changes
+        the MATCH SET, never the scores (same contract as phrase slop).
+
+        The query must analyze to exactly one term (SpanTermQuery
+        inside SpanFirst; multi-term spans are out of scope, rejected
+        loudly). Positions are index-time analyzer positions: 0-based,
+        stopword removal leaves gaps, catenated identifier tokens
+        stack at posInc=0."""
+        from ckanext_extractor_spark.operators.phrase import (
+            span_first_filter_docs,
+        )
+        from ckanext_extractor_spark.operators.wand import exact_topk
+
+        self._check_access("extractor_search")
+        _require_query(term)
+        _require_k(k)
+        if not isinstance(end, int) or isinstance(end, bool) or end < 1:
+            raise ValidationError(
+                f"end must be a positive int, got {end!r}"
+            )
+        if not self.with_positions:
+            raise ValueError(
+                "index was built without positions; span_first_search "
+                "needs with_positions=True"
+            )
+        terms = analyze_query(
+            term, config=query_config_for(self.analyzer)
+        )
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        if len(uniq) != 1:
+            raise ValidationError(
+                "span_first_search takes a single-term query; got "
+                f"{uniq!r} (build a SpanNear composition instead)"
+            )
+        st = self.corpus_stats()
+        tls = self._term_postings(uniq, st)
+        if not tls:
+            return []
+        overfetch = max(k * 10, 100)
+        scored = exact_topk(tls, overfetch, st["avgdl"], conjunctive=True)
+        if not scored:
+            return []
+        rows_by_term = {uniq[0]: self._segment_rows(uniq[0])}
+        dead = self._dead_docs()
+        keep = set(span_first_filter_docs(
+            [d for d, _ in scored], rows_by_term, uniq[0], end, dead
+        ))
+        out = [(d, s) for d, s in scored if d in keep][:k]
+        if len(out) < k and len(scored) == overfetch:
+            scored = exact_topk(tls, 10**9, st["avgdl"], conjunctive=True)
+            keep = set(span_first_filter_docs(
+                [d for d, _ in scored], rows_by_term, uniq[0], end, dead
+            ))
+            out = [(d, s) for d, s in scored if d in keep][:k]
+        return out
+
     def _gc_staging(self) -> None:
         """Drop staging dirs not referenced by any live generation."""
         st_root = self._p("staging", "raw_postings")

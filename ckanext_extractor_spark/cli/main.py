@@ -238,6 +238,8 @@ def cmd_query(args) -> int:
         hits = eng.prefix_search(args.q, k=args.k)
     elif args.phonetic:
         hits = eng.phonetic_search(args.q, k=args.k)
+    elif args.span_first is not None:
+        hits = eng.span_first_search(args.q, end=args.span_first, k=args.k)
     elif args.wildcard:
         hits = eng.wildcard_search(args.q, k=args.k)
     elif args.fuzzy is not None:
@@ -524,6 +526,10 @@ def main(argv=None) -> int:
     q.add_argument("--prefix", action="store_true",
                    help="treat --q as a term prefix (PrefixQuery, "
                         "scoring-boolean rewrite over index terms)")
+    q.add_argument("--span-first", dest="span_first", type=int,
+                   default=None, metavar="END",
+                   help="SpanFirstQuery: single-term match whose first "
+                        "occurrence is at analyzer position < END")
     q.add_argument("--phonetic", action="store_true",
                    help="match terms that SOUND like --q (classic "
                         "Soundex, Solr PhoneticFilter analog)")

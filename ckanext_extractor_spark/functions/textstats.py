@@ -112,6 +112,76 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    table A1): top-token fraction (fraction of tokens that are the
+    single most frequent token), top-bigram fraction, and
+    duplicate-token fraction (1 - distinct/total). High values mark
+    degenerate/boilerplate text that the quality gate should drop
+    before training.
+
+    Shape for scale: explode -> hash-aggregate per (doc, gram) with
+    map-side partial aggregation, then one per-doc aggregate — linear
+    in corpus tokens, never quadratic in doc length (the pure-array
+    mode-count alternative is O(distinct x len) per doc). The unigram
+    and bigram branches join back on doc_id (co-partitioned after
+    their aggregates). Zero-token docs survive with zeroed stats.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    uni = (
+        base.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.max("c").alias("top_token_count"),
+        )
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+        F.slice(F.col("toks"), 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bi = (
+        base.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_bigram_count"))
+    )
+    n = F.coalesce(F.col("n_tokens"), F.lit(0))
+    return (
+        base.select("doc_id")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            F.col("doc_id"),
+            n.alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0)).alias(
+                "n_distinct_tokens"
+            ),
+            F.round(
+                F.when(n > 0, F.col("top_token_count") / n).otherwise(0.0), 6
+            ).alias("top_token_frac"),
+            F.round(
+                F.when(
+                    n > 1,
+                    F.coalesce("top_bigram_count", F.lit(0)) / (n - 1),
+                ).otherwise(0.0),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.when(
+                    n > 0, 1.0 - F.col("n_distinct_tokens") / n
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Winnowing-lite fingerprint: min/max portable token hash + distinct

@@ -144,6 +144,31 @@ def phrase_filter_docs(
     return out
 
 
+def span_first_filter_docs(
+    candidate_docs: list[int],
+    term_shard_rows: dict[str, list],
+    term: str,
+    end: int,
+    dead=None,
+) -> list[int]:
+    """Lucene SpanFirstQuery for a single-term span: keep candidate
+    docs whose FIRST occurrence of ``term`` sits at an analyzer
+    position < ``end`` (a one-term span at position p has span end
+    p + 1, and SpanFirstQuery admits spans with end <= its ``end``).
+    Positions are the index-time analyzer positions (0-based; stopword
+    removal leaves gaps, catenated identifier tokens stack at
+    posInc=0 — same space every phrase operator uses)."""
+    merged: dict[int, np.ndarray] = {}
+    for row in term_shard_rows.get(term, []):
+        merged.update(_positions_by_doc(row, dead))
+    out = []
+    for d in candidate_docs:
+        p = merged.get(d)
+        if p is not None and p.size and int(p[0]) < end:
+            out.append(d)
+    return out
+
+
 def _check_slop_mode(slop_mode: str, terms: list, uniq: list) -> None:
     if slop_mode not in ("pergap", "lucene"):
         raise ValueError(
