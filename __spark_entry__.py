@@ -4538,6 +4538,83 @@ ORDER BY ROUND(m.s, 6) DESC, m.doc_id ASC LIMIT 10
 _PAIRS["q108_span_first"] = ("", _SPAN_FIRST_DUCK)
 
 
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus boilerplate removal: 8-token segments
+    occurring in >= 2 distinct docs are dropped corpus-wide; cleaned
+    text md5'd to keep the compared frame narrow."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.chunking import (
+        remove_repeated_segments,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_repeated_segments(docs, size=8, min_docs=2).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_segments",
+        "n_dropped_segments",
+    )
+
+
+_BOILERPLATE_DUCK = """
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS toks
+  FROM documents),
+w AS (SELECT doc_id, CAST(i / 8 AS INT) AS wid,
+             array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS seg
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS i
+            FROM t WHERE len(toks) > 0)),
+hot AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS nd
+                         FROM w GROUP BY 1) WHERE nd >= 2),
+agg AS (SELECT doc_id,
+         md5(coalesce(string_agg(
+           CASE WHEN seg NOT IN (SELECT seg FROM hot) THEN seg END,
+           ' ' ORDER BY wid), '')) AS m,
+         count(*) AS ns,
+         sum(CASE WHEN seg IN (SELECT seg FROM hot) THEN 1 ELSE 0 END)
+           AS nd
+        FROM w GROUP BY doc_id)
+SELECT t.doc_id,
+  CASE WHEN a.doc_id IS NOT NULL THEN a.m
+       ELSE md5(array_to_string(t.toks, ' ')) END AS clean_md5,
+  CAST(coalesce(a.ns, 0) AS BIGINT) AS n_segments,
+  CAST(coalesce(a.nd, 0) AS BIGINT) AS n_dropped_segments
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+_PAIRS["q109_boilerplate"] = ("", _BOILERPLATE_DUCK)
+
+
+def _q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token budget estimators (pure
+    Catalyst regexp_count; same pattern text as the oracle)."""
+    from ckanext_extractor_spark.functions.textstats import (
+        token_count_estimates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count_estimates(docs)
+
+
+_TOKEN_EST_DUCK = r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+    AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text),
+    '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_bpe_pieces,
+  ROUND(CASE WHEN len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]+')) > 0
+    THEN len(text) / (1.0 * len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]+')))
+    ELSE 0 END, 6) AS chars_per_piece
+FROM documents
+"""
+
+_PAIRS["q110_token_estimates"] = ("", _TOKEN_EST_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -4637,6 +4714,8 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_contamination": _q_contamination,
     "q107_pii_scrub": _q_pii_scrub,
     "q108_span_first": _q_span_first,
+    "q109_boilerplate": _q_boilerplate,
+    "q110_token_estimates": _q_token_estimates,
 }
 
 

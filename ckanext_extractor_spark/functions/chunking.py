@@ -56,3 +56,87 @@ def chunk_documents(
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    size: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-corpus boilerplate removal: split every doc into
+    non-overlapping ``size``-token segments, count how many DISTINCT
+    docs each segment occurs in corpus-wide, and drop every segment
+    seen in >= ``min_docs`` docs (headers, license blocks, navigation
+    chrome — the spans that repeat verbatim across pages). Returns
+    (id, clean_text, n_segments, n_dropped_segments); docs whose
+    segments are all boilerplate keep an empty clean_text, zero-token
+    docs pass through unchanged.
+
+    Shape for scale: one corpus-wide count shuffle keyed by the segment
+    hash (md5-60-bit — segment strings never cross the exchange) with
+    partial distinct aggregation, one equi-join of the windows against
+    the over-threshold hash set, one per-doc reassembly aggregate.
+    Candidate volume is bounded by corpus tokens / size, never
+    quadratic. The same pass with ``min_docs`` scaled to a ppm of
+    corpus size is the 100 TB deployment shape.
+    """
+    if isinstance(min_docs, bool) or not isinstance(min_docs, int) \
+            or min_docs < 2:
+        raise ValueError(
+            f"min_docs must be an int >= 2, got {min_docs!r}"
+        )
+    wins = chunk_documents(
+        df, size=size, overlap=0, text_col=text_col, id_col=id_col
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        "chunk_text",
+        F.conv(F.substring(F.md5("chunk_text"), 1, 15), 16, 10)
+        .cast("long").alias("_seg_hash"),
+    )
+    hot = (
+        wins.groupBy("_seg_hash")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_seg_hash")
+    )
+    marked = wins.join(hot.withColumn("_drop", F.lit(True)),
+                       "_seg_hash", "left")
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_drop").isNull(),
+                            F.struct(
+                                F.col("chunk_id"), F.col("chunk_text")
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_segments"),
+        F.sum(
+            F.when(F.col("_drop").isNotNull(), 1).otherwise(0)
+        ).alias("n_dropped_segments"),
+    )
+    return (
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("n_segments").isNotNull(), F.col("clean_text"))
+            .otherwise(F.array_join(F.col("_t"), " "))
+            .alias("clean_text"),
+            F.coalesce("n_segments", F.lit(0)).cast("long")
+            .alias("n_segments"),
+            F.coalesce("n_dropped_segments", F.lit(0)).cast("long")
+            .alias("n_dropped_segments"),
+        )
+    )

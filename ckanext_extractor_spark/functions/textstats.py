@@ -112,6 +112,32 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def token_count_estimates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Model-token budget estimators per doc: whitespace token count,
+    BPE-ish piece count (runs of letters / digits / non-alnum symbols —
+    the split every byte-pair vocabulary starts from), and chars-per-
+    piece. Pure Catalyst (`regexp_count`), one projection, no shuffle;
+    the regex stays in the RE2 ∩ Java subset so the DuckDB oracle runs
+    the same pattern. The piece count upper-bounds real BPE tokens
+    (merges only shrink it), which is the budget planners want."""
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    pieces = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+")
+    ).cast("long")
+    n_chars = F.length(text_col)
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        pieces.alias("n_bpe_pieces"),
+        F.round(
+            F.when(pieces > 0, n_chars / pieces).otherwise(0.0), 6
+        ).alias("chars_per_piece"),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021,

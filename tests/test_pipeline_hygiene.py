@@ -189,3 +189,106 @@ def test_pii_patterns_are_re2_safe():
     # oracle portability: no backreferences / lookaround in any pattern
     for _name, pat, _tag in PII_PATTERNS:
         assert "(?=" not in pat and "(?!" not in pat and "\\1" not in pat
+
+
+# ---------------------------------------------------- boilerplate removal
+
+
+def test_boilerplate_drops_cross_doc_segments(spark):
+    from ckanext_extractor_spark.functions.chunking import (
+        remove_repeated_segments,
+    )
+
+    # 4-token segments; "COPYRIGHT footer legal text" appears in docs
+    # 0 and 1 at a segment boundary -> dropped from both. Doc 2 has a
+    # unique body only; doc 3 is empty.
+    rows = [
+        (0, "alpha beta gamma delta COPYRIGHT footer legal text"),
+        (1, "one two three four COPYRIGHT footer legal text"),
+        (2, "unique body here now"),
+        (3, "   "),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_segments(
+            _docs(spark, rows), size=4, min_docs=2
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "alpha beta gamma delta"
+    assert out[0]["n_segments"] == 2
+    assert out[0]["n_dropped_segments"] == 1
+    assert out[1]["clean_text"] == "one two three four"
+    assert out[1]["n_dropped_segments"] == 1
+    # unique content untouched
+    assert out[2]["clean_text"] == "unique body here now"
+    assert out[2]["n_dropped_segments"] == 0
+    # zero-token doc passes through with empty text and zero counts
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_segments"] == 0
+
+
+def test_boilerplate_min_docs_threshold(spark):
+    from ckanext_extractor_spark.functions.chunking import (
+        remove_repeated_segments,
+    )
+
+    rows = [
+        (0, "shared block text"),
+        (1, "shared block text"),
+        (2, "shared block text"),
+    ]
+    # min_docs=4 -> nothing hot enough, everything kept
+    kept = remove_repeated_segments(
+        _docs(spark, rows), size=3, min_docs=4
+    ).collect()
+    assert all(r["n_dropped_segments"] == 0 for r in kept)
+    # min_docs=2 -> all three drop the shared segment
+    dropped = remove_repeated_segments(
+        _docs(spark, rows), size=3, min_docs=2
+    ).collect()
+    assert all(r["clean_text"] == "" for r in dropped)
+    assert all(r["n_dropped_segments"] == 1 for r in dropped)
+
+
+def test_boilerplate_all_docs_present_and_validation(spark):
+    from ckanext_extractor_spark.functions.chunking import (
+        remove_repeated_segments,
+    )
+
+    rows = [(0, "a b"), (1, "")]
+    df = _docs(spark, rows)
+    out = remove_repeated_segments(df, size=8, min_docs=2)
+    assert out.count() == 2  # left join keeps chunkless docs
+    for bad in (1, 0, -3, True, "2"):
+        with pytest.raises(ValueError):
+            remove_repeated_segments(df, min_docs=bad)
+
+
+# ---------------------------------------------------- token estimates
+
+
+def test_token_count_estimates(spark):
+    from ckanext_extractor_spark.functions.textstats import (
+        token_count_estimates,
+    )
+
+    rows = [
+        (0, "Hello, world! x2"),
+        (1, "   "),
+        (2, "abc123def"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in token_count_estimates(_docs(spark, rows)).collect()
+    }
+    # "Hello, world! x2" -> ws tokens: Hello, world! x2 = 3
+    # pieces: hello / , / world / ! / x / 2 = 6
+    assert out[0]["n_ws_tokens"] == 3
+    assert out[0]["n_bpe_pieces"] == 6
+    assert out[0]["chars_per_piece"] == round(16 / 6, 6)
+    # whitespace-only doc: 0 tokens, 0 pieces, ratio pinned to 0
+    assert out[1]["n_ws_tokens"] == 0
+    assert out[1]["n_bpe_pieces"] == 0
+    assert out[1]["chars_per_piece"] == 0.0
+    # letter/digit runs split: abc / 123 / def
+    assert out[2]["n_bpe_pieces"] == 3
