@@ -4615,6 +4615,170 @@ FROM documents
 _PAIRS["q110_token_estimates"] = ("", _TOKEN_EST_DUCK)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: one-step assignment to the 8 smallest-id seed
+    centroids, then within-cluster cosine >= 0.3 marks duplicates
+    (keep-smallest-id rule)."""
+    from ckanext_extractor_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.3)
+
+
+_SEMDEDUP_DUCK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 8),
+cosd AS (SELECT vec_id, sid,
+  list_dot_product(v, sv)
+    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))) AS c
+  FROM e CROSS JOIN seeds),
+assign AS (SELECT vec_id, sid AS cluster_id FROM
+  (SELECT vec_id, sid, row_number() OVER
+     (PARTITION BY vec_id ORDER BY ROUND(c, 6) DESC, sid ASC) AS rn
+   FROM cosd)
+  WHERE rn = 1),
+m AS (SELECT a.vec_id, a.cluster_id, e.v FROM assign a JOIN e USING (vec_id)),
+dups AS (SELECT DISTINCT b.vec_id FROM m a
+  JOIN m b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v))
+       * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+SELECT a.vec_id, a.cluster_id,
+  (a.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+FROM assign a
+"""
+
+_PAIRS["q111_semantic_dedup"] = ("", _SEMDEDUP_DUCK)
+
+
+def _q_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF featurization: md5-60-bit buckets mod 256,
+    smooth idf, L2-normalized sparse rows."""
+    from ckanext_extractor_spark.functions.vectorize import hashed_tfidf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hashed_tfidf(docs, dim=256)
+
+
+_TFIDF_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tf AS (SELECT doc_id, {DUCK_H60.format(x='term')} % 256 AS bucket,
+       CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+bdf AS (SELECT bucket, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w AS (SELECT doc_id, bucket, tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS w
+      FROM tf JOIN bdf USING (bucket) CROSS JOIN n)
+SELECT doc_id, bucket,
+  ROUND(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6) AS weight
+FROM w
+"""
+
+_PAIRS["q112_hashed_tfidf"] = ("", _TFIDF_DUCK)
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al exact duplicated-substring spans: overlapping 8-token
+    shingles occurring in >= 2 distinct docs, in token coordinates."""
+    from ckanext_extractor_spark.functions.chunking import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, size=8, min_docs=2)
+
+
+_DUP_SPANS_DUCK = """
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS toks
+  FROM documents),
+sh AS (SELECT doc_id, i AS start_pos,
+       md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+       FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 8 + 1)) AS i
+             FROM t WHERE len(toks) >= 8)),
+hot AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM sh
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+SELECT s.doc_id, CAST(s.start_pos AS BIGINT) AS start_pos,
+       CAST(hot.n_docs AS BIGINT) AS n_docs
+FROM sh s JOIN hot USING (h)
+"""
+
+_PAIRS["q113_duplicate_spans"] = ("", _DUP_SPANS_DUCK)
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the 2 nearest of 8 pinned-seed clusters for
+    vec 0's embedding, exact cosine within (query vec included)."""
+    from ckanext_extractor_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.where("vec_id = 0").head()["embedding"]
+    ]
+    out = ivf_topk(emb, qvec, k=10, n_clusters=8, nprobe=2)
+    from pyspark.sql import functions as F
+
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+_IVF_DUCK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 8),
+cosd AS (SELECT vec_id, sid,
+  list_dot_product(v, sv)
+    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))) AS c
+  FROM e CROSS JOIN seeds),
+assign AS (SELECT vec_id, sid AS cluster_id FROM
+  (SELECT vec_id, sid, row_number() OVER
+     (PARTITION BY vec_id ORDER BY ROUND(c, 6) DESC, sid ASC) AS rn
+   FROM cosd)
+  WHERE rn = 1),
+probe AS (SELECT sid FROM
+  (SELECT sid, list_dot_product(sv, qv)
+     / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(qv, qv)))
+     AS qc FROM seeds CROSS JOIN q)
+  ORDER BY ROUND(qc, 6) DESC, sid ASC LIMIT 2),
+s AS (SELECT e.vec_id, list_dot_product(v, qv)
+  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+  FROM e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM assign
+                     WHERE cluster_id IN (SELECT sid FROM probe)))
+SELECT vec_id, ROUND(c, 4) AS cosine FROM s
+ORDER BY ROUND(c, 6) DESC, vec_id ASC LIMIT 10
+"""
+
+_PAIRS["q114_ivf_topk"] = ("", _IVF_DUCK)
+
+
+def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality: per-doc mean -log2 p(token) against
+    the corpus's own unigram distribution."""
+    from ckanext_extractor_spark.functions.textstats import (
+        unigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_surprisal(docs)
+
+
+_SURPRISAL_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM tok GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+s AS (SELECT doc_id, -log2(cf / total) AS s
+      FROM tok JOIN cf USING (term) CROSS JOIN tot),
+p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, avg(s) AS m
+      FROM s GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  ROUND(COALESCE(p.m, 0), 6) AS mean_surprisal,
+  ROUND(pow(2.0, COALESCE(p.m, 0)), 4) AS ppl
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+_PAIRS["q115_unigram_surprisal"] = ("", _SURPRISAL_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -4716,6 +4880,11 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_span_first": _q_span_first,
     "q109_boilerplate": _q_boilerplate,
     "q110_token_estimates": _q_token_estimates,
+    "q111_semantic_dedup": _q_semantic_dedup,
+    "q112_hashed_tfidf": _q_hashed_tfidf,
+    "q113_duplicate_spans": _q_duplicate_spans,
+    "q114_ivf_topk": _q_ivf_topk,
+    "q115_unigram_surprisal": _q_unigram_surprisal,
 }
 
 

@@ -140,3 +140,78 @@ def remove_repeated_segments(
             .alias("n_dropped_segments"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    size: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    OVERLAPPING ``size``-token shingle (stride 1 — unlike
+    remove_repeated_segments' aligned windows, a duplicated span is
+    found at ANY offset), hashed corpus-wide; spans whose shingle
+    occurs in >= ``min_docs`` distinct docs come back as
+    (id, start_pos, n_docs) rows in token coordinates, ready for a
+    downstream trim/merge pass.
+
+    Scale shape: shingle volume is ~1 row per corpus token (each
+    position starts one shingle), so the count shuffle is linear in
+    corpus tokens and keyed by the md5-60-bit shingle hash — shingle
+    strings never cross the exchange; the suffix-array machinery of
+    the paper is replaced by the hash-count + equi-join Spark already
+    parallelizes. Tail shingles shorter than ``size`` are not emitted
+    (the paper's minimum-match-length floor)."""
+    if isinstance(size, bool) or not isinstance(size, int) or size < 2:
+        raise ValueError(f"size must be an int >= 2, got {size!r}")
+    if isinstance(min_docs, bool) or not isinstance(min_docs, int) \
+            or min_docs < 2:
+        raise ValueError(f"min_docs must be an int >= 2, got {min_docs!r}")
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
+    starts = F.sequence(
+        F.lit(0), F.size("_t") - F.lit(size), F.lit(1)
+    )
+    # posexplode carries _t through the generator so the slice+hash
+    # happens in the same whole-stage-codegen pipeline — no self-join,
+    # no shuffle before the count aggregate.
+    shingles = (
+        toks.where(F.size("_t") >= size)
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            F.posexplode(starts).alias("_i", "start_pos"),
+        )
+        .select(
+            F.col(id_col),
+            "start_pos",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                F.col("_t"), F.col("start_pos") + 1, size
+                            ),
+                            " ",
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long").alias("_h"),
+        )
+    )
+    hot = (
+        shingles.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return shingles.join(hot, "_h").select(
+        F.col(id_col),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )

@@ -197,3 +197,167 @@ def lsh_bucket_topk(
         F.col("lsh_bucket").isin([int(b) for b in probe])
     )
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, then mark every
+    within-cluster near-duplicate above a cosine threshold, keeping the
+    smallest id of each duplicate group (a row is a duplicate iff SOME
+    smaller-id row in its cluster reaches ``threshold``). Returns
+    (id, cluster_id, is_dup) for every input row.
+
+    Clustering is a deterministic one-step assignment to ``n_clusters``
+    seed centroids — the ``n_clusters`` smallest-id vectors, i.e. the
+    IVF coarse-quantizer shape with pinned seeds so the result is
+    reproducible and oracle-checkable. At 100 TB the seeds would come
+    from a sampled k-means sketch instead, but the expensive parts —
+    the N x K assignment scan and the per-cluster pair verify — keep
+    exactly this plan.
+
+    Scale shape: seeds stay a broadcast TakeOrdered head (K rows); the
+    assignment is one window over N x K rows shuffled by id; the pair
+    step self-joins on cluster_id, so cost is sum(cluster^2) — bounded
+    by ``max_cluster_size`` (drop oversized clusters from the pair scan,
+    never from the output) exactly like embedding_neardup_pairs'
+    bucket cap. Ties in the assignment resolve by (cosine rounded to
+    6dp desc, seed id asc) so independent engines agree."""
+    if not isinstance(threshold, (int, float)) or isinstance(threshold, bool) \
+            or not (-1.0 <= float(threshold) <= 1.0):
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold!r}")
+
+    norm = embeddings.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    )
+    assign = ivf_assign(embeddings, n_clusters, id_col, vec_col)
+    members = assign.join(norm, id_col)
+    if max_cluster_size is not None:
+        ok = (
+            assign.groupBy("cluster_id")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_cluster_size)
+            .select("cluster_id")
+        )
+        members = members.join(ok, "cluster_id", "left_semi")
+    a = members.select(
+        F.col("cluster_id"), F.col(id_col).alias("_ida"), F.col("_v").alias("_va")
+    )
+    b = members.select(
+        F.col("cluster_id"), F.col(id_col).alias("_idb"), F.col("_v").alias("_vb")
+    )
+    va, vb = F.col("_va"), F.col("_vb")
+    cos_pair = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    dups = (
+        a.join(b, "cluster_id")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(cos_pair >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return assign.join(
+        dups.withColumn("_d", F.lit(True)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        "cluster_id",
+        F.coalesce("_d", F.lit(False)).alias("is_dup"),
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: (id, cluster_id) by max cosine
+    against ``n_clusters`` pinned seed centroids (the smallest-id
+    vectors — deterministic and oracle-checkable; a production build
+    swaps in sampled k-means centroids, same plan). Ties resolve by
+    (cosine 6dp desc, seed id asc). At scale this table is computed
+    once at ingest and the embedding store is written partitioned by
+    cluster_id so probes prune to nprobe partitions."""
+    if isinstance(n_clusters, bool) or not isinstance(n_clusters, int) \
+            or n_clusters < 1:
+        raise ValueError(f"n_clusters must be an int >= 1, got {n_clusters!r}")
+
+    from pyspark.sql import Window
+
+    norm = embeddings.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    )
+    seeds = F.broadcast(
+        norm.orderBy(id_col).limit(n_clusters).select(
+            F.col(id_col).alias("_sid"), F.col("_v").alias("_sv")
+        )
+    )
+    sv, v = F.col("_sv"), F.col("_v")
+    cos_seed = _dot(v, sv) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(sv, sv)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("_c"), 6).desc(), F.col("_sid").asc()
+    )
+    return (
+        norm.crossJoin(seeds)
+        .select(id_col, "_sid", cos_seed.alias("_c"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_sid").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the inverted-file ANN shape, Jégou et
+    al. 2011): rank the seed centroids by cosine to the query, scan
+    only the ``nprobe`` nearest clusters, exact cosine within.
+
+    Pass a precomputed ``assignments`` frame (from :func:`ivf_assign`,
+    persisted/partitioned at ingest) to skip re-assigning the corpus
+    per query — then the probe is a partition-pruned semi-join + one
+    TakeOrdered over ~nprobe/n_clusters of the data. Without it, the
+    assignment is computed inline (correct but corpus-scan-per-query —
+    test/bring-up mode). Recall/cost knob = (n_clusters, nprobe)."""
+    if isinstance(nprobe, bool) or not isinstance(nprobe, int) \
+            or not (1 <= nprobe <= n_clusters):
+        raise ValueError(
+            f"nprobe must be an int in [1, n_clusters], got {nprobe!r}"
+        )
+    if assignments is None:
+        assignments = ivf_assign(embeddings, n_clusters, id_col, vec_col)
+    norm = embeddings.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    )
+    seeds = (
+        norm.orderBy(id_col).limit(n_clusters).select(
+            F.col(id_col).alias("_sid"), F.col("_v").alias("_sv")
+        )
+    )
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sv = F.col("_sv")
+    q_cos = _dot(sv, q) / (F.sqrt(_dot(sv, sv)) * F.lit(qn))
+    probe = (
+        seeds.select(F.col("_sid"), q_cos.alias("_qc"))
+        .orderBy(F.round(F.col("_qc"), 6).desc(), F.col("_sid").asc())
+        .limit(nprobe)
+        .select(F.col("_sid").alias("cluster_id"))
+    )
+    cand_ids = assignments.join(
+        F.broadcast(probe), "cluster_id", "left_semi"
+    ).select(id_col)
+    cand = embeddings.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

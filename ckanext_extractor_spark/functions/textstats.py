@@ -222,3 +222,52 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
         F.max(h).alias("fp_max"),
         F.count("*").alias("n_distinct_terms"),
     )
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-proxy quality signal: per-doc mean unigram surprisal
+    -log2 p(token), with p estimated from the corpus's OWN unigram
+    distribution (cf / total tokens). The cheap stand-in for an
+    LM-based quality filter (CCNet scores with a real KenLM; the
+    plumbing — corpus-level stats joined back onto the token stream —
+    is identical, so swapping in external LM probabilities is a
+    one-join change). Low surprisal ~ repetitive/common text, high ~
+    rare-token noise; both tails get filtered in practice.
+
+    Shape for scale: one token-count hash aggregate (map-side partial)
+    for the unigram table, the corpus total folded in as a 1-row
+    broadcast, the unigram table joined back onto the token stream on
+    the term key (broadcast while the dictionary fits, shuffle-hash
+    beyond), one per-doc aggregate. Zero-token docs pass through with
+    surprisal pinned to 0.0. Returns
+    (id, n_tokens, mean_surprisal [bits/token], ppl = 2^mean)."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_term")
+    )
+    cf = toks.groupBy("_term").agg(F.count("*").cast("double").alias("_cf"))
+    total = toks.select(F.count("*").cast("double").alias("_total"))
+    scored = (
+        toks.join(cf, "_term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (-(F.log2(F.col("_cf") / F.col("_total")))).alias("_s"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.avg("_s").alias("_mean"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce("_mean", F.lit(0.0)), 6)
+            .alias("mean_surprisal"),
+            F.round(F.pow(F.lit(2.0), F.coalesce("_mean", F.lit(0.0))), 4)
+            .alias("ppl"),
+        )
+    )

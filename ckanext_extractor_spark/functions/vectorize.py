@@ -1,0 +1,87 @@
+"""Text featurization for training-data pipelines: hashing-trick
+TF-IDF (the scalable fixed-width bag-of-words every dedup / clustering
+/ classifier stage downstream of raw text wants).
+
+Spark-first shape: tokens come from the same portable lowercase
+``[^a-z0-9]+`` splitter the textstats family uses; the term -> bucket
+map is a stateless hash (no vocabulary to fit, broadcast, or keep in
+sync across a 1000-executor cluster — the whole point of the hashing
+trick, Weinberger et al. 2009). Buckets use the md5-60-bit hash the
+dedup family established (portable to the DuckDB oracle, unlike
+xxhash64). Everything is Catalyst: one explode + two hash aggregates,
+no UDFs, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ckanext_extractor_spark.functions.textstats import _tokens
+
+
+def _bucket(term: Column, dim: int) -> Column:
+    # md5-60-bit % dim: the 60-bit value is non-negative, so the
+    # modulo is too (Spark and DuckDB agree on % for non-negatives).
+    return (
+        F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+        % F.lit(dim)
+    )
+
+
+def hashed_tfidf(
+    df: DataFrame,
+    dim: int = 1024,
+    l2_normalize: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse hashed TF-IDF rows (id, bucket, ROUND(weight, 6)).
+
+    weight = tf * idf with smooth idf = ln((N + 1) / (df + 1)) + 1
+    (the sklearn TfidfVectorizer formula), where N counts ALL input
+    docs (zero-token docs contribute to N but emit no rows) and df is
+    the number of distinct docs hitting the BUCKET (post-collision —
+    the hashing-trick statistic, cheaper and what a fit-free pipeline
+    can actually know). With ``l2_normalize`` each doc's weight vector
+    is scaled to unit length so downstream cosine is a plain dot.
+
+    Plan: explode -> (doc, bucket) tf hash aggregate (map-side partial)
+    -> bucket df aggregate joined back broadcast -> N folded in as a
+    1-row broadcast cross join -> optional per-doc norm window. Two
+    shuffles total at any corpus size; output volume is bounded by
+    min(tokens, n_docs * dim)."""
+    if isinstance(dim, bool) or not isinstance(dim, int) or dim < 1:
+        raise ValueError(f"dim must be an int >= 1, got {dim!r}")
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_term")
+    )
+    tf = (
+        toks.select(id_col, _bucket(F.col("_term"), dim).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    bucket_df = tf.groupBy("bucket").agg(F.count("*").alias("_df"))
+    n = df.select(F.count("*").cast("double").alias("_n"))
+    idf = F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0
+    weighted = (
+        tf.join(F.broadcast(bucket_df), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(id_col, "bucket", (F.col("_tf") * idf).alias("_w"))
+    )
+    if l2_normalize:
+        from pyspark.sql import Window
+
+        norm = F.sqrt(
+            F.sum(F.col("_w") * F.col("_w")).over(
+                Window.partitionBy(id_col)
+            )
+        )
+        weighted = weighted.select(
+            id_col, "bucket", (F.col("_w") / norm).alias("_w")
+        )
+    return weighted.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.round("_w", 6).alias("weight"),
+    )
