@@ -12,10 +12,23 @@ swap in the code-aware analyzer upstream for identifier-aware windows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ckanext_extractor_spark.functions.textstats import _tokens
+
+
+def _h120(md5_col: Column) -> tuple[Column, Column]:
+    """Split an md5 hex column into two 60-bit longs — a 16 B
+    fixed-width exchange key whose birthday bound stays negligible at
+    trillion-row shingle volumes (one 60-bit long would false-merge
+    ~1e6 groups at 1e12 keys)."""
+    return (
+        F.conv(F.substring(md5_col, 1, 15), 16, 10)
+        .cast("long").alias("_h1"),
+        F.conv(F.substring(md5_col, 16, 15), 16, 10)
+        .cast("long").alias("_h2"),
+    )
 
 
 def chunk_documents(
@@ -75,9 +88,12 @@ def remove_repeated_segments(
     docs pass through unchanged.
 
     Shape for scale: one corpus-wide count shuffle keyed by the segment
-    hash (md5-60-bit — segment strings never cross the exchange) with
-    partial distinct aggregation, one equi-join of the windows against
-    the over-threshold hash set, one per-doc reassembly aggregate.
+    hash (md5 split into two 60-bit longs, 16 B fixed — segment strings
+    never cross the exchange, and 120 bits keeps the birthday bound
+    negligible even at ~1e12 segments, where a single 60-bit key would
+    produce ~1e6 false merges) with partial distinct aggregation, one
+    equi-join of the windows against the over-threshold hash set, one
+    per-doc reassembly aggregate.
     Candidate volume is bounded by corpus tokens / size, never
     quadratic. The same pass with ``min_docs`` scaled to a ppm of
     corpus size is the 100 TB deployment shape.
@@ -93,17 +109,16 @@ def remove_repeated_segments(
         F.col(id_col),
         "chunk_id",
         "chunk_text",
-        F.conv(F.substring(F.md5("chunk_text"), 1, 15), 16, 10)
-        .cast("long").alias("_seg_hash"),
+        *_h120(F.md5("chunk_text")),
     )
     hot = (
-        wins.groupBy("_seg_hash")
+        wins.groupBy("_h1", "_h2")
         .agg(F.countDistinct(id_col).alias("_nd"))
         .where(F.col("_nd") >= min_docs)
-        .select("_seg_hash")
+        .select("_h1", "_h2")
     )
     marked = wins.join(hot.withColumn("_drop", F.lit(True)),
-                       "_seg_hash", "left")
+                       ["_h1", "_h2"], "left")
     rebuilt = marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -160,8 +175,10 @@ def duplicate_spans(
 
     Scale shape: shingle volume is ~1 row per corpus token (each
     position starts one shingle), so the count shuffle is linear in
-    corpus tokens and keyed by the md5-60-bit shingle hash — shingle
-    strings never cross the exchange; the suffix-array machinery of
+    corpus tokens and keyed by the 120-bit (two-long) shingle hash —
+    shingle strings never cross the exchange, and at trillion-shingle
+    volumes the birthday bound stays negligible (a single 60-bit key
+    would false-merge ~1e6 groups); the suffix-array machinery of
     the paper is replaced by the hash-count + equi-join Spark already
     parallelizes. Tail shingles shorter than ``size`` are not emitted
     (the paper's minimum-match-length floor)."""
@@ -187,30 +204,24 @@ def duplicate_spans(
         .select(
             F.col(id_col),
             "start_pos",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.array_join(
-                            F.slice(
-                                F.col("_t"), F.col("start_pos") + 1, size
-                            ),
-                            " ",
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long").alias("_h"),
+            *_h120(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("_t"), F.col("start_pos") + 1, size
+                        ),
+                        " ",
+                    )
+                )
+            ),
         )
     )
     hot = (
-        shingles.groupBy("_h")
+        shingles.groupBy("_h1", "_h2")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
-    return shingles.join(hot, "_h").select(
+    return shingles.join(hot, ["_h1", "_h2"]).select(
         F.col(id_col),
         F.col("start_pos").cast("long").alias("start_pos"),
         F.col("n_docs").cast("long").alias("n_docs"),
