@@ -236,7 +236,10 @@ def semantic_dedup(
     norm = embeddings.select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
     )
-    assign = ivf_assign(embeddings, n_clusters, id_col, vec_col)
+    # the assignment feeds both pair-scan sides AND the output frame —
+    # persist it (2 longs/row) or the N x K assignment scan re-runs
+    # three times (caught by an executedPlan audit: 3 Window passes).
+    assign = ivf_assign(embeddings, n_clusters, id_col, vec_col).persist()
     members = assign.join(norm, id_col)
     if max_cluster_size is not None:
         ok = (
