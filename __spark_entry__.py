@@ -4779,6 +4779,130 @@ FROM documents d LEFT JOIN p USING (doc_id)
 _PAIRS["q115_unigram_surprisal"] = ("", _SURPRISAL_DUCK)
 
 
+def _q_dismax_pf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax pf2 through the REAL operators: 3-token query
+    'src13 en doc' over field-a = source+lang+'doc' — every ADJACENT
+    bigram ('src13 en', 'en doc') is its own SHOULD phrase clause, so
+    docs holding only the 'en doc' tail still earn a partial boost the
+    all-or-nothing pf (q66) can't give them."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.operators.fields import (
+        build_field_norms,
+        build_field_postings,
+        dismax_search_fields,
+    )
+    from ckanext_extractor_spark.operators.normalize import (
+        clean_metadata_keys,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prepared = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        clean_metadata_keys(
+            F.create_map(
+                F.lit("Field_A"),
+                F.concat(F.col("source"), F.lit(" "), F.col("lang"),
+                         F.lit(" doc")),
+                F.lit("Field_B"),
+                F.col("lang"),
+            )
+        ).alias("metadata"),
+    )
+    fp = build_field_postings(prepared)
+    values = prepared.select(
+        "doc_id", F.explode(F.col("metadata")).alias("field", "value")
+    )
+    out = dismax_search_fields(
+        fp, "src13 en doc", {"field-a": 2.0, "field-b": 1.0}, k=10,
+        tie=0.3, norms=build_field_norms(fp), pf2={"field-a": 1.5},
+        values=values,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_DISMAX_PF2_DUCK = """
+WITH fp0 AS (
+  SELECT doc_id, 'field-a' AS field,
+         unnest(list_filter(string_split_regex(
+             lower(source || ' ' || lang || ' doc'),
+             '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'field-b' AS field,
+         unnest(list_filter(string_split_regex(lower(lang),
+             '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+fp AS (SELECT doc_id, field, term, count(*) AS tf FROM fp0 GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, field, sum(tf) AS dl FROM fp GROUP BY 1, 2),
+st AS (SELECT field, CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+       FROM dl GROUP BY 1),
+dft AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM fp
+        WHERE term IN ('src13', 'en', 'doc') GROUP BY 1, 2),
+sc AS (
+  SELECT fp.doc_id, fp.term,
+         (CASE WHEN fp.field = 'field-a' THEN 2.0 ELSE 1.0 END)
+         * ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (fp.tf * 2.2)
+           / (fp.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM fp
+  JOIN dl ON fp.doc_id = dl.doc_id AND fp.field = dl.field
+  JOIN st ON fp.field = st.field
+  JOIN dft ON fp.field = dft.field AND fp.term = dft.term
+),
+dm AS (SELECT doc_id, term, max(s) + 0.3 * (sum(s) - max(s)) AS ds
+       FROM sc GROUP BY 1, 2),
+qagg AS (SELECT doc_id, SUM(ds) AS qscore FROM dm GROUP BY doc_id),
+pv AS (SELECT doc_id, 'field-a' AS field,
+         list_filter(string_split_regex(
+             lower(source || ' ' || lang || ' doc'),
+             '[^a-z0-9]+'), x -> x <> '') AS ta
+       FROM documents),
+ptf AS (
+  SELECT doc_id, field, 0 AS pid,
+         CASE WHEN len(ta) >= 2 THEN len(list_filter(
+                generate_series(1, len(ta) - 1),
+                i -> ta[i:i+1] = ['src13', 'en']))
+              ELSE 0 END AS ptf
+  FROM pv
+  UNION ALL
+  SELECT doc_id, field, 1 AS pid,
+         CASE WHEN len(ta) >= 2 THEN len(list_filter(
+                generate_series(1, len(ta) - 1),
+                i -> ta[i:i+1] = ['en', 'doc']))
+              ELSE 0 END AS ptf
+  FROM pv),
+pidf AS (
+  SELECT field, 0 AS pid,
+         SUM(ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))) AS pidf
+  FROM dft JOIN st USING (field)
+  WHERE field = 'field-a' AND term IN ('src13', 'en') GROUP BY field
+  UNION ALL
+  SELECT field, 1 AS pid,
+         SUM(ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))) AS pidf
+  FROM dft JOIN st USING (field)
+  WHERE field = 'field-a' AND term IN ('en', 'doc') GROUP BY field),
+psc AS (SELECT p.doc_id, p.pid,
+          1.5 * pidf.pidf * (p.ptf * 2.2)
+            / (p.ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS ps
+        FROM ptf p
+        JOIN dl ON p.doc_id = dl.doc_id AND p.field = dl.field
+        JOIN st ON p.field = st.field
+        JOIN pidf ON p.field = pidf.field AND p.pid = pidf.pid
+        WHERE p.ptf > 0),
+pcl AS (SELECT doc_id, pid, max(ps) + 0.3 * (sum(ps) - max(ps)) AS v
+        FROM psc GROUP BY 1, 2),
+pagg AS (SELECT doc_id, SUM(v) AS pscore FROM pcl GROUP BY doc_id)
+SELECT q.doc_id, ROUND(q.qscore + COALESCE(pa.pscore, 0), 4) AS score
+FROM qagg q LEFT JOIN pagg pa ON q.doc_id = pa.doc_id
+ORDER BY ROUND(q.qscore + COALESCE(pa.pscore, 0), 6) DESC, q.doc_id ASC
+LIMIT 10
+"""
+
+_PAIRS["q116_dismax_pf2"] = ("", _DISMAX_PF2_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -4885,6 +5009,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_duplicate_spans": _q_duplicate_spans,
     "q114_ivf_topk": _q_ivf_topk,
     "q115_unigram_surprisal": _q_unigram_surprisal,
+    "q116_dismax_pf2": _q_dismax_pf2,
 }
 
 

@@ -3213,6 +3213,8 @@ class ExtractorEngine:
         tie: float = 0.0,
         min_match: int | None = None,
         pf: dict[str, float] | None = None,
+        pf2: dict[str, float] | None = None,
+        pf3: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Scored multi-field metadata search — Solr (e)dismax ``qf``
         per-field boosts with ``tie`` breaker (Lucene
@@ -3226,7 +3228,11 @@ class ExtractorEngine:
         contains the WHOLE query as an adjacent phrase earn an additive
         phrase-BM25 boost (DisjunctionMax over pf fields with the same
         tie) — the relevance feature Solr deployments reach for right
-        after qf. Returns [(doc_id, score)], score desc, doc_id asc."""
+        after qf. ``pf2``/``pf3`` (edismax bigram/trigram phrase
+        fields): every ADJACENT pair / triple of query tokens becomes
+        its own SHOULD phrase clause over its field map — partial
+        phrase matches earn boosts the all-or-nothing pf can't.
+        Returns [(doc_id, score)], score desc, doc_id asc."""
         self._check_access("extractor_search")
         _require_query(query)
         _require_k(k)
@@ -3251,6 +3257,8 @@ class ExtractorEngine:
 
         _require_boost_map("qf", qf, allow_none=False)
         _require_boost_map("pf", pf, allow_none=True)
+        _require_boost_map("pf2", pf2, allow_none=True)
+        _require_boost_map("pf3", pf3, allow_none=True)
         if (
             isinstance(tie, bool)
             or not isinstance(tie, (int, float))
@@ -3266,11 +3274,11 @@ class ExtractorEngine:
                 f"min_match must be a positive integer, got {min_match!r}"
             )
         if self.BODY_FIELD in qf:
-            if pf:
+            if pf or pf2 or pf3:
                 raise ValidationError(
-                    f"pf does not compose with the {self.BODY_FIELD} "
-                    "body pseudo-field; use phrase_search for body "
-                    "phrases (pinned)"
+                    f"pf/pf2/pf3 do not compose with the "
+                    f"{self.BODY_FIELD} body pseudo-field; use "
+                    "phrase_search for body phrases (pinned)"
                 )
             return self._dismax_with_body(query, qf, k, tie, min_match)
         from ckanext_extractor_spark.operators.fields import (
@@ -3281,7 +3289,7 @@ class ExtractorEngine:
         if fp is None:
             return []
         values = None
-        if pf:
+        if pf or pf2 or pf3:
             ds = self._read_or_none("doc_stats")
             if ds is not None and "metadata" in ds.columns:
                 values = ds.select(
@@ -3291,7 +3299,7 @@ class ExtractorEngine:
         rows = dismax_search_fields(
             fp, query, qf, k=k, tie=tie, min_match=min_match,
             norms=self._read_or_none("field_norms"),
-            pf=pf, values=values,
+            pf=pf, values=values, pf2=pf2, pf3=pf3,
         ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 

@@ -227,7 +227,9 @@ def cmd_query(args) -> int:
 
         hits = eng.dismax_search(args.q, _boosts(args.qf), k=args.k,
                                  tie=args.tie, min_match=args.min_match,
-                                 pf=_boosts(args.pf) if args.pf else None)
+                                 pf=_boosts(args.pf) if args.pf else None,
+                                 pf2=_boosts(args.pf2) if args.pf2 else None,
+                                 pf3=_boosts(args.pf3) if args.pf3 else None)
     elif args.phrase:
         hits = eng.phrase_search(args.q, k=args.k,
                                  distributed=args.distributed,
@@ -582,6 +584,15 @@ def main(argv=None) -> int:
                    metavar="FIELD[^BOOST]",
                    help="phrase-field boost: whole query as an adjacent "
                         "phrase in FIELD adds phrase BM25 (edismax pf; "
+                        "repeatable; requires --qf)")
+    q.add_argument("--pf2", action="append", default=None,
+                   metavar="FIELD[^BOOST]",
+                   help="bigram phrase-field boost: every adjacent query "
+                        "token pair as its own phrase clause (edismax "
+                        "pf2; repeatable; requires --qf)")
+    q.add_argument("--pf3", action="append", default=None,
+                   metavar="FIELD[^BOOST]",
+                   help="trigram phrase-field boost (edismax pf3; "
                         "repeatable; requires --qf)")
     q.add_argument("--tie", type=float, default=0.0,
                    help="dismax tie breaker in [0,1] (default 0)")

@@ -246,6 +246,8 @@ def dismax_search_fields(
     norms: "DataFrame | None" = None,
     pf: "dict[str, float] | None" = None,
     values: "DataFrame | None" = None,
+    pf2: "dict[str, float] | None" = None,
+    pf3: "dict[str, float] | None" = None,
 ) -> DataFrame:
     """Scored multi-field search — Solr (e)dismax ``qf`` with per-field
     boosts and ``tie`` breaker (Lucene DisjunctionMaxQuery).
@@ -285,7 +287,12 @@ def dismax_search_fields(
     qf, and the result ADDS to matching docs' main score (edismax
     attaches pf phrases as SHOULD clauses — a phrase-only doc that
     fails the main query stays excluded). Single-term queries skip pf
-    (no phrase to build — Solr behaves the same).
+    (no phrase to build — Solr behaves the same). ``pf2``/``pf3``
+    (edismax bigram/trigram phrase fields) build one SHOULD clause per
+    ADJACENT token pair / triple over their own field maps; all phrase
+    clauses' tfs come from ONE scan of the values frame (stacked via
+    explode), each clause dismaxes over its fields, and clause
+    contributions sum.
 
     Divergence, pinned: the engine's main content index is not a qf
     target (its analyzer differs from the field chain); combine with
@@ -349,54 +356,104 @@ def dismax_search_fields(
         # the matched-term count, never a rescore
         agg = agg.where(F.col("_m") >= int(min_match))
     ptoks = analyze_field_query(query)  # ordered, dups kept (positions)
-    if pf and values is not None and len(ptoks) >= 2:
+    # (boost_map, subphrases) per phrase-field flavor (Solr edismax):
+    # pf = the whole query, pf2 = adjacent bigrams, pf3 = adjacent
+    # trigrams. Every subphrase is its own SHOULD clause: it earns a
+    # DisjunctionMax-with-tie over its flavor's fields, and clause
+    # contributions SUM onto matching docs' main score.
+    phrase_specs: "list[tuple[dict[str, float], list[list[str]]]]" = []
+    if pf and len(ptoks) >= 2:
+        phrase_specs.append((pf, [ptoks]))
+    if pf2 and len(ptoks) >= 2:
+        phrase_specs.append(
+            (dict(pf2), [ptoks[i:i + 2] for i in range(len(ptoks) - 1)])
+        )
+    if pf3 and len(ptoks) >= 3:
+        phrase_specs.append(
+            (dict(pf3), [ptoks[i:i + 3] for i in range(len(ptoks) - 2)])
+        )
+    if phrase_specs and values is not None:
         from collections import Counter
 
-        pvals = values.where(F.col("field").isin(list(pf)))
-        # per-field summed idf of the phrase terms, each weighted by its
-        # position multiplicity (Lucene PhraseWeight sums idf per
+        # flat clause list: (clause id, boost map, subphrase tokens)
+        clauses: "list[tuple[int, dict[str, float], list[str]]]" = []
+        for pmap, subs in phrase_specs:
+            for sub in subs:
+                clauses.append((len(clauses), pmap, sub))
+        all_pfields = sorted({f for _, pmap, _ in clauses for f in pmap})
+        pvals = values.where(F.col("field").isin(all_pfields))
+        # ONE scan of the EAV values computes every clause's phrase tf,
+        # stacked into (doc, field, pid, ptf) rows via explode
+        ptf_structs = F.array(*[
+            F.struct(
+                F.lit(pid).alias("pid"),
+                phrase_tf_expr(F.col("value"), sub).alias("ptf"),
+            )
+            for pid, _, sub in clauses
+        ])
+        pmatch = (
+            pvals.select(id_col, "field", F.explode(ptf_structs).alias("_e"))
+            .select(id_col, "field", F.col("_e.pid").alias("pid"),
+                    F.col("_e.ptf").alias("ptf"))
+            .where(F.col("ptf") > 0)
+        )
+        # per-(field, clause) summed idf of the clause terms, weighted
+        # by position multiplicity (Lucene PhraseWeight sums idf per
         # position); a field missing a term omits its idf, but such a
         # field can't contain the phrase either (ptf = 0 everywhere)
-        cnt = Counter(ptoks)
-        w = F.lit(None).cast("double")
-        for t, c in cnt.items():
-            w = F.when(F.col("term") == t, F.lit(float(c))).otherwise(w)
-        sumidf = (
-            df_t.where(F.col("term").isin(list(cnt)))
-            .join(F.broadcast(stats.select("field", "n_docs")), "field")
-            .select("field", (w * F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            )).alias("wi"))
-            .groupBy("field")
-            .agg(F.sum("wi").alias("pidf"))
+        sumidf_parts = []
+        for pid, _pmap, sub in clauses:
+            cnt = Counter(sub)
+            w = F.lit(None).cast("double")
+            for t, c in cnt.items():
+                w = F.when(F.col("term") == t, F.lit(float(c))).otherwise(w)
+            sumidf_parts.append(
+                df_t.where(F.col("term").isin(list(cnt)))
+                .join(F.broadcast(stats.select("field", "n_docs")), "field")
+                .select(
+                    "field", F.lit(pid).alias("pid"),
+                    (w * F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )).alias("wi"),
+                )
+            )
+        sumidf = sumidf_parts[0]
+        for part in sumidf_parts[1:]:
+            sumidf = sumidf.unionByName(part)
+        sumidf = sumidf.groupBy("field", "pid").agg(
+            F.sum("wi").alias("pidf")
         )
+        # (pid, field) -> boost literal chain
         pboost = F.lit(None).cast("double")
-        for f_name, f_boost in pf.items():
-            pboost = F.when(
-                F.col("field") == f_name, F.lit(float(f_boost))
-            ).otherwise(pboost)
+        for pid, pmap, _sub in clauses:
+            for f_name, f_boost in pmap.items():
+                pboost = F.when(
+                    (F.col("pid") == pid) & (F.col("field") == f_name),
+                    F.lit(float(f_boost)),
+                ).otherwise(pboost)
         ptfc = F.col("ptf").cast("double")
         ps = pboost * F.col("pidf") * (ptfc * (k1 + 1.0)) / (
             ptfc + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
         )
         pscored = (
-            pvals.select(
-                id_col, "field",
-                phrase_tf_expr(F.col("value"), ptoks).alias("ptf"),
-            )
-            .where(F.col("ptf") > 0)
-            .join(dl, [id_col, "field"])
+            pmatch.join(dl, [id_col, "field"])
             .join(F.broadcast(stats), "field")
-            .join(F.broadcast(sumidf), "field")
-            .select(id_col, ps.alias("ps"))
+            .join(F.broadcast(sumidf), ["field", "pid"])
+            .select(id_col, "pid", ps.alias("ps"))
         )
-        pagg = pscored.groupBy(id_col).agg(
-            (
-                F.max("ps")
-                + F.lit(float(tie)) * (F.sum("ps") - F.max("ps"))
-            ).alias("_ps")
+        # DisjunctionMax over fields PER CLAUSE, then clauses sum
+        pagg = (
+            pscored.groupBy(id_col, "pid")
+            .agg(
+                (
+                    F.max("ps")
+                    + F.lit(float(tie)) * (F.sum("ps") - F.max("ps"))
+                ).alias("_v")
+            )
+            .groupBy(id_col)
+            .agg(F.sum("_v").alias("_ps"))
         )
         agg = agg.join(pagg, id_col, "left").withColumn(
             "score", F.col("score") + F.coalesce(F.col("_ps"), F.lit(0.0))

@@ -160,3 +160,102 @@ def test_cli_pf(engine, capsys):
             for ln in capsys.readouterr().out.strip().splitlines()]
     got = {r["doc_id"]: r["score"] for r in rows}
     assert got[ids["p0"]] > got[ids["p4"]]
+
+
+# ------------------------------------------------------------- pf2 / pf3
+
+
+def test_pf2_equals_pf_for_two_token_query(engine):
+    """A 2-token query has exactly one bigram — the whole query — so
+    pf2 must produce the identical scores pf does."""
+    a = engine.dismax_search("spark join", QF, k=10, pf={"title": 2.0})
+    b = engine.dismax_search("spark join", QF, k=10, pf2={"title": 2.0})
+    assert [(d, pytest.approx(s, rel=1e-12)) for d, s in a] == b
+
+
+def test_pf3_equals_pf_for_three_token_query(engine):
+    a = engine.dismax_search("spark join basics", QF, k=10,
+                             pf={"title": 2.0})
+    b = engine.dismax_search("spark join basics", QF, k=10,
+                             pf3={"title": 2.0})
+    assert [(d, pytest.approx(s, rel=1e-12)) for d, s in a] == b
+
+
+def test_pf3_skipped_for_two_token_query(engine):
+    assert engine.dismax_search("spark join", QF, k=10,
+                                pf3={"title": 2.0}) \
+        == engine.dismax_search("spark join", QF, k=10)
+
+
+def test_pf2_partial_phrase_credit(engine):
+    """'spark join basics': p0's title holds BOTH bigrams, p1's only
+    'spark join' — pf2 boosts both (pf boosts neither but p0), and
+    each increment matches the closed-form clause sum."""
+    ids = _ids(engine)
+    q = "spark join basics"
+    base = dict(engine.dismax_search(q, QF, k=10))
+    b2 = dict(engine.dismax_search(q, QF, k=10, pf2={"title": 2.0}))
+    assert set(base) == set(b2)
+    # closed form over the title field: n_docs=5, dl as built, bigram
+    # idf = sum of term idfs (df over title: spark 4, join 4, basics 1)
+    n = 5
+    dfs = {"spark": 4, "join": 4, "basics": 1}
+    idf = {t: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+           for t, d in dfs.items()}
+    dl = {"p0": 3, "p1": 3, "p2": 4, "p3": 3, "p4": 2}
+    avgdl = sum(dl.values()) / n
+
+    def tfp(ptf, d):
+        return (ptf * 2.2) / (ptf + 1.2 * (1 - 0.75 + 0.75 * d / avgdl))
+
+    inc0 = 2.0 * ((idf["spark"] + idf["join"]) * tfp(1, dl["p0"])
+                  + (idf["join"] + idf["basics"]) * tfp(1, dl["p0"]))
+    inc1 = 2.0 * (idf["spark"] + idf["join"]) * tfp(1, dl["p1"])
+    assert b2[ids["p0"]] - base[ids["p0"]] == pytest.approx(inc0, rel=1e-9)
+    assert b2[ids["p1"]] - base[ids["p1"]] == pytest.approx(inc1, rel=1e-9)
+    for p in ("p2", "p3", "p4"):  # no adjacent bigram anywhere
+        assert b2[ids[p]] == pytest.approx(base[ids[p]], rel=1e-12)
+
+
+def test_pf_pf2_pf3_sum(engine):
+    """All three flavors together add exactly the sum of their
+    individual increments (independent SHOULD clauses)."""
+    ids = _ids(engine)
+    q = "spark join basics"
+    base = dict(engine.dismax_search(q, QF, k=10))
+    inc = {}
+    for kw in ({"pf": {"title": 2.0}}, {"pf2": {"title": 3.0}},
+               {"pf3": {"title": 4.0}}):
+        got = dict(engine.dismax_search(q, QF, k=10, **kw))
+        for d in base:
+            inc[d] = inc.get(d, 0.0) + (got[d] - base[d])
+    both = dict(engine.dismax_search(q, QF, k=10, pf={"title": 2.0},
+                                     pf2={"title": 3.0},
+                                     pf3={"title": 4.0}))
+    for d in base:
+        assert both[d] - base[d] == pytest.approx(inc[d], abs=1e-9)
+    # and p0 (full phrase) outscores p1 (partial) by construction
+    assert both[ids["p0"]] > both[ids["p1"]]
+
+
+def test_pf2_pf3_validation(engine):
+    for bad in ({}, {"title": 0}, {"title": True}, "title", 7):
+        with pytest.raises(ValidationError):
+            engine.dismax_search("spark join", QF, k=10, pf2=bad)
+        with pytest.raises(ValidationError):
+            engine.dismax_search("spark join", QF, k=10, pf3=bad)
+
+
+def test_cli_pf2(engine, capsys):
+    import json
+
+    from ckanext_extractor_spark.cli.main import main
+
+    ids = _ids(engine)
+    assert main(["query", "--index", engine.root, "--q", "spark join",
+                 "--qf", "title", "--qf", "tags", "--pf2", "title^2",
+                 "--buckets", "8"]) == 0
+    rows = [json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()]
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert got[ids["p0"]] > got[ids["p4"]]
