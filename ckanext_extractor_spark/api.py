@@ -1463,13 +1463,18 @@ class ExtractorEngine:
             chars = sorted(set(chars))
             frags: list[str] = []
             i = 0
+            prev_hi = 0
             while i < len(chars) and len(frags) < n_snippets:
                 at = chars[i]
-                lo = max(0, at - width)
+                # clamp to the previous window's end so fragments never
+                # overlap (an anchor just past a window would otherwise
+                # pull `width` chars of already-emitted text back in)
+                lo = max(prev_hi, at - width)
                 hi = min(len(text), at + width)
                 in_win = [o for o in chars[i:] if o < hi]
                 i += len(in_win)
                 frags.append(_frag(text, lo, hi, in_win))
+                prev_hi = hi
             if not frags:  # no anchors (no positions / term not stored)
                 frags = [text[: 2 * width]
                          + ("…" if len(text) > 2 * width else "")]
@@ -2773,25 +2778,33 @@ class ExtractorEngine:
         visited = frontier
         depth = 0
         limit = max_depth if max_depth != -1 else self._GRAPH_MAX_ROUNDS
-        while depth < limit:
-            step = (
-                frontier.join(edges_from, "doc_id")
+
+        def _step(fr):
+            return (
+                fr.join(edges_from, "doc_id")
                 .select("value")
                 .distinct()
                 .join(node_key, "value")
                 .select(F.col("_dst").alias("doc_id"))
                 .distinct()
             )
-            new = step.join(visited, "doc_id", "left_anti").localCheckpoint(
-                eager=True
-            )
+
+        while depth < limit:
+            new = _step(frontier).join(
+                visited, "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
             if new.isEmpty():
                 break
             visited = visited.union(new).localCheckpoint(eager=True)
             frontier = new
             depth += 1
         else:
-            if max_depth == -1:
+            # rounds exhausted WITHOUT an empty frontier — but a graph
+            # whose depth is exactly the cap has still converged: probe
+            # one more step before declaring non-convergence
+            if max_depth == -1 and not _step(frontier).join(
+                visited, "doc_id", "left_anti"
+            ).isEmpty():
                 raise RuntimeError(
                     f"graph traversal did not converge within "
                     f"{self._GRAPH_MAX_ROUNDS} rounds"
@@ -4471,6 +4484,14 @@ class ExtractorEngine:
         metadata join (query facets). None when the query analyzes to
         nothing or the index has no segments. Nothing materializes on
         the driver."""
+        if min_match is not None and conjunctive:
+            # same contract search()/search_distributed() enforce — a
+            # conjunctive query already requires every term, so a
+            # silently-ignored mm would lie to the caller
+            raise ValidationError(
+                "min_match applies to disjunctive queries; pass "
+                "conjunctive=False"
+            )
         terms = list(
             dict.fromkeys(
                 analyze_query(query, config=query_config_for(self.analyzer))
@@ -5136,10 +5157,13 @@ class ExtractorEngine:
                     key = F.col(bcol)
                 else:
                     key = F.col(node.sort_key)
+                # null-stat buckets last in BOTH directions (the pinned
+                # jsonfacet contract) — asc_nulls_first would let empty
+                # buckets evict real ones past the limit
                 primary = (
                     key.desc_nulls_last()
                     if node.sort_dir == "desc"
-                    else key.asc_nulls_first()
+                    else key.asc_nulls_last()
                 )
                 w = Window.partitionBy(
                     *(gcols[:-1] or [F.lit(0)])

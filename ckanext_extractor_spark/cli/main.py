@@ -262,7 +262,8 @@ def cmd_query(args) -> int:
     if args.snippets:
         # window the hits we JUST computed (phrase/--or/--mode respected),
         # never a re-search with default semantics (ADVICE r2)
-        if args.hl_count > 1 or args.hl_pre is not None:
+        if (args.hl_count > 1 or args.hl_pre is not None
+                or args.hl_post is not None):
             for rank, (doc_id, score, frags) in enumerate(
                 eng.highlight(args.q, k=args.k, hits=hits,
                               n_snippets=args.hl_count,

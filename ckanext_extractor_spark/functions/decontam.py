@@ -22,19 +22,15 @@ per side).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _tokens(text_col: Column) -> Column:
-    return F.filter(
-        F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda x: x != ""
-    )
-
-
-def _gram_hash(gram: Column) -> Column:
-    # portable 60-bit hash (md5 prefix), same convention as dedup._h60
-    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+# one copy of the pinned portable conventions: the simple tokenizer
+# lives in textstats, the md5-60-bit hash in dedup — re-implementing
+# either here would let a future change (e.g. a hash-width bump)
+# silently desynchronize the families
+from ckanext_extractor_spark.functions.dedup import _h60 as _gram_hash
+from ckanext_extractor_spark.functions.textstats import _tokens
 
 
 def ngram_set(df: DataFrame, n: int, text_col: str = "text",

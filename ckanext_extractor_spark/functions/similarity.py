@@ -206,6 +206,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    assignments: "DataFrame | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embeddings, then mark every
@@ -239,7 +240,14 @@ def semantic_dedup(
     # the assignment feeds both pair-scan sides AND the output frame —
     # persist it (2 longs/row) or the N x K assignment scan re-runs
     # three times (caught by an executedPlan audit: 3 Window passes).
-    assign = ivf_assign(embeddings, n_clusters, id_col, vec_col).persist()
+    # The cache lives until the session evicts it; pipelines calling
+    # this repeatedly should pass a precomputed ``assignments``
+    # (ivf_assign output they persist/unpersist themselves) — then
+    # nothing is cached here.
+    if assignments is None:
+        assign = ivf_assign(embeddings, n_clusters, id_col, vec_col).persist()
+    else:
+        assign = assignments.select(F.col(id_col), "cluster_id")
     members = assign.join(norm, id_col)
     if max_cluster_size is not None:
         ok = (

@@ -17,16 +17,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ckanext_extractor_spark.functions.dedup import _h60
 from ckanext_extractor_spark.functions.textstats import _tokens
 
 
 def _bucket(term: Column, dim: int) -> Column:
-    # md5-60-bit % dim: the 60-bit value is non-negative, so the
-    # modulo is too (Spark and DuckDB agree on % for non-negatives).
-    return (
-        F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
-        % F.lit(dim)
-    )
+    # md5-60-bit % dim (dedup._h60, the one pinned portable hash): the
+    # 60-bit value is non-negative, so the modulo is too (Spark and
+    # DuckDB agree on % for non-negatives).
+    return _h60(term) % F.lit(dim)
 
 
 def hashed_tfidf(

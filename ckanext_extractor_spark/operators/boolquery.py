@@ -293,7 +293,8 @@ class _Parser:
             if kind == "OP" and val == "AND":
                 self.next()
                 parts.append(self.unary())
-            elif kind in ("(", "NEG", "TERM", "PHRASE", "FRANGE") or (
+            elif kind in ("(", "NEG", "TERM", "PHRASE", "FRANGE",
+                          "FPFX") or (
                 kind == "OP" and val == "NOT"
             ):
                 parts.append(self.unary())  # juxtaposition = default AND
@@ -323,6 +324,14 @@ class _Parser:
             return node
         if kind == "FPFX":
             # field prefix directly before a quote: field:"a b"
+            if self.analyze_field is None:
+                # fielded syntax disabled: the prefix is a plain term
+                # (colons stay in terms) and the quote parses as its
+                # own phrase atom via juxtaposition
+                tokens = self.analyze(val)
+                if not tokens:
+                    return None
+                return Term(tokens, 1.0)
             raise QuerySyntaxError(
                 "fielded phrases are not supported (field postings carry "
                 "no positions); use dismax pf for phrase-in-field boosting"

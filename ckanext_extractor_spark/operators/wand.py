@@ -727,32 +727,27 @@ def scored_terms_distributed(
                     "doc_id": ids,
                     "term": np.full(len(ids), row["term"], dtype=object),
                     "term_score": s,
+                    "gen_seq": np.full(len(ids), gseq, dtype=np.int64),
                 }
-                if use_join:
-                    frame["gen_seq"] = np.full(
-                        len(ids), gseq, dtype=np.int64
-                    )
                 frames.append(pd.DataFrame(frame))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    out_schema = "doc_id long, term string, term_score double" + (
-        ", gen_seq long" if use_join else ""
-    )
+    out_schema = "doc_id long, term string, term_score double, gen_seq long"
     scored = segments.mapInPandas(score_part, out_schema)
     if use_join:
-        scored = (
-            scored.join(dead_df, "doc_id", "left")
-            .where(
-                F.col("_kill_seq").isNull()
-                | (F.col("_kill_seq") <= F.col("gen_seq"))
-            )
-            .drop("_kill_seq", "gen_seq")
+        scored = scored.join(dead_df, "doc_id", "left").where(
+            F.col("_kill_seq").isNull()
+            | (F.col("_kill_seq") <= F.col("gen_seq"))
         )
-    # one live generation per (doc, term) after tombstone filtering, so
-    # this sum is the term's BM25; partial (map-side) aggregation applies
+    # one live generation per (doc, term) after tombstone filtering is
+    # the invariant; if a stray duplicate live generation survives (the
+    # violation the phrase kernel's slot dedup also defends against),
+    # the NEWEST generation wins instead of double-counting a sum —
+    # max(struct) still partial-aggregates map-side
     return scored.groupBy("doc_id", "term").agg(
-        F.sum("term_score").alias("term_score")
+        F.max(F.struct("gen_seq", "term_score"))
+        .getField("term_score").alias("term_score")
     )
 
 
