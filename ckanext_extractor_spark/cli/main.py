@@ -491,6 +491,97 @@ def cmd_init(args) -> int:
     return 0
 
 
+# training-data pipeline ops exposed on the CLI. Each is the library
+# operator verbatim — the CLI only reads parquet in, writes parquet
+# out, and prints a one-line JSON summary, so the same command scales
+# from a laptop table to a cluster run unchanged.
+_PIPELINE_OPS = (
+    "exact-dedup", "neardup-clusters", "semdedup", "tfidf", "chunk",
+    "boilerplate", "dup-spans", "quality", "langid", "token-estimates",
+    "surprisal", "repetition", "pii-scrub", "split", "decontaminate",
+)
+
+
+def _pipeline_apply(df, a):
+    from ckanext_extractor_spark.functions import (
+        chunking,
+        decontam,
+        dedup,
+        pii,
+        sampling,
+        similarity,
+        textstats,
+        vectorize,
+    )
+
+    t, i = a.text_col, a.id_col
+    op = a.op
+    if op == "exact-dedup":
+        return dedup.exact_duplicates(df, text_col=t, id_col=i)
+    if op == "neardup-clusters":
+        thr = 0.5 if a.threshold is None else a.threshold
+        return dedup.neardup_clusters(df, text_col=t, id_col=i,
+                                      threshold=thr,
+                                      include_singletons=True)
+    if op == "semdedup":
+        thr = 0.9 if a.threshold is None else a.threshold
+        return similarity.semantic_dedup(df, n_clusters=a.n_clusters,
+                                         threshold=thr)
+    if op == "tfidf":
+        return vectorize.hashed_tfidf(df, dim=a.dim, text_col=t, id_col=i)
+    if op == "chunk":
+        return chunking.chunk_documents(df, size=a.size or 512,
+                                        overlap=a.overlap,
+                                        text_col=t, id_col=i)
+    if op == "boilerplate":
+        return chunking.remove_repeated_segments(
+            df, size=a.size or 16, min_docs=a.min_docs,
+            text_col=t, id_col=i)
+    if op == "dup-spans":
+        return chunking.duplicate_spans(df, size=a.size or 16,
+                                        min_docs=a.min_docs,
+                                        text_col=t, id_col=i)
+    if op == "quality":
+        return textstats.quality_score(df, text_col=t, id_col=i)
+    if op == "langid":
+        return textstats.language_id(df, text_col=t, id_col=i)
+    if op == "token-estimates":
+        return textstats.token_count_estimates(df, text_col=t, id_col=i)
+    if op == "surprisal":
+        return textstats.unigram_surprisal(df, text_col=t, id_col=i)
+    if op == "repetition":
+        return textstats.repetition_stats(df, text_col=t, id_col=i)
+    if op == "pii-scrub":
+        return pii.pii_scrub(df, text_col=t)
+    if op == "split":
+        return sampling.hash_split(df, test_frac=a.test_frac,
+                                   salt=a.salt, id_col=i)
+    if op == "decontaminate":
+        bench = df.sparkSession.read.parquet(a.bench)
+        return decontam.decontaminate(df, bench, n=a.ngram,
+                                      text_col=t, id_col=i)
+    raise SystemExit(f"unknown pipeline op {op!r}")
+
+
+def cmd_pipeline(args) -> int:
+    spark = get_spark("ckanext-extractor-spark-cli")
+    df = spark.read.parquet(args.inp)
+    if args.op == "decontaminate" and not args.bench:
+        raise SystemExit("decontaminate needs --bench BENCH_PARQUET")
+    out_df = _pipeline_apply(df, args)
+    n_in = df.count()
+    if args.out:
+        out_df.write.mode("overwrite").parquet(args.out)
+        n_out = spark.read.parquet(args.out).count()
+    else:
+        n_out = out_df.count()
+    print(json.dumps({
+        "op": args.op, "rows_in": n_in, "rows_out": n_out,
+        "out": args.out, "columns": out_df.columns,
+    }))
+    return 0
+
+
 def cmd_lineage(args) -> int:
     eng = _engine(args)
     for r in eng.lineage().orderBy("build_id", "partition_id").collect():
@@ -921,6 +1012,45 @@ def main(argv=None) -> int:
     )
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_status)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="training-data pipeline ops over a parquet table "
+             "(dedup / semdedup / tfidf / chunk / boilerplate / "
+             "dup-spans / quality / langid / token-estimates / "
+             "surprisal / repetition / pii-scrub / split / "
+             "decontaminate)",
+    )
+    pl.add_argument("op", choices=sorted(_PIPELINE_OPS))
+    pl.add_argument("--in", dest="inp", required=True,
+                    help="input parquet path (documents- or "
+                         "embeddings-shaped)")
+    pl.add_argument("--out", default=None,
+                    help="output parquet path (omit for a summary-only "
+                         "dry run)")
+    pl.add_argument("--text-col", default="text")
+    pl.add_argument("--id-col", default="doc_id")
+    pl.add_argument("--threshold", type=float, default=None,
+                    help="similarity threshold (neardup-clusters "
+                         "jaccard / semdedup cosine)")
+    pl.add_argument("--size", type=int, default=None,
+                    help="token window (chunk / boilerplate / dup-spans)")
+    pl.add_argument("--overlap", type=int, default=0,
+                    help="chunk overlap tokens")
+    pl.add_argument("--min-docs", type=int, default=2,
+                    help="distinct-doc threshold (boilerplate / dup-spans)")
+    pl.add_argument("--dim", type=int, default=1024,
+                    help="tfidf hash buckets")
+    pl.add_argument("--n-clusters", type=int, default=8,
+                    help="semdedup coarse clusters")
+    pl.add_argument("--test-frac", type=float, default=0.1,
+                    help="split test fraction")
+    pl.add_argument("--salt", default="", help="split hash salt")
+    pl.add_argument("--bench", default=None,
+                    help="benchmark parquet path (decontaminate)")
+    pl.add_argument("--ngram", type=int, default=13,
+                    help="decontamination n-gram length")
+    pl.set_defaults(fn=cmd_pipeline)
 
     i = sub.add_parser(
         "init", help="initialize an empty index root (paster init analog)"

@@ -1,0 +1,104 @@
+"""CLI `pipeline` subcommand: the training-data function family driven
+end-to-end from the command line (parquet in -> parquet out + JSON
+summary), so a pipeline user never has to write Spark code."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ckanext_extractor_spark.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def docs_pq(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plcli") / "docs.parquet")
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "email me at a@b.com please"),
+        (3, ""),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def emb_pq(spark, tmp_path_factory):
+    import numpy as np
+
+    p = str(tmp_path_factory.mktemp("plcli") / "emb.parquet")
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(20, 8)).tolist()
+    vecs[7] = [v + 1e-4 for v in vecs[3]]  # planted near-dup of 3
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(p)
+    return p
+
+
+def _run(capsys, *argv) -> dict:
+    assert main(list(argv)) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_pipeline_exact_dedup(docs_pq, capsys, tmp_path):
+    out = str(tmp_path / "o1")
+    s = _run(capsys, "pipeline", "exact-dedup", "--in", docs_pq,
+             "--out", out)
+    # docs 0 and 1 are identical -> 3 content groups from 4 docs
+    assert s["rows_in"] == 4 and s["rows_out"] == 3
+    assert set(s["columns"]) == {"content_hash", "group_size",
+                                 "keeper_doc_id"}
+
+
+def test_pipeline_tfidf_and_split(docs_pq, capsys, tmp_path, spark):
+    s = _run(capsys, "pipeline", "tfidf", "--in", docs_pq,
+             "--dim", "32")
+    assert s["rows_out"] > 0 and set(s["columns"]) == \
+        {"doc_id", "bucket", "weight"}
+    out = str(tmp_path / "split")
+    s2 = _run(capsys, "pipeline", "split", "--in", docs_pq,
+              "--out", out, "--test-frac", "0.5")
+    assert s2["rows_out"] == 4
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "text", "split"}
+    assert {r["split"] for r in got.collect()} <= {"train", "test"}
+
+
+def test_pipeline_semdedup(emb_pq, capsys):
+    s = _run(capsys, "pipeline", "semdedup", "--in", emb_pq,
+             "--id-col", "vec_id", "--n-clusters", "2",
+             "--threshold", "0.99")
+    assert s["rows_out"] == 20
+    assert set(s["columns"]) == {"vec_id", "cluster_id", "is_dup"}
+
+
+def test_pipeline_pii_and_boilerplate(docs_pq, capsys):
+    s = _run(capsys, "pipeline", "pii-scrub", "--in", docs_pq)
+    assert s["rows_out"] == 4
+    s2 = _run(capsys, "pipeline", "boilerplate", "--in", docs_pq,
+              "--size", "4", "--min-docs", "2")
+    assert s2["rows_out"] == 4  # every doc present, dups cleaned
+
+
+def test_pipeline_decontaminate(docs_pq, capsys, tmp_path, spark):
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(100, "quick brown fox jumps over")],
+        "doc_id long, text string",
+    ).write.parquet(bench)
+    s = _run(capsys, "pipeline", "decontaminate", "--in", docs_pq,
+             "--bench", bench, "--ngram", "3")
+    # docs 0 and 1 share 3-grams with the benchmark -> dropped
+    assert s["rows_in"] == 4 and s["rows_out"] == 2
+    with pytest.raises(SystemExit):
+        main(["pipeline", "decontaminate", "--in", docs_pq])
+
+
+def test_pipeline_bad_op_rejected(docs_pq):
+    with pytest.raises(SystemExit):
+        main(["pipeline", "no-such-op", "--in", docs_pq])
