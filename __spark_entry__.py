@@ -4903,6 +4903,62 @@ LIMIT 10
 _PAIRS["q116_dismax_pf2"] = ("", _DISMAX_PF2_DUCK)
 
 
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNearQuery(in_order=true, slop=2) through the real
+    engine: 'scan fast table' with one position per term, strictly
+    increasing in term order, TOTAL gap budget <= 2 — the third
+    proximity semantics beside per-gap NEAR/n (q38) and the total-move
+    sloppy phrase (q60). Oracle: exists positions a < b < c with
+    c - a - 2 <= 2, ranked by the same conjunctive BM25."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_spannear_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+    )
+    eng.extract(corpus, build_id="entry-spannear")
+    hits = eng.span_near_search("scan fast table", slop=2, k=10**9)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_SPAN_NEAR_DUCK = f"""
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+        FROM t),
+ph AS (SELECT DISTINCT a.doc_id FROM tok a
+       JOIN tok b ON a.doc_id = b.doc_id AND b.pos > a.pos
+       JOIN tok c ON c.doc_id = b.doc_id AND c.pos > b.pos
+       WHERE a.term = 'scan' AND b.term = 'fast' AND c.term = 'table'
+         AND c.pos - a.pos - 2 <= 2),
+ranked AS ({_bm25_sql(DUCK_TOK, ["scan", "fast", "table"], True, None)})
+SELECT r.doc_id, r.score FROM ranked r JOIN ph ON r.doc_id = ph.doc_id
+ORDER BY r.score DESC, r.doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q117_span_near"] = ("", _SPAN_NEAR_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -5010,6 +5066,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_ivf_topk": _q_ivf_topk,
     "q115_unigram_surprisal": _q_unigram_surprisal,
     "q116_dismax_pf2": _q_dismax_pf2,
+    "q117_span_near": _q_span_near,
 }
 
 

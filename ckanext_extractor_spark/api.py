@@ -6644,6 +6644,82 @@ class ExtractorEngine:
             out = [(d, s) for d, s in scored if d in keep][:k]
         return out
 
+    def span_near_search(
+        self, query: str, slop: int = 0, k: int = 10,
+        in_order: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Lucene SpanNearQuery(slop=n, in_order=): top-k docs where the
+        analyzed query terms fit a TOTAL gap budget. ``in_order=True``
+        (default): one position per term, strictly increasing in term
+        order, (last - first) - (n_terms - 1) <= ``slop`` — the third
+        proximity semantics beside ``phrase_search``'s per-gap NEAR/n
+        (each gap bounded by slop) and ``slop_mode="lucene"``'s
+        total-move sloppy phrase (reordering allowed): ordered like
+        per-gap, budgeted like sloppy. ``slop=0`` equals the strict
+        phrase. ``in_order=False``: the minimal window CONTAINING one
+        position per term in ANY order satisfies the same budget —
+        note this measures the raw window, unlike the sloppy phrase's
+        offset-adjusted span (a reversal is FREE here but costs moves
+        there); repeated query terms are rejected in unordered mode
+        (pinned, like the sloppy-phrase mode).
+
+        Matching docs keep the conjunctive-AND BM25 score — the span
+        constraint changes the MATCH SET, never the scores (the same
+        pinned contract as phrase slop and SpanFirst). Positions are
+        the index-time analyzer positions (0-based, stopword gaps
+        count, catenated identifier tokens stack at posInc=0)."""
+        from ckanext_extractor_spark.operators.phrase import (
+            span_near_filter_docs,
+        )
+        from ckanext_extractor_spark.operators.wand import exact_topk
+
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_slop(slop)
+        if not self.with_positions:
+            raise ValueError(
+                "index was built without positions; span_near_search "
+                "needs with_positions=True"
+            )
+        _require_bool("in_order", in_order)
+        terms = analyze_query(
+            query, config=query_config_for(self.analyzer)
+        )
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        if not in_order and len(uniq) < len(terms):
+            raise ValidationError(
+                "span_near_search(in_order=False) does not support "
+                "repeated query terms (distinct-position repeat "
+                "machinery pinned out of scope); use in_order=True"
+            )
+        st = self.corpus_stats()
+        tls = self._term_postings(uniq, st)
+        if len(tls) < len(uniq):
+            return []  # some term absent: the span can't exist
+        dead = self._dead_docs()
+        rows_by_term = {t: self._segment_rows(t) for t in uniq}
+
+        def _filter(scored):
+            return set(span_near_filter_docs(
+                [d for d, _ in scored], rows_by_term, terms, slop, dead,
+                in_order=in_order,
+            ))
+
+        overfetch = max(k * 10, 100)
+        scored = exact_topk(tls, overfetch, st["avgdl"], conjunctive=True)
+        if not scored:
+            return []
+        keep = _filter(scored)
+        out = [(d, s) for d, s in scored if d in keep][:k]
+        if len(out) < k and len(scored) == overfetch:
+            scored = exact_topk(tls, 10**9, st["avgdl"], conjunctive=True)
+            keep = _filter(scored)
+            out = [(d, s) for d, s in scored if d in keep][:k]
+        return out
+
     def _gc_staging(self) -> None:
         """Drop staging dirs not referenced by any live generation."""
         st_root = self._p("staging", "raw_postings")

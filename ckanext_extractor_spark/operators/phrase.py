@@ -144,6 +144,111 @@ def phrase_filter_docs(
     return out
 
 
+def span_near_filter_docs(
+    candidate_docs: list[int],
+    term_shard_rows: dict[str, list],
+    ordered_terms: list[str],
+    slop: int = 0,
+    dead=None,
+    in_order: bool = True,
+) -> list[int]:
+    """Lucene SpanNearQuery(in_order=true, slop=n): keep candidate docs
+    holding one position per term, strictly increasing in TERM ORDER,
+    whose total gap budget fits — (last - first) - (k - 1) <= slop.
+    This is the third proximity semantics beside the per-gap NEAR/n
+    (each gap bounded) and the Lucene sloppy phrase (total-move budget,
+    reordering allowed): ordered like per-gap, budgeted like sloppy.
+
+    Vectorized greedy chain: for every start position of term 1, one
+    searchsorted per following term picks the EARLIEST valid next
+    position — earliest-next minimizes the chain's last position, so
+    the greedy window is the minimal ordered window per start
+    (complete). Strictly-increasing chaining means repeated terms
+    consume distinct positions (Lucene's non-overlapping ordered
+    spans).
+
+    ``in_order=False`` is SpanNearQuery(in_order=false): the minimal
+    window CONTAINING one position per term in any order (two-pointer
+    sweep, :func:`span_near_unordered_match`). Repeated terms are
+    rejected upstream for the unordered form (the distinct-position
+    repeat machinery is pinned out of scope, like the sloppy-phrase
+    mode); posInc=0-stacked distinct terms may legally share one
+    position (pinned)."""
+    k = len(ordered_terms)
+    per_term_pos: list[dict[int, np.ndarray]] = []
+    for t in ordered_terms:
+        merged: dict[int, np.ndarray] = {}
+        for row in term_shard_rows.get(t, []):
+            merged.update(_positions_by_doc(row, dead))
+        per_term_pos.append(merged)
+    if not in_order:
+        out = []
+        for d in candidate_docs:
+            pls = [pm.get(d) for pm in per_term_pos]
+            if all(p is not None and p.size for p in pls) and \
+                    span_near_unordered_match(pls, slop):
+                out.append(d)
+        return out
+    budget = np.int64(slop + k - 1)
+    out = []
+    for d in candidate_docs:
+        start = per_term_pos[0].get(d)
+        if start is None or start.size == 0:
+            continue
+        start = start.astype(np.int64)
+        last = start
+        keep = np.ones(len(start), dtype=bool)
+        for pmap in per_term_pos[1:]:
+            nxt = pmap.get(d)
+            if nxt is None:
+                keep[:] = False
+                break
+            nxt = nxt.astype(np.int64)
+            idx = np.searchsorted(nxt, last, side="right")
+            ok = keep & (idx < len(nxt))
+            last = np.where(ok, nxt[np.minimum(idx, len(nxt) - 1)], last)
+            keep = ok
+        if keep.any() and np.any((last - start)[keep] <= budget):
+            out.append(d)
+    return out
+
+
+def span_near_unordered_match(pos_lists: "list[np.ndarray]",
+                              slop: int) -> bool:
+    """Lucene SpanNearQuery(in_order=false) match test for ONE doc:
+    does some window contain one position per slot (distinct
+    positions, ANY order) with (max - min) - (k - 1) <= slop?
+    Classic minimal-covering-window two-pointer sweep over the merged
+    position stream; O(total positions) per doc. NOTE this differs
+    from the sloppy-phrase criterion (q60 / lucene_slop_match): sloppy
+    phrase measures the span of OFFSET-ADJUSTED positions (reordering
+    costs moves), unordered SpanNear measures the raw window (order is
+    free)."""
+    k = len(pos_lists)
+    merged = np.concatenate(pos_lists)
+    slots = np.concatenate(
+        [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)]
+    )
+    order = np.argsort(merged, kind="stable")
+    merged, slots = merged[order], slots[order]
+    budget = slop + k - 1
+    need = k
+    count = np.zeros(k, dtype=np.int64)
+    lo = 0
+    for hi in range(len(merged)):
+        if count[slots[hi]] == 0:
+            need -= 1
+        count[slots[hi]] += 1
+        while need == 0:
+            if merged[hi] - merged[lo] <= budget:
+                return True
+            count[slots[lo]] -= 1
+            if count[slots[lo]] == 0:
+                need += 1
+            lo += 1
+    return False
+
+
 def span_first_filter_docs(
     candidate_docs: list[int],
     term_shard_rows: dict[str, list],

@@ -109,3 +109,141 @@ def test_filter_kernel_first_position_only():
         assert out == [1, 2]
     finally:
         ph._positions_by_doc = orig
+
+
+# --------------------------------------------------- SpanNear (ordered)
+
+
+@pytest.fixture(scope="module")
+def near_engine(spark, tmp_path_factory):
+    docs = [
+        ("r", "n0", "c0", "python", "alpha beta"),             # gap 0
+        ("r", "n1", "c1", "python", "alpha x beta"),           # gap 1
+        ("r", "n2", "c2", "python", "alpha x y z beta"),       # gap 3
+        ("r", "n3", "c3", "python", "beta alpha"),             # reversed
+        ("r", "n4", "c4", "python", "alpha x beta y gamma"),   # 3-term
+        ("r", "n5", "c5", "python", "alpha beta x x gamma"),   # 3-term
+        ("r", "n6", "c6", "python", "gamma beta alpha"),       # reversed 3
+    ]
+    root = str(tmp_path_factory.mktemp("spannear"))
+    eng = ExtractorEngine(spark, root, n_buckets=8, salt_threshold=50)
+    eng.extract(spark.createDataFrame(docs, SCHEMA), build_id="sn")
+    return eng
+
+
+def test_span_near_total_budget(near_engine):
+    e = near_engine
+    # slop=0 == strict phrase
+    assert _paths(e, e.span_near_search("alpha beta", slop=0)) == \
+        ["n0", "n5"]
+    assert _paths(e, e.span_near_search("alpha beta", slop=1)) == \
+        ["n0", "n1", "n4", "n5"]
+    # total budget 3 admits the 3-token gap; order still required
+    got = _paths(e, e.span_near_search("alpha beta", slop=3))
+    assert got == ["n0", "n1", "n2", "n4", "n5"] and "n3" not in got
+
+
+def test_span_near_three_terms_budget_is_total(near_engine):
+    e = near_engine
+    # n4: alpha@0 beta@2 gamma@4 -> window 4-0-2 = 2 total gaps
+    # n5: alpha@0 beta@1 gamma@4 -> window 4-0-2 = 2
+    # per-gap slop=2 would admit both too, but budget=1 admits NEITHER
+    assert _paths(e, e.span_near_search("alpha beta gamma", slop=1)) == []
+    assert _paths(e, e.span_near_search("alpha beta gamma", slop=2)) == \
+        ["n4", "n5"]
+    # reversal never matches ordered spans, any budget
+    hits = _paths(e, e.span_near_search("alpha beta gamma", slop=50))
+    assert "n6" not in hits
+
+
+def test_span_near_differs_from_pergap_and_lucene(near_engine):
+    e = near_engine
+    # per-gap slop=2 admits n5's 3-term chain (gaps 1 and 3? no: gaps
+    # are beta->gamma = 2 non-query tokens) — both ops admit n4/n5 at
+    # their own thresholds; the distinguishing case is the total budget:
+    pergap = {d for d, _ in e.phrase_search("alpha beta gamma", slop=2)}
+    near1 = {d for d, _ in e.span_near_search("alpha beta gamma", slop=1)}
+    assert near1 != pergap  # budget 1 < sum of per-gap allowances
+    # lucene total-move slop admits the reversed doc; ordered never
+    lucene = _paths(e, e.phrase_search("beta alpha", slop=2,
+                                       slop_mode="lucene"))
+    ordered = _paths(e, e.span_near_search("beta alpha", slop=2))
+    assert "n0" in lucene  # reversal within move budget
+    assert "n0" not in ordered and "n3" in ordered
+
+
+def test_span_near_scores_equal_and_search(near_engine):
+    e = near_engine
+    near = dict(e.span_near_search("alpha beta", slop=3, k=10))
+    plain = dict(e.search("alpha beta", k=10))
+    for d, s in near.items():
+        assert s == pytest.approx(plain[d], rel=1e-12)
+
+
+def test_span_near_validation_and_edges(near_engine):
+    e = near_engine
+    with pytest.raises(ValidationError):
+        e.span_near_search("alpha beta", slop=-1)
+    with pytest.raises(ValidationError):
+        e.span_near_search("", slop=1)
+    # absent term -> empty
+    assert e.span_near_search("alpha nosuchterm", slop=5) == []
+    # single term: trivially matches wherever the term occurs
+    assert len(e.span_near_search("alpha", slop=0, k=10)) == 7
+
+
+def test_span_near_repeated_terms_distinct_positions(near_engine, spark,
+                                                     tmp_path):
+    docs = [
+        ("r", "d0", "c0", "python", "echo echo"),
+        ("r", "d1", "c1", "python", "echo x echo"),
+        ("r", "d2", "c2", "python", "echo once"),
+    ]
+    eng = ExtractorEngine(spark, str(tmp_path / "rep"), n_buckets=4,
+                          salt_threshold=50)
+    eng.extract(spark.createDataFrame(docs, SCHEMA), build_id="rp")
+    # 'echo echo' needs TWO distinct positions in order
+    assert _paths(eng, eng.span_near_search("echo echo", slop=0)) == ["d0"]
+    assert _paths(eng, eng.span_near_search("echo echo", slop=1)) == \
+        ["d0", "d1"]
+
+
+def test_span_near_unordered(near_engine):
+    e = near_engine
+    # reversal is free in unordered mode: n3 'beta alpha' window 1
+    assert _paths(e, e.span_near_search("alpha beta", slop=0,
+                                        in_order=False)) == \
+        ["n0", "n3", "n5", "n6"]
+    # n6 'gamma beta alpha': window (2-0)-(3-1)=0 -> any slop admits
+    got = _paths(e, e.span_near_search("alpha beta gamma", slop=0,
+                                       in_order=False))
+    assert "n6" in got
+    # unordered differs from the sloppy phrase: sloppy charges moves
+    # for reordering, unordered does not — n3 at slop=0:
+    sloppy = _paths(e, e.phrase_search("alpha beta", slop=0,
+                                       slop_mode="lucene"))
+    assert "n3" not in sloppy
+    # repeated terms rejected in unordered mode
+    with pytest.raises(ValidationError):
+        e.span_near_search("echo echo", slop=1, in_order=False)
+
+
+def test_span_near_unordered_kernel():
+    import numpy as np
+
+    from ckanext_extractor_spark.operators.phrase import (
+        span_near_unordered_match,
+    )
+
+    # slots at 0/10 and 9/20: best window [9,10] -> budget 0 needs
+    # (10-9)-(2-1)=0 -> match at slop 0
+    assert span_near_unordered_match(
+        [np.array([0, 10]), np.array([9, 20])], 0)
+    # worst-only windows: [0],[5] -> window 5-0-1=4
+    assert not span_near_unordered_match(
+        [np.array([0]), np.array([5])], 3)
+    assert span_near_unordered_match(
+        [np.array([0]), np.array([5])], 4)
+    # three slots, interleaved
+    assert span_near_unordered_match(
+        [np.array([4]), np.array([2]), np.array([3])], 0)
