@@ -2498,18 +2498,40 @@ class ExtractorEngine:
             return rows
         return self._fetch_rows([term]).get(term, [])
 
-    def search_field(self, field: str, query: str) -> list[int]:
+    def search_field_frame(self, field: str, query: str) -> DataFrame | None:
         """Docs whose metadata `field` contains ALL query tokens (Q5 —
         the reference's per-key dynamic-field filter query,
-        plugin.py:40,140; boolean AND, unscored like Solr fq). Sorted
-        doc_id list."""
+        plugin.py:40,140; boolean AND, unscored like Solr fq) as a
+        cluster-side ``doc_id`` DataFrame — the /export-shaped form for
+        pipeline composition (the match_frame pattern): at 100 TB a
+        field filter can match billions of docs, so the set must stay a
+        Spark relation joined downstream, never a driver list. ``None``
+        when the index is empty."""
         self._check_access("extractor_search")
         from ckanext_extractor_spark.operators.fields import search_field
 
         fp = self._read_or_none("field_postings")
         if fp is None:
+            return None
+        return search_field(fp, field, query)
+
+    def search_field(self, field: str, query: str) -> list[int]:
+        """Sorted doc_id list form of :meth:`search_field_frame` —
+        size-routed through FILTER_CLOSURE_MAX (the fq/exclude gate,
+        VERDICT r4 #1): the collect is bounded to max+1 rows, and a
+        match set that exceeds the bound raises instead of silently
+        materializing an unbounded list on the driver; callers with
+        big filters compose on the frame form."""
+        frame = self.search_field_frame(field, query)
+        if frame is None:
             return []
-        rows = search_field(fp, field, query).collect()
+        rows = frame.limit(self.FILTER_CLOSURE_MAX + 1).collect()
+        if len(rows) > self.FILTER_CLOSURE_MAX:
+            raise ValidationError(
+                f"search_field match set exceeds FILTER_CLOSURE_MAX "
+                f"({self.FILTER_CLOSURE_MAX}) doc ids; use "
+                f"search_field_frame() and keep the set cluster-side"
+            )
         return sorted(int(r["doc_id"]) for r in rows)
 
     def join_search(
@@ -2699,7 +2721,7 @@ class ExtractorEngine:
 
     _GRAPH_MAX_ROUNDS = 100
 
-    def graph_search(
+    def graph_frame(
         self,
         root_query: str,
         from_field: str,
@@ -2708,7 +2730,7 @@ class ExtractorEngine:
         return_root: bool = True,
         conjunctive: bool = True,
         min_match: int | None = None,
-    ) -> list[int]:
+    ) -> DataFrame | None:
         """Graph traversal — Solr ``{!graph from=f to=t maxDepth=n
         returnRoot=bool}rootquery`` (Lucene GraphQuery; the same
         semantics as the ``nodes()`` graph streaming expression): start
@@ -2716,18 +2738,22 @@ class ExtractorEngine:
         edges doc A -> doc B where A's metadata ``from_field`` value
         equals B's node key (``to_field``: a metadata field, or the
         default ``"path"`` = the doc's path in doc_stats — Solr's
-        ``to=id``). Returns the reachable doc ids sorted ascending —
-        GraphQuery is a constant-score filter, so there are no scores.
-        ``max_depth=-1`` traverses to the fixpoint; ``max_depth=0`` is
-        just the root set; ``return_root=False`` drops roots unless
-        re-reached through an edge (Solr parity). Cycles terminate: the
-        frontier is anti-joined against the visited set each round.
+        ``to=id``). Returns the reachable set as a cluster-side
+        ``doc_id`` DataFrame (``None`` when the root query analyzes to
+        nothing or the index is empty) — GraphQuery is a constant-score
+        filter, so there are no scores. ``max_depth=-1`` traverses to
+        the fixpoint; ``max_depth=0`` is just the root set;
+        ``return_root=False`` drops roots unless re-reached through an
+        edge (Solr parity). Cycles terminate: the frontier is
+        anti-joined against the visited set each round.
 
         Distributed shape: per-round frontier ⋈ EAV(from_field) ->
         values ⋈ node-key frame -> new docs, anti-join visited, union;
         per-round localCheckpoint truncates the iterative lineage (the
         connected-components pattern, dedup.py). The visited set stays
-        cluster-side until the final collect; rounds = graph depth, and
+        cluster-side — at 100 TB a traversal can reach billions of
+        docs, so downstream consumers join on this frame; the bounded
+        list form is :meth:`graph_search`. Rounds = graph depth, and
         each round is two equi-joins + one anti-join."""
         self._check_access("extractor_search")
         _require_query(root_query)
@@ -2746,13 +2772,11 @@ class ExtractorEngine:
             )
         mm = self._match_and_meta(root_query, conjunctive, min_match)
         if mm is None:
-            return []
+            return None
         per_doc, dm = mm
         roots = per_doc.select("doc_id")
         if max_depth == 0:
-            return sorted(
-                int(r["doc_id"]) for r in roots.collect()
-            ) if return_root else []
+            return roots if return_root else roots.limit(0)
         # multi-valued metadata was collapsed to ', '-joined scalars at
         # extract (tasks.py:89-95 parity) — split edge fields back so a
         # doc can carry several outgoing edges (Solr from is typically
@@ -2764,7 +2788,7 @@ class ExtractorEngine:
         if to_field == "path":
             ds = self._read_or_none("doc_stats")
             if ds is None:
-                return []
+                return None
             node_key = ds.select(
                 F.col("path").alias("value"),
                 F.col("doc_id").alias("_dst"),
@@ -2823,7 +2847,38 @@ class ExtractorEngine:
                 .join(roots, "doc_id", "left_semi")
             )
             out = reached.union(re_reached).distinct()
-        return sorted(int(r["doc_id"]) for r in out.collect())
+        return out
+
+    def graph_search(
+        self,
+        root_query: str,
+        from_field: str,
+        to_field: str = "path",
+        max_depth: int = -1,
+        return_root: bool = True,
+        conjunctive: bool = True,
+        min_match: int | None = None,
+    ) -> list[int]:
+        """Sorted doc-id list form of :meth:`graph_frame` — size-routed
+        through FILTER_CLOSURE_MAX (VERDICT r4 #1): the collect is
+        bounded to max+1 rows and a reachable set that exceeds the
+        bound raises instead of materializing an unbounded list on the
+        driver; big traversals compose on the frame form."""
+        frame = self.graph_frame(
+            root_query, from_field, to_field=to_field,
+            max_depth=max_depth, return_root=return_root,
+            conjunctive=conjunctive, min_match=min_match,
+        )
+        if frame is None:
+            return []
+        rows = frame.limit(self.FILTER_CLOSURE_MAX + 1).collect()
+        if len(rows) > self.FILTER_CLOSURE_MAX:
+            raise ValidationError(
+                f"graph_search reachable set exceeds FILTER_CLOSURE_MAX "
+                f"({self.FILTER_CLOSURE_MAX}) doc ids; use "
+                f"graph_frame() and keep the set cluster-side"
+            )
+        return sorted(int(r["doc_id"]) for r in rows)
 
     def stream_expr(self, expr: str) -> DataFrame:
         """Solr streaming expressions (/stream) compiled to ONE lazy

@@ -514,8 +514,18 @@ def _pipeline_apply(df, a):
         vectorize,
     )
 
-    t, i = a.text_col, a.id_col
     op = a.op
+    if op == "semdedup":
+        # embeddings-shaped: there is no text column to name (ADVICE r4
+        # #1 — the flag used to be silently dropped; now it's an error)
+        if a.text_col is not None:
+            raise SystemExit("semdedup is embeddings-shaped; use "
+                             "--id-col/--vec-col, not --text-col")
+        thr = 0.9 if a.threshold is None else a.threshold
+        return similarity.semantic_dedup(
+            df, n_clusters=a.n_clusters, threshold=thr,
+            id_col=a.id_col or "vec_id", vec_col=a.vec_col)
+    t, i = a.text_col or "text", a.id_col or "doc_id"
     if op == "exact-dedup":
         return dedup.exact_duplicates(df, text_col=t, id_col=i)
     if op == "neardup-clusters":
@@ -523,10 +533,6 @@ def _pipeline_apply(df, a):
         return dedup.neardup_clusters(df, text_col=t, id_col=i,
                                       threshold=thr,
                                       include_singletons=True)
-    if op == "semdedup":
-        thr = 0.9 if a.threshold is None else a.threshold
-        return similarity.semantic_dedup(df, n_clusters=a.n_clusters,
-                                         threshold=thr)
     if op == "tfidf":
         return vectorize.hashed_tfidf(df, dim=a.dim, text_col=t, id_col=i)
     if op == "chunk":
@@ -1028,8 +1034,14 @@ def main(argv=None) -> int:
     pl.add_argument("--out", default=None,
                     help="output parquet path (omit for a summary-only "
                          "dry run)")
-    pl.add_argument("--text-col", default="text")
-    pl.add_argument("--id-col", default="doc_id")
+    pl.add_argument("--text-col", default=None,
+                    help="text column (default 'text'; rejected for "
+                         "embeddings-shaped ops like semdedup)")
+    pl.add_argument("--id-col", default=None,
+                    help="id column (default 'doc_id'; 'vec_id' for "
+                         "embeddings-shaped ops like semdedup)")
+    pl.add_argument("--vec-col", dest="vec_col", default="embedding",
+                    help="embedding column (semdedup)")
     pl.add_argument("--threshold", type=float, default=None,
                     help="similarity threshold (neardup-clusters "
                          "jaccard / semdedup cosine)")

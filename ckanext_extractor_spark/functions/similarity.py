@@ -238,14 +238,18 @@ def semantic_dedup(
         F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
     )
     # the assignment feeds both pair-scan sides AND the output frame —
-    # persist it (2 longs/row) or the N x K assignment scan re-runs
-    # three times (caught by an executedPlan audit: 3 Window passes).
-    # The cache lives until the session evicts it; pipelines calling
-    # this repeatedly should pass a precomputed ``assignments``
-    # (ivf_assign output they persist/unpersist themselves) — then
-    # nothing is cached here.
+    # materialize it once (2 longs/row) or the N x K assignment scan
+    # re-runs three times (caught by an executedPlan audit: 3 Window
+    # passes). localCheckpoint, not persist: the checkpointed RDD is
+    # reference-tied to the returned DataFrame, so the ContextCleaner
+    # reclaims it when callers drop the result — repeated calls in one
+    # session no longer accumulate cache entries (ADVICE r4 #2).
+    # Pipelines that reuse the assignment across calls pass a
+    # precomputed ``assignments`` (ivf_assign output they manage).
     if assignments is None:
-        assign = ivf_assign(embeddings, n_clusters, id_col, vec_col).persist()
+        assign = ivf_assign(
+            embeddings, n_clusters, id_col, vec_col
+        ).localCheckpoint(eager=True)
     else:
         assign = assignments.select(F.col(id_col), "cluster_id")
     members = assign.join(norm, id_col)

@@ -200,7 +200,11 @@ def span_near_filter_docs(
         keep = np.ones(len(start), dtype=bool)
         for pmap in per_term_pos[1:]:
             nxt = pmap.get(d)
-            if nxt is None:
+            # empty arrays guarded too: np.where evaluates both branches,
+            # so nxt[min(idx, len-1)] would index nxt[-1] on size 0
+            # (ADVICE r4 #3 — unreachable via _positions_by_doc, which
+            # drops whole docs, but the kernel stands alone)
+            if nxt is None or nxt.size == 0:
                 keep[:] = False
                 break
             nxt = nxt.astype(np.int64)
