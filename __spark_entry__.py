@@ -4959,6 +4959,344 @@ ORDER BY r.score DESC, r.doc_id ASC LIMIT 10
 _PAIRS["q117_span_near"] = ("", _SPAN_NEAR_DUCK)
 
 
+def _q_dismax_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax ps (sloppy phrase fields, VERDICT r4 #2) through the
+    REAL operators: query 'src13 doc' over field-a = source+lang+'doc'
+    — the lang token always sits between 'src13' and 'doc', so the
+    EXACT pf phrase never fires (this plan with ps=0 ≡ plain qf,
+    pinned in tests); at ps=1 the anchor-window sloppy tf bridges the
+    one-token gap and src13 docs earn the additive phrase boost —
+    slop demonstrably changes the scores vs the exact-pf q66/q116
+    shape. tf semantics: |{anchors i : slot k occurs at adjusted
+    position in [i, i+slop]}| (fields.sloppy_phrase_tf_expr)."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.operators.fields import (
+        build_field_norms,
+        build_field_postings,
+        dismax_search_fields,
+    )
+    from ckanext_extractor_spark.operators.normalize import (
+        clean_metadata_keys,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prepared = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        clean_metadata_keys(
+            F.create_map(
+                F.lit("Field_A"),
+                F.concat(F.col("source"), F.lit(" "), F.col("lang"),
+                         F.lit(" doc")),
+                F.lit("Field_B"),
+                F.col("lang"),
+            )
+        ).alias("metadata"),
+    )
+    fp = build_field_postings(prepared)
+    values = prepared.select(
+        "doc_id", F.explode(F.col("metadata")).alias("field", "value")
+    )
+    out = dismax_search_fields(
+        fp, "src13 doc", {"field-a": 2.0, "field-b": 1.0}, k=10,
+        tie=0.3, norms=build_field_norms(fp), pf={"field-a": 1.5},
+        ps=1, values=values,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_DISMAX_PS_DUCK = """
+WITH fp0 AS (
+  SELECT doc_id, 'field-a' AS field,
+         unnest(list_filter(string_split_regex(
+             lower(source || ' ' || lang || ' doc'),
+             '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'field-b' AS field,
+         unnest(list_filter(string_split_regex(lower(lang),
+             '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+fp AS (SELECT doc_id, field, term, count(*) AS tf FROM fp0 GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, field, sum(tf) AS dl FROM fp GROUP BY 1, 2),
+st AS (SELECT field, CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+       FROM dl GROUP BY 1),
+dft AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM fp
+        WHERE term IN ('src13', 'doc') GROUP BY 1, 2),
+sc AS (
+  SELECT fp.doc_id, fp.term,
+         (CASE WHEN fp.field = 'field-a' THEN 2.0 ELSE 1.0 END)
+         * ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (fp.tf * 2.2)
+           / (fp.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM fp
+  JOIN dl ON fp.doc_id = dl.doc_id AND fp.field = dl.field
+  JOIN st ON fp.field = st.field
+  JOIN dft ON fp.field = dft.field AND fp.term = dft.term
+),
+dm AS (SELECT doc_id, term, max(s) + 0.3 * (sum(s) - max(s)) AS ds
+       FROM sc GROUP BY 1, 2),
+qagg AS (SELECT doc_id, SUM(ds) AS qscore FROM dm GROUP BY doc_id),
+pv AS (SELECT doc_id, 'field-a' AS field,
+         list_filter(string_split_regex(
+             lower(source || ' ' || lang || ' doc'),
+             '[^a-z0-9]+'), x -> x <> '') AS ta
+       FROM documents),
+ptf AS (
+  -- sloppy anchor count, slop=1, phrase ['src13','doc']: anchors i in
+  -- [2-n-slop, len] where slot k has a token at position in
+  -- [i+k, i+k+slop] (same pinned semantics as sloppy_phrase_tf_expr)
+  SELECT doc_id, field, 0 AS pid,
+         CASE WHEN len(ta) >= 1 THEN len(list_filter(
+                generate_series(-1, len(ta)),
+                i -> len(list_filter(
+                        generate_series(greatest(i, 1),
+                                        least(i + 1, len(ta))),
+                        q -> ta[q] = 'src13')) > 0
+                 AND len(list_filter(
+                        generate_series(greatest(i + 1, 1),
+                                        least(i + 2, len(ta))),
+                        q -> ta[q] = 'doc')) > 0))
+              ELSE 0 END AS ptf
+  FROM pv),
+pidf AS (
+  SELECT field, 0 AS pid,
+         SUM(ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))) AS pidf
+  FROM dft JOIN st USING (field)
+  WHERE field = 'field-a' AND term IN ('src13', 'doc') GROUP BY field),
+psc AS (SELECT p.doc_id, p.pid,
+          1.5 * pidf.pidf * (p.ptf * 2.2)
+            / (p.ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS ps
+        FROM ptf p
+        JOIN dl ON p.doc_id = dl.doc_id AND p.field = dl.field
+        JOIN st ON p.field = st.field
+        JOIN pidf ON p.field = pidf.field AND p.pid = pidf.pid
+        WHERE p.ptf > 0),
+pcl AS (SELECT doc_id, pid, max(ps) + 0.3 * (sum(ps) - max(ps)) AS v
+        FROM psc GROUP BY 1, 2),
+pagg AS (SELECT doc_id, SUM(v) AS pscore FROM pcl GROUP BY doc_id)
+SELECT q.doc_id, ROUND(q.qscore + COALESCE(pa.pscore, 0), 4) AS score
+FROM qagg q LEFT JOIN pagg pa ON q.doc_id = pa.doc_id
+ORDER BY ROUND(q.qscore + COALESCE(pa.pscore, 0), 6) DESC, q.doc_id ASC
+LIMIT 10
+"""
+
+_PAIRS["q118_dismax_ps"] = ("", _DISMAX_PS_DUCK)
+
+
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-Lloyd coarse quantizer (VERDICT r4 #3): one k-means
+    round from the 8 smallest-id seeds (assign by pinned-tie max
+    cosine, centroid = per-dimension mean, empty cluster keeps its
+    seed), then the full-corpus IVF assignment against the refined
+    centroids — the 100 TB shape that replaces pinned seeds with real
+    cluster granularity while staying deterministic (centroids are a
+    pure function of the table) and SQL-checkable."""
+    from ckanext_extractor_spark.functions.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, n_clusters=8, rounds=1)
+    return ivf_assign(emb, centroids=cents).orderBy("vec_id")
+
+
+_KMEANS_ASSIGN_DUCK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+a0 AS (SELECT vec_id, cid FROM
+  (SELECT e.vec_id, s.cid, row_number() OVER
+     (PARTITION BY e.vec_id ORDER BY
+        ROUND(list_dot_product(e.v, s.c)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(s.c, s.c))), 6) DESC,
+        s.cid ASC) AS rn
+   FROM e CROSS JOIN seeds s)
+  WHERE rn = 1),
+dims AS (SELECT a0.cid, generate_subscripts(e.v, 1) AS pos,
+                unnest(e.v) AS val
+         FROM a0 JOIN e USING (vec_id)),
+m AS (SELECT cid, pos, avg(val) AS mv FROM dims GROUP BY 1, 2),
+c1 AS (SELECT s.cid,
+         CASE WHEN count(m.mv) = 0 THEN any_value(s.c)
+              ELSE list(m.mv ORDER BY m.pos) END AS c
+       FROM seeds s LEFT JOIN m ON s.cid = m.cid GROUP BY s.cid),
+a1 AS (SELECT vec_id, cid FROM
+  (SELECT e.vec_id, c1.cid, row_number() OVER
+     (PARTITION BY e.vec_id ORDER BY
+        ROUND(list_dot_product(e.v, c1.c)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(c1.c, c1.c))), 6) DESC,
+        c1.cid ASC) AS rn
+   FROM e CROSS JOIN c1)
+  WHERE rn = 1)
+SELECT vec_id, cid AS cluster_id FROM a1 ORDER BY vec_id
+"""
+
+_PAIRS["q119_kmeans_assign"] = ("", _KMEANS_ASSIGN_DUCK)
+
+
+def _q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the 1-round k-means sketch (q119's centroids):
+    probe the 2 nearest of 8 refined clusters for vec 0's embedding,
+    exact cosine within — the q114 shape with real centroids."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, n_clusters=8, rounds=1)
+    qvec = [
+        float(x)
+        for x in emb.where("vec_id = 0").head()["embedding"]
+    ]
+    out = ivf_topk(emb, qvec, k=10, nprobe=2, centroids=cents)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+_IVF_KMEANS_DUCK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+a0 AS (SELECT vec_id, cid FROM
+  (SELECT e.vec_id, s.cid, row_number() OVER
+     (PARTITION BY e.vec_id ORDER BY
+        ROUND(list_dot_product(e.v, s.c)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(s.c, s.c))), 6) DESC,
+        s.cid ASC) AS rn
+   FROM e CROSS JOIN seeds s)
+  WHERE rn = 1),
+dims AS (SELECT a0.cid, generate_subscripts(e.v, 1) AS pos,
+                unnest(e.v) AS val
+         FROM a0 JOIN e USING (vec_id)),
+m AS (SELECT cid, pos, avg(val) AS mv FROM dims GROUP BY 1, 2),
+c1 AS (SELECT s.cid,
+         CASE WHEN count(m.mv) = 0 THEN any_value(s.c)
+              ELSE list(m.mv ORDER BY m.pos) END AS c
+       FROM seeds s LEFT JOIN m ON s.cid = m.cid GROUP BY s.cid),
+a1 AS (SELECT vec_id, cid FROM
+  (SELECT e.vec_id, c1.cid, row_number() OVER
+     (PARTITION BY e.vec_id ORDER BY
+        ROUND(list_dot_product(e.v, c1.c)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(c1.c, c1.c))), 6) DESC,
+        c1.cid ASC) AS rn
+   FROM e CROSS JOIN c1)
+  WHERE rn = 1),
+probe AS (SELECT cid FROM
+  (SELECT c1.cid, list_dot_product(c1.c, qv)
+     / (sqrt(list_dot_product(c1.c, c1.c))
+        * sqrt(list_dot_product(qv, qv))) AS qc
+   FROM c1 CROSS JOIN q)
+  ORDER BY ROUND(qc, 6) DESC, cid ASC LIMIT 2),
+s AS (SELECT e.vec_id, list_dot_product(v, qv)
+  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+  FROM e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM a1
+                     WHERE cid IN (SELECT cid FROM probe)))
+SELECT vec_id, ROUND(c, 4) AS cosine FROM s
+ORDER BY ROUND(c, 6) DESC, vec_id ASC LIMIT 10
+"""
+
+_PAIRS["q120_ivf_kmeans_topk"] = ("", _IVF_KMEANS_DUCK)
+
+
+def _q_synonym_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word synonym expansion through the REAL engine (VERDICT
+    r4 #4; Solr SynonymGraphFilter expand=true, schema.xml:61): query
+    'stream' with synonym 'merge join' — the two-word target joins the
+    OR-group as a PHRASE member resolved against the positions index,
+    so docs holding 'merge join' ADJACENTLY are admitted even without
+    'stream' (docs with the words apart are not), scored PhraseWeight
+    BM25 (idf = sum of member idfs, tf = phrase start count)."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_synphrase_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+    )
+    eng.extract(corpus, build_id="entry-synphrase")
+    hits = eng.search("stream", k=10,
+                      synonyms={"stream": ["merge join"]})
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )[:10]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_SYN_PHRASE_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM (SELECT d.doc_id, COALESCE(dl.doc_len, 0) AS doc_len
+        FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) x),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+term_member AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS ms
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s WHERE tf.term = 'stream'),
+ta AS (SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ta
+       FROM documents),
+ptf AS (SELECT doc_id,
+          CASE WHEN len(ta) >= 2 THEN len(list_filter(
+                 generate_series(1, len(ta) - 1),
+                 i -> ta[i:i+1] = ['merge', 'join']))
+               ELSE 0 END AS ptf
+        FROM ta),
+pidf AS (SELECT SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)))
+                AS v
+         FROM df CROSS JOIN stats s WHERE term IN ('merge', 'join')),
+phrase_member AS (
+  SELECT p.doc_id,
+         pidf.v * (p.ptf * 2.2)
+           / (p.ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           AS ms
+  FROM ptf p JOIN dl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN pidf
+  WHERE p.ptf > 0),
+members AS (SELECT * FROM term_member
+            UNION ALL SELECT * FROM phrase_member),
+agg AS (SELECT doc_id, SUM(ms) AS score FROM members GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM agg
+ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+_PAIRS["q121_synonym_phrase"] = ("", _SYN_PHRASE_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -5067,6 +5405,10 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_unigram_surprisal": _q_unigram_surprisal,
     "q116_dismax_pf2": _q_dismax_pf2,
     "q117_span_near": _q_span_near,
+    "q118_dismax_ps": _q_dismax_ps,
+    "q119_kmeans_assign": _q_kmeans_assign,
+    "q120_ivf_kmeans_topk": _q_ivf_kmeans_topk,
+    "q121_synonym_phrase": _q_synonym_phrase,
 }
 
 

@@ -2018,6 +2018,83 @@ class ExtractorEngine:
         self._gc_staging()
 
     # -- search ------------------------------------------------------------
+    def _synonym_phrase_rows(
+        self, query: str, synonyms: dict[str, list[str]], st: dict
+    ) -> "DataFrame | None":
+        """Phrase-member contributions for multi-word synonym targets
+        (VERDICT r4 #4; Solr SynonymGraphFilter expand=true,
+        schema.xml:61): for each synonym that analyzes to >= 2 tokens,
+        resolve the ADJACENT phrase against the positions index
+        (phrase_tf_by_doc over the already-fetched segment blobs) and
+        score it as Lucene PhraseWeight BM25 — idf = the multiplicity-
+        weighted sum of the member tokens' idfs, tf = phrase start
+        count, the same dl norms. Returns (doc_id, gid, term_score) to
+        union into bm25_search_synonyms' member scores, or None when no
+        synonym is multi-token. gid numbering replicates the operator's
+        own analysis (same analyze_query call) so groups line up.
+
+        Scale shape: term blobs come from the warm segment cache (the
+        phrase_search serving path); the emitted frame is one row per
+        (phrase-matching doc, group) — phrase matches, not the corpus.
+        A phrase whose match set alone exceeds driver memory belongs on
+        phrase_search_distributed; synonyms-with-phrases is a serving
+        feature, pinned to the warm path like phrase_search."""
+        import math
+
+        from ckanext_extractor_spark.operators.build import BM25_B, BM25_K1
+        from ckanext_extractor_spark.operators.phrase import (
+            phrase_tf_by_doc,
+        )
+        from ckanext_extractor_spark.operators.query import QUERY_CONFIG
+
+        base_terms = list(
+            dict.fromkeys(analyze_query(query, None, QUERY_CONFIG))
+        )
+        specs: "list[tuple[int, list[str]]]" = []
+        for gid, t in enumerate(base_terms):
+            for syn in synonyms.get(t, []):
+                toks = analyze_query(syn, None, QUERY_CONFIG)
+                if len(toks) >= 2:
+                    specs.append((gid, toks))
+        if not specs:
+            return None
+        if not self.with_positions:
+            raise ValidationError(
+                "multi-word synonyms need a positions index "
+                "(with_positions=True)"
+            )
+        from collections import Counter
+
+        n_docs, avgdl = st["n_docs"], st["avgdl"]
+        dead = self._dead_docs()
+        rows: "list[tuple[int, int, float]]" = []
+        for gid, toks in specs:
+            uniq = list(dict.fromkeys(toks))
+            dfs = self._df_for_terms(uniq)
+            if any(dfs.get(t, 0) == 0 for t in uniq):
+                continue  # a missing token ⇒ the phrase matches nothing
+            shard = {t: self._segment_rows(t) for t in uniq}
+            tf_map = phrase_tf_by_doc(shard, toks, dead)
+            if not tf_map:
+                continue
+            cnt = Counter(toks)
+            pidf = sum(
+                c * math.log(
+                    1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)
+                )
+                for t, c in cnt.items()
+            )
+            for d, (ptf, dl) in tf_map.items():
+                s = pidf * (ptf * (BM25_K1 + 1.0)) / (
+                    ptf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                )
+                rows.append((int(d), int(gid), float(s)))
+        if not rows:
+            return None
+        return self.spark.createDataFrame(
+            rows, "doc_id long, gid int, term_score double"
+        )
+
     def search(
         self,
         query: str,
@@ -2211,6 +2288,7 @@ class ExtractorEngine:
                 self._dictionary_df(),
                 st["n_docs"], st["avgdl"], query, synonyms,
                 k=k, conjunctive=conjunctive,
+                phrase_rows=self._synonym_phrase_rows(query, synonyms, st),
             ).collect()
             return [(r["doc_id"], r["score"]) for r in rows]
         kernel = mode in ("auto", "wand", "exact", "maxscore")
@@ -3283,6 +3361,9 @@ class ExtractorEngine:
         pf: dict[str, float] | None = None,
         pf2: dict[str, float] | None = None,
         pf3: dict[str, float] | None = None,
+        ps: int = 0,
+        ps2: int | None = None,
+        ps3: int | None = None,
     ) -> list[tuple[int, float]]:
         """Scored multi-field metadata search — Solr (e)dismax ``qf``
         per-field boosts with ``tie`` breaker (Lucene
@@ -3300,6 +3381,10 @@ class ExtractorEngine:
         fields): every ADJACENT pair / triple of query tokens becomes
         its own SHOULD phrase clause over its field map — partial
         phrase matches earn boosts the all-or-nothing pf can't.
+        ``ps``/``ps2``/``ps3`` (edismax phrase slop): slop on the
+        pf / pf2 / pf3 clauses — ps2/ps3 default to ps when unset
+        (Solr parity); tf is the pinned anchor-window sloppy count
+        (fields.sloppy_phrase_tf_expr; ps=0 ≡ exact pf).
         Returns [(doc_id, score)], score desc, doc_id asc."""
         self._check_access("extractor_search")
         _require_query(query)
@@ -3327,6 +3412,15 @@ class ExtractorEngine:
         _require_boost_map("pf", pf, allow_none=True)
         _require_boost_map("pf2", pf2, allow_none=True)
         _require_boost_map("pf3", pf3, allow_none=True)
+        for name, v, allow_none in (
+            ("ps", ps, False), ("ps2", ps2, True), ("ps3", ps3, True)
+        ):
+            if v is None and allow_none:
+                continue
+            if isinstance(v, bool) or not isinstance(v, int) or v < 0:
+                raise ValidationError(
+                    f"{name} must be a non-negative integer, got {v!r}"
+                )
         if (
             isinstance(tie, bool)
             or not isinstance(tie, (int, float))
@@ -3368,6 +3462,7 @@ class ExtractorEngine:
             fp, query, qf, k=k, tie=tie, min_match=min_match,
             norms=self._read_or_none("field_norms"),
             pf=pf, values=values, pf2=pf2, pf3=pf3,
+            ps=ps, ps2=ps2, ps3=ps3,
         ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 

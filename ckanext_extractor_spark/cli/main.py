@@ -229,7 +229,9 @@ def cmd_query(args) -> int:
                                  tie=args.tie, min_match=args.min_match,
                                  pf=_boosts(args.pf) if args.pf else None,
                                  pf2=_boosts(args.pf2) if args.pf2 else None,
-                                 pf3=_boosts(args.pf3) if args.pf3 else None)
+                                 pf3=_boosts(args.pf3) if args.pf3 else None,
+                                 ps=args.ps or 0, ps2=args.ps2,
+                                 ps3=args.ps3)
     elif args.phrase:
         hits = eng.phrase_search(args.q, k=args.k,
                                  distributed=args.distributed,
@@ -692,6 +694,13 @@ def main(argv=None) -> int:
                    metavar="FIELD[^BOOST]",
                    help="trigram phrase-field boost (edismax pf3; "
                         "repeatable; requires --qf)")
+    q.add_argument("--ps", type=int, default=0,
+                   help="phrase slop on --pf clauses (edismax ps; "
+                        "anchor-window sloppy tf, 0 = exact)")
+    q.add_argument("--ps2", type=int, default=None,
+                   help="phrase slop on --pf2 clauses (defaults to --ps)")
+    q.add_argument("--ps3", type=int, default=None,
+                   help="phrase slop on --pf3 clauses (defaults to --ps)")
     q.add_argument("--tie", type=float, default=0.0,
                    help="dismax tie breaker in [0,1] (default 0)")
     q.add_argument("--fq", action="append", default=None,

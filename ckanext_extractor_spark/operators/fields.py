@@ -100,6 +100,68 @@ def phrase_tf_expr(value_col, phrase_terms: list[str]):
     ).otherwise(F.lit(0))
 
 
+def sloppy_phrase_tf_expr(value_col, phrase_terms: list[str], slop: int):
+    """Sloppy phrase frequency of ``phrase_terms`` inside a metadata
+    value, as a pure Catalyst expression — the edismax ``ps`` kernel
+    (VERDICT r4 #2). Match criterion is Lucene SloppyPhraseScorer's
+    smallest-range test (lucene_slop_match, phrase.py:51): phrase slot
+    k matching at token position p has OFFSET-ADJUSTED position p - k,
+    and a match exists when one position per slot fits an adjusted
+    window of width ``slop``. The countable unit is the ANCHOR: tf =
+    |{i : every slot k has an occurrence with p - k in [i, i+slop]}|.
+
+    Pinned properties (tests/test_dismax_ps.py):
+    * slop=0 ≡ :func:`phrase_tf_expr` (the window degenerates to the
+      exact adjacent-start count);
+    * an isolated match of adjusted span s' contributes slop - s' + 1
+      anchors — tighter matches weigh more, the same shape as Lucene's
+      1/(1+matchLength) slop factor, but integral and therefore
+      SQL-expressible for the oracle gate;
+    * total-move semantics: 'b a'~2 matches text 'a b' (span 2), which
+      the per-gap NEAR/n form never does;
+    * repeated phrase terms may satisfy two slots with ONE occurrence
+      (no distinct-position constraint — Lucene's repeat handling is
+      out of scope here, same pin as slop_mode='lucene').
+
+    Cost per value: O(tokens * n * slop) window probes, all inside
+    whole-stage codegen — metadata values are short strings, and the
+    one scan of the EAV frame is shared across every phrase clause
+    (see dismax_search_fields), so this adds no shuffle."""
+    n = len(phrase_terms)
+    s = int(slop)
+    if s == 0:
+        return phrase_tf_expr(value_col, phrase_terms)
+    ta = F.filter(
+        F.split(F.lower(value_col), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    size = F.size(ta)
+
+    def slot_ok(i, k: int, term: str):
+        # slot k needs a token == term at position q in [i+k, i+k+slop]
+        lo = F.greatest(i + F.lit(k), F.lit(1))
+        hi = F.least(i + F.lit(k + s), size)
+        return F.when(
+            lo <= hi,
+            F.exists(
+                F.slice(ta, lo, hi - lo + 1),
+                lambda x: x == F.lit(term),
+            ),
+        ).otherwise(F.lit(False))
+
+    def match_at(i):
+        cond = slot_ok(i, 0, phrase_terms[0])
+        for k, t in enumerate(phrase_terms[1:], start=1):
+            cond = cond & slot_ok(i, k, t)
+        return cond
+
+    # anchors sweep [2-n-slop, size]: the lowest adjusted position is
+    # 1-(n-1), so no match has anchors below 2-n-slop
+    return F.when(
+        size >= 1,
+        F.size(F.filter(F.sequence(F.lit(2 - n - s), size), match_at)),
+    ).otherwise(F.lit(0))
+
+
 def field_clause_frame(
     field_postings: DataFrame,
     clause_tokens: "dict[int, list[str]]",
@@ -248,6 +310,9 @@ def dismax_search_fields(
     values: "DataFrame | None" = None,
     pf2: "dict[str, float] | None" = None,
     pf3: "dict[str, float] | None" = None,
+    ps: int = 0,
+    ps2: "int | None" = None,
+    ps3: "int | None" = None,
 ) -> DataFrame:
     """Scored multi-field search — Solr (e)dismax ``qf`` with per-field
     boosts and ``tie`` breaker (Lucene DisjunctionMaxQuery).
@@ -293,6 +358,12 @@ def dismax_search_fields(
     clauses' tfs come from ONE scan of the values frame (stacked via
     explode), each clause dismaxes over its fields, and clause
     contributions sum.
+
+    ``ps``/``ps2``/``ps3`` (edismax phrase slop): the slop applied to
+    the pf / pf2 / pf3 clauses' phrase tf — ps2/ps3 DEFAULT to ps when
+    unset, Solr parity. Sloppy tf is the pinned anchor-window count of
+    :func:`sloppy_phrase_tf_expr` (ps=0 ≡ the exact pf); the slop only
+    swaps the tf expression inside the same one-scan plan.
 
     Divergence, pinned: the engine's main content index is not a qf
     target (its analyzer differs from the field chain); combine with
@@ -361,35 +432,43 @@ def dismax_search_fields(
     # trigrams. Every subphrase is its own SHOULD clause: it earns a
     # DisjunctionMax-with-tie over its flavor's fields, and clause
     # contributions SUM onto matching docs' main score.
-    phrase_specs: "list[tuple[dict[str, float], list[list[str]]]]" = []
+    # (boost_map, subphrases, slop): ps2/ps3 default to ps (Solr)
+    s_pf = int(ps)
+    s_pf2 = s_pf if ps2 is None else int(ps2)
+    s_pf3 = s_pf if ps3 is None else int(ps3)
+    phrase_specs: "list[tuple[dict[str, float], list[list[str]], int]]" = []
     if pf and len(ptoks) >= 2:
-        phrase_specs.append((pf, [ptoks]))
+        phrase_specs.append((pf, [ptoks], s_pf))
     if pf2 and len(ptoks) >= 2:
         phrase_specs.append(
-            (dict(pf2), [ptoks[i:i + 2] for i in range(len(ptoks) - 1)])
+            (dict(pf2), [ptoks[i:i + 2] for i in range(len(ptoks) - 1)],
+             s_pf2)
         )
     if pf3 and len(ptoks) >= 3:
         phrase_specs.append(
-            (dict(pf3), [ptoks[i:i + 3] for i in range(len(ptoks) - 2)])
+            (dict(pf3), [ptoks[i:i + 3] for i in range(len(ptoks) - 2)],
+             s_pf3)
         )
     if phrase_specs and values is not None:
         from collections import Counter
 
-        # flat clause list: (clause id, boost map, subphrase tokens)
-        clauses: "list[tuple[int, dict[str, float], list[str]]]" = []
-        for pmap, subs in phrase_specs:
+        # flat clause list: (clause id, boost map, subphrase tokens, slop)
+        clauses: "list[tuple[int, dict[str, float], list[str], int]]" = []
+        for pmap, subs, sl in phrase_specs:
             for sub in subs:
-                clauses.append((len(clauses), pmap, sub))
-        all_pfields = sorted({f for _, pmap, _ in clauses for f in pmap})
+                clauses.append((len(clauses), pmap, sub, sl))
+        all_pfields = sorted(
+            {f for _, pmap, _, _ in clauses for f in pmap}
+        )
         pvals = values.where(F.col("field").isin(all_pfields))
         # ONE scan of the EAV values computes every clause's phrase tf,
         # stacked into (doc, field, pid, ptf) rows via explode
         ptf_structs = F.array(*[
             F.struct(
                 F.lit(pid).alias("pid"),
-                phrase_tf_expr(F.col("value"), sub).alias("ptf"),
+                sloppy_phrase_tf_expr(F.col("value"), sub, sl).alias("ptf"),
             )
-            for pid, _, sub in clauses
+            for pid, _, sub, sl in clauses
         ])
         pmatch = (
             pvals.select(id_col, "field", F.explode(ptf_structs).alias("_e"))
@@ -402,7 +481,7 @@ def dismax_search_fields(
         # position); a field missing a term omits its idf, but such a
         # field can't contain the phrase either (ptf = 0 everywhere)
         sumidf_parts = []
-        for pid, _pmap, sub in clauses:
+        for pid, _pmap, sub, _sl in clauses:
             cnt = Counter(sub)
             w = F.lit(None).cast("double")
             for t, c in cnt.items():
@@ -427,7 +506,7 @@ def dismax_search_fields(
         )
         # (pid, field) -> boost literal chain
         pboost = F.lit(None).cast("double")
-        for pid, pmap, _sub in clauses:
+        for pid, pmap, _sub, _sl in clauses:
             for f_name, f_boost in pmap.items():
                 pboost = F.when(
                     (F.col("pid") == pid) & (F.col("field") == f_name),

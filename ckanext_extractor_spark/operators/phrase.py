@@ -144,6 +144,59 @@ def phrase_filter_docs(
     return out
 
 
+def phrase_tf_by_doc(
+    term_shard_rows: dict[str, list],
+    ordered_terms: list[str],
+    dead=None,
+) -> "dict[int, tuple[int, int]]":
+    """Exact (slop=0) phrase frequency per doc: doc_id -> (ptf, dl),
+    ptf = count of DISTINCT start positions where ``ordered_terms``
+    occur strictly consecutively (Lucene ExactPhraseMatcher counts
+    every start, overlapping too), dl = the doc's token length (from
+    the same postings decode). Used by query-time multi-word synonym
+    expansion (PhraseWeight BM25 needs tf and dl per matching doc).
+
+    Vectorized: positions of slot i shift by -i, the phrase starts are
+    the running np.intersect1d of the adjusted sets — O(total
+    positions log positions) per doc, no per-position loop."""
+    from ckanext_extractor_spark.operators.wand import _row_gen_seq
+
+    per_term: list[dict[int, np.ndarray]] = []
+    doc_len: dict[int, int] = {}
+    for slot, t in enumerate(ordered_terms):
+        merged: dict[int, np.ndarray] = {}
+        for row in term_shard_rows.get(t, []):
+            ids, tfs, dls, pos = decode_posting_list(
+                bytes(row["blob"]), with_positions=True
+            )
+            keep = (
+                dead.live_mask(ids, _row_gen_seq(row))
+                if dead is not None and len(dead)
+                else np.ones(len(ids), dtype=bool)
+            )
+            for d, p, dl, k in zip(ids, pos, dls, keep):
+                if k:
+                    merged[int(d)] = p
+                    if slot == 0:
+                        doc_len[int(d)] = int(dl)
+        per_term.append(merged)
+    common = set(per_term[0])
+    for pm in per_term[1:]:
+        common &= set(pm)
+    out: "dict[int, tuple[int, int]]" = {}
+    for d in common:
+        adj = per_term[0][d].astype(np.int64)
+        for i, pm in enumerate(per_term[1:], start=1):
+            if adj.size == 0:
+                break
+            adj = np.intersect1d(
+                adj, pm[d].astype(np.int64) - np.int64(i)
+            )
+        if adj.size:
+            out[d] = (int(adj.size), doc_len[d])
+    return out
+
+
 def span_near_filter_docs(
     candidate_docs: list[int],
     term_shard_rows: dict[str, list],

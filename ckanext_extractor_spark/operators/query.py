@@ -136,16 +136,31 @@ def bm25_search_synonyms(
     conjunctive: bool = True,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    phrase_rows: "DataFrame | None" = None,
 ) -> DataFrame:
     """Query-time synonym expansion (SURVEY.md T6; reference analog:
-    SynonymFilter in the query-only analyzer, schema.xml:61).
+    SynonymFilter in the query-only analyzer, schema.xml:61,
+    expand=true).
 
     Each analyzed query term becomes an OR-group {term + its synonyms'
     analyzed tokens}. A doc matches a group if it contains any member;
     conjunctive retrieval requires every group matched. Group score is the
     sum of matched members' BM25 contributions (pinned semantics; Lucene's
     SynonymQuery blends dfs — we keep per-term idf, which the oracle
-    mirrors)."""
+    mirrors).
+
+    Multi-word synonyms (VERDICT r4 #4): a synonym that analyzes to
+    >= 2 tokens is a PHRASE member of its group — Solr's
+    SynonymGraphFilter emits the multi-token target as a phrase
+    sub-query at the source position, so 'ml' with synonym 'machine
+    learning' admits docs containing the ADJACENT phrase, not docs
+    holding the words apart. Single tokens of a multi-token synonym
+    are NOT members on their own. The caller resolves phrase matches
+    against the positions index and passes ``phrase_rows`` —
+    (doc_id, gid, term_score) with PhraseWeight BM25 (idf = sum of the
+    member tokens' idfs, tf = phrase start count, same dl norms) —
+    which unions into the member scores before the group aggregate
+    (see ExtractorEngine._synonym_phrase_rows)."""
     base_terms = list(dict.fromkeys(analyze_query(query, lang, QUERY_CONFIG)))
     spark = postings.sparkSession
     if not base_terms:
@@ -154,7 +169,11 @@ def bm25_search_synonyms(
     for gid, t in enumerate(base_terms):
         members = [t]
         for syn in synonyms.get(t, []):
-            members.extend(analyze_query(syn, lang, QUERY_CONFIG))
+            toks = analyze_query(syn, lang, QUERY_CONFIG)
+            if len(toks) == 1:
+                members.extend(toks)
+            # multi-token synonyms arrive as phrase_rows, never as
+            # independent single-term members
         for m in dict.fromkeys(members):
             pairs.append((m, gid))
     term_gid = spark.createDataFrame(pairs, "term string, gid int")
@@ -172,6 +191,10 @@ def bm25_search_synonyms(
             ).alias("term_score"),
         )
     )
+    if phrase_rows is not None:
+        scored = scored.unionByName(
+            phrase_rows.select("doc_id", "gid", "term_score")
+        )
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("term_score").alias("score"),
         F.countDistinct("gid").cast("int").alias("n_matched"),
