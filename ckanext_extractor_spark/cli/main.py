@@ -524,9 +524,16 @@ def _pipeline_apply(df, a):
             raise SystemExit("semdedup is embeddings-shaped; use "
                              "--id-col/--vec-col, not --text-col")
         thr = 0.9 if a.threshold is None else a.threshold
+        cents = None
+        if a.kmeans_rounds:
+            cents = similarity.kmeans_centroids(
+                df, n_clusters=a.n_clusters, rounds=a.kmeans_rounds,
+                sample_frac=a.sample_frac,
+                id_col=a.id_col or "vec_id", vec_col=a.vec_col)
         return similarity.semantic_dedup(
             df, n_clusters=a.n_clusters, threshold=thr,
-            id_col=a.id_col or "vec_id", vec_col=a.vec_col)
+            id_col=a.id_col or "vec_id", vec_col=a.vec_col,
+            centroids=cents)
     t, i = a.text_col or "text", a.id_col or "doc_id"
     if op == "exact-dedup":
         return dedup.exact_duplicates(df, text_col=t, id_col=i)
@@ -1064,6 +1071,14 @@ def main(argv=None) -> int:
                     help="tfidf hash buckets")
     pl.add_argument("--n-clusters", type=int, default=8,
                     help="semdedup coarse clusters")
+    pl.add_argument("--kmeans-rounds", dest="kmeans_rounds", type=int,
+                    default=0,
+                    help="semdedup: Lloyd rounds for the sampled k-means "
+                         "coarse quantizer (0 = pinned smallest-id seeds)")
+    pl.add_argument("--sample-frac", dest="sample_frac", type=float,
+                    default=None,
+                    help="semdedup: deterministic hash-sample fraction "
+                         "for the k-means sketch (default: all rows)")
     pl.add_argument("--test-frac", type=float, default=0.1,
                     help="split test fraction")
     pl.add_argument("--salt", default="", help="split hash salt")

@@ -373,6 +373,42 @@ def decode_posting_blocks(
     )
 
 
+def decode_posting_list_selective(blob: bytes, wanted_ids: np.ndarray):
+    """Positions decode restricted to ``wanted_ids`` (the block-max-
+    style phrase prune, VERDICT r4 #8): doc ids / tfs / doc_lens decode
+    vectorized as usual, the flat position-gap stream decodes in ONE
+    vectorized varbyte pass, but per-doc position arrays — the python-
+    loop-per-posting part of the full decode — materialize ONLY for the
+    candidate docs. On a hot term (millions of postings) verified
+    against a top-k candidate set (~100 docs), this turns the
+    O(n_postings) python loop + array churn into O(n_candidates).
+
+    Returns (doc_ids, tfs, doc_lens, posmap) where posmap maps
+    doc_id -> positions array for ids present in ``wanted_ids`` only
+    (byte-identical to the full decode's arrays — pinned by test)."""
+    nvals, off = varbyte_decode(blob, 0, 1)
+    n = int(nvals[0])
+    gaps, off = varbyte_decode(blob, off, n)
+    u = np.cumsum(gaps.astype(np.uint64), dtype=np.uint64)
+    doc_ids = (u - np.uint64(1 << 63)).view(np.int64)
+    tfs, off = varbyte_decode(blob, off, n)
+    tfs = tfs.astype(np.int64)
+    doc_lens, off = varbyte_decode(blob, off, n)
+    doc_lens = doc_lens.astype(np.int64)
+    npos, off = varbyte_decode(blob, off, 1)
+    flat, off = varbyte_decode(blob, off, int(npos[0]))
+    flat = flat.astype(np.int64)
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    sel = np.flatnonzero(
+        np.isin(doc_ids, np.asarray(wanted_ids, dtype=np.int64))
+    )
+    posmap = {
+        int(doc_ids[i]): np.cumsum(flat[starts[i]:ends[i]]) for i in sel
+    }
+    return doc_ids, tfs, doc_lens, posmap
+
+
 def decode_posting_list(blob: bytes, with_positions: bool = False):
     """Inverse of encode_posting_list.
     Returns (doc_ids, tfs, doc_lens[, positions])."""

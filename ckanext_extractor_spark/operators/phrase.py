@@ -36,9 +36,29 @@ from ckanext_extractor_spark.analysis.tokenizer import (
 from ckanext_extractor_spark.operators.codec import decode_posting_list
 
 
-def _positions_by_doc(row, dead) -> dict[int, np.ndarray]:
+def _positions_by_doc(row, dead, wanted=None) -> dict[int, np.ndarray]:
+    """Positions of one segment row as doc_id -> array. ``wanted``
+    (a sorted np.int64 array of candidate doc ids) switches to the
+    selective decode (codec.decode_posting_list_selective): per-doc
+    position arrays materialize only for candidates — the phrase
+    verify prune (VERDICT r4 #8). Identical arrays either way (pinned
+    by test); the full decode remains for callers that genuinely need
+    every doc (term vectors, highlight offsets)."""
     from ckanext_extractor_spark.operators.wand import _row_gen_seq
 
+    if wanted is not None:
+        from ckanext_extractor_spark.operators.codec import (
+            decode_posting_list_selective,
+        )
+
+        ids, tfs, dls, posmap = decode_posting_list_selective(
+            bytes(row["blob"]), wanted
+        )
+        if dead is not None and len(dead):
+            keep = dead.live_mask(ids, _row_gen_seq(row))
+            deadset = {int(d) for d, k in zip(ids, keep) if not k}
+            return {d: p for d, p in posmap.items() if d not in deadset}
+        return posmap
     ids, tfs, dls, pos = decode_posting_list(
         bytes(row["blob"]), with_positions=True
     )
@@ -104,11 +124,12 @@ def phrase_filter_docs(
     wand.DeadDocs) drops tombstoned postings so a stale generation can't
     shadow an updated doc's positions."""
     win = np.int64(slop + 1)
+    wanted = np.unique(np.asarray(list(candidate_docs), dtype=np.int64))
     per_term_pos: list[dict[int, np.ndarray]] = []
     for t in ordered_terms:
         merged: dict[int, np.ndarray] = {}
         for row in term_shard_rows.get(t, []):
-            merged.update(_positions_by_doc(row, dead))
+            merged.update(_positions_by_doc(row, dead, wanted))
         per_term_pos.append(merged)
     if slop_mode == "lucene":
         # total-move budget (see lucene_slop_match); opt-in, so the
@@ -158,27 +179,46 @@ def phrase_tf_by_doc(
 
     Vectorized: positions of slot i shift by -i, the phrase starts are
     the running np.intersect1d of the adjusted sets — O(total
-    positions log positions) per doc, no per-position loop."""
+    positions log positions) per doc, no per-position loop. Two-pass
+    decode (the VERDICT r4 #8 prune): pass one decodes only doc ids /
+    doc lens per term (vectorized, no position churn) to compute the
+    conjunctive candidate set; pass two materializes position arrays
+    selectively for those candidates — a hot term's million postings
+    never turn into a million python arrays."""
     from ckanext_extractor_spark.operators.wand import _row_gen_seq
 
-    per_term: list[dict[int, np.ndarray]] = []
-    doc_len: dict[int, int] = {}
+    live_ids: list[np.ndarray] = []
+    dl_parts: "list[tuple[np.ndarray, np.ndarray]]" = []
     for slot, t in enumerate(ordered_terms):
+        parts = []
+        for row in term_shard_rows.get(t, []):
+            ids, tfs, dls = decode_posting_list(bytes(row["blob"]))
+            if dead is not None and len(dead):
+                keep = dead.live_mask(ids, _row_gen_seq(row))
+                ids, dls = ids[keep], dls[keep]
+            parts.append(ids)
+            if slot == 0:
+                dl_parts.append((ids, dls))
+        live_ids.append(
+            np.unique(np.concatenate(parts))
+            if parts else np.array([], dtype=np.int64)
+        )
+    wanted = live_ids[0]
+    for arr in live_ids[1:]:
+        wanted = np.intersect1d(wanted, arr)
+    if wanted.size == 0:
+        return {}
+    doc_len: dict[int, int] = {}
+    for ids, dls in dl_parts:
+        mask = np.isin(ids, wanted)
+        doc_len.update(
+            (int(d), int(dl)) for d, dl in zip(ids[mask], dls[mask])
+        )
+    per_term: list[dict[int, np.ndarray]] = []
+    for t in ordered_terms:
         merged: dict[int, np.ndarray] = {}
         for row in term_shard_rows.get(t, []):
-            ids, tfs, dls, pos = decode_posting_list(
-                bytes(row["blob"]), with_positions=True
-            )
-            keep = (
-                dead.live_mask(ids, _row_gen_seq(row))
-                if dead is not None and len(dead)
-                else np.ones(len(ids), dtype=bool)
-            )
-            for d, p, dl, k in zip(ids, pos, dls, keep):
-                if k:
-                    merged[int(d)] = p
-                    if slot == 0:
-                        doc_len[int(d)] = int(dl)
+            merged.update(_positions_by_doc(row, dead, wanted))
         per_term.append(merged)
     common = set(per_term[0])
     for pm in per_term[1:]:
@@ -228,11 +268,12 @@ def span_near_filter_docs(
     mode); posInc=0-stacked distinct terms may legally share one
     position (pinned)."""
     k = len(ordered_terms)
+    wanted = np.unique(np.asarray(list(candidate_docs), dtype=np.int64))
     per_term_pos: list[dict[int, np.ndarray]] = []
     for t in ordered_terms:
         merged: dict[int, np.ndarray] = {}
         for row in term_shard_rows.get(t, []):
-            merged.update(_positions_by_doc(row, dead))
+            merged.update(_positions_by_doc(row, dead, wanted))
         per_term_pos.append(merged)
     if not in_order:
         out = []
@@ -320,9 +361,10 @@ def span_first_filter_docs(
     Positions are the index-time analyzer positions (0-based; stopword
     removal leaves gaps, catenated identifier tokens stack at
     posInc=0 — same space every phrase operator uses)."""
+    wanted = np.unique(np.asarray(list(candidate_docs), dtype=np.int64))
     merged: dict[int, np.ndarray] = {}
     for row in term_shard_rows.get(term, []):
-        merged.update(_positions_by_doc(row, dead))
+        merged.update(_positions_by_doc(row, dead, wanted))
     out = []
     for d in candidate_docs:
         p = merged.get(d)
@@ -394,13 +436,15 @@ def phrase_search(
     )
     out = [(d, s) for d, s in scored if d in keep][:k]
     if len(out) < k and len(scored) == overfetch:
-        # rare: phrase matches beyond the over-fetch window -> full pass
-        scored = exact_topk(tls, 10**9, st["avgdl"], conjunctive=True)
-        keep = set(
-            phrase_filter_docs([d for d, _ in scored], rows_by_term, terms,
-                               dead, slop=slop, slop_mode=slop_mode)
-        )
-        out = [(d, s) for d, s in scored if d in keep][:k]
+        # rare: phrase matches beyond the over-fetch window. The
+        # remaining work is a FULL conjunctive verify — route it to the
+        # distributed kernel (vectorized doc-key/searchsorted verify,
+        # rank-identical by test) instead of a per-doc python loop over
+        # every conjunctive candidate: at 2M docs this is the
+        # difference between ~50 s and the cluster plan (r5 prune
+        # follow-up, BENCH/phrase_prune_r5_2m.json phrase_3term).
+        return phrase_search_distributed(engine, query, k, slop=slop,
+                                         slop_mode=slop_mode)
     return out
 
 

@@ -77,6 +77,25 @@ def test_pipeline_semdedup(emb_pq, capsys):
     assert set(s["columns"]) == {"vec_id", "cluster_id", "is_dup"}
 
 
+def test_pipeline_semdedup_kmeans_and_flag_guards(emb_pq, capsys):
+    # k-means sketch path (ADVICE r4 #1 follow-up: --id-col/--vec-col
+    # honored; --kmeans-rounds drives the sampled-Lloyd quantizer)
+    s = _run(capsys, "pipeline", "semdedup", "--in", emb_pq,
+             "--id-col", "vec_id", "--vec-col", "embedding",
+             "--n-clusters", "2", "--threshold", "0.99",
+             "--kmeans-rounds", "1")
+    assert s["rows_out"] == 20
+    assert set(s["columns"]) == {"vec_id", "cluster_id", "is_dup"}
+    # --text-col on an embeddings-shaped op is a loud error, not a
+    # silent drop
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["pipeline", "semdedup", "--in", emb_pq,
+              "--text-col", "text"])
+    capsys.readouterr()
+
+
 def test_pipeline_pii_and_boilerplate(docs_pq, capsys):
     s = _run(capsys, "pipeline", "pii-scrub", "--in", docs_pq)
     assert s["rows_out"] == 4

@@ -145,3 +145,55 @@ def test_grouped_encoder_matches_single():
         assert last_docs[t] == singles[t]["block_last_doc"].tolist()
         assert np.allclose(max_tfns[t], singles[t]["block_max_tfn"])
         assert block_offs[t] == singles[t]["block_offs"].tolist()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_selective_decode_matches_full(rows, rnd):
+    """decode_posting_list_selective (the phrase-verify prune, VERDICT
+    r4 #8) returns byte-identical position arrays to the full decode,
+    for any candidate subset — including absent ids and the empty set."""
+    from ckanext_extractor_spark.operators.codec import (
+        decode_posting_list_selective,
+    )
+
+    rng = np.random.RandomState(11)
+    doc_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    tfs = np.array([r[1] for r in rows], dtype=np.int64)
+    doc_lens = np.array([r[2] for r in rows], dtype=np.int64)
+    positions = [np.cumsum(rng.randint(1, 50, size=tf)) for tf in tfs]
+    enc = encode_posting_list(doc_ids, tfs, positions, doc_lens, avgdl=80.0)
+    f_ids, f_tfs, f_dls, f_pos = decode_posting_list(
+        enc["blob"], with_positions=True
+    )
+    full = {int(d): p for d, p in zip(f_ids, f_pos)}
+    subset = [int(d) for d in doc_ids if rnd.random() < 0.4]
+    subset += [999_999_999_999]  # an id the list does not contain
+    wanted = np.unique(np.array(subset, dtype=np.int64))
+    s_ids, s_tfs, s_dls, posmap = decode_posting_list_selective(
+        enc["blob"], wanted
+    )
+    assert np.array_equal(s_ids, f_ids)
+    assert np.array_equal(s_tfs, f_tfs)
+    assert np.array_equal(s_dls, f_dls)
+    want_keys = {int(d) for d in doc_ids} & {int(x) for x in wanted}
+    assert set(posmap) == want_keys
+    for d in want_keys:
+        assert np.array_equal(posmap[d], full[d])
+    # empty selection
+    _, _, _, empty = decode_posting_list_selective(
+        enc["blob"], np.array([], dtype=np.int64)
+    )
+    assert empty == {}

@@ -249,3 +249,46 @@ def test_exclude_validation(engine):
         engine.search("alpha", exclude="")
     with pytest.raises(ValidationError):
         engine.search("alpha", exclude="x", synonyms={"alpha": ["beta"]})
+
+
+def test_sparse_phrase_fallback_routes_to_distributed(spark, tmp_path):
+    """When phrase matches are sparser than k within the over-fetch
+    window, the driver path delegates the full conjunctive verify to
+    the vectorized distributed kernel (r5 prune follow-up) — pinned:
+    the delegation happens AND the results equal an explicit
+    distributed run."""
+    import ckanext_extractor_spark.operators.phrase as ph
+
+    # >100 docs hold both terms; only 3 hold them adjacently, and those
+    # 3 are long docs (low BM25) so they sit beyond the top-100 window
+    docs = []
+    for i in range(120):
+        docs.append(("r/a", f"n{i}", f"c{i}", "markdown",
+                     f"alpha filler{i} beta"))
+    for i in range(3):
+        pad = " ".join(f"pad{j}" for j in range(60))
+        docs.append(("r/a", f"m{i}", f"d{i}", "markdown",
+                     f"{pad} alpha beta"))
+    eng = ExtractorEngine(spark, str(tmp_path / "sparse"), n_buckets=8,
+                          salt_threshold=10_000)
+    eng.extract(spark.createDataFrame(
+        docs, "repo string, path string, commit string, lang string, "
+              "content string"), build_id="sp")
+    eng.warm()
+    called = {"n": 0}
+    orig = ph.phrase_search_distributed
+
+    def spy(*a, **kw):
+        called["n"] += 1
+        return orig(*a, **kw)
+
+    ph.phrase_search_distributed = spy
+    try:
+        got = eng.phrase_search("alpha beta", k=10)
+    finally:
+        ph.phrase_search_distributed = orig
+    assert called["n"] == 1
+    want = eng.phrase_search("alpha beta", k=10, distributed=True)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    ids = _doc_ids_by_path(eng)
+    assert {d for d, _ in got} == {ids[f"m{i}"] for i in range(3)}

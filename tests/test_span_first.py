@@ -104,7 +104,7 @@ def test_filter_kernel_first_position_only():
 
     orig = ph._positions_by_doc
     try:
-        ph._positions_by_doc = lambda row, dead: merged
+        ph._positions_by_doc = lambda row, dead, wanted=None: merged
         out = span_first_filter_docs([1, 2, 3], {"t": [object()]}, "t", 5)
         assert out == [1, 2]
     finally:
