@@ -5297,6 +5297,274 @@ ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 10
 _PAIRS["q121_synonym_phrase"] = ("", _SYN_PHRASE_DUCK)
 
 
+def _q_tfidf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-k neighbors per document (inverted-
+    index self-join, Bayardo WWW'07 shape) over the doc_id%10 slice —
+    the all-pairs text-similarity stage of a dedup/clustering
+    pipeline. Weights are 6dp-rounded BEFORE pairing so both engines
+    multiply identical values."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.vectorize import (
+        tfidf_neighbors_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 10 == 0
+    )
+    return tfidf_neighbors_topk(docs, k=5, dim=256)
+
+
+_TFIDF_NBR_DUCK = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+        '[^a-z0-9]+'), x -> x <> '')) AS term FROM d),
+tf AS (SELECT doc_id, {DUCK_H60.format(x='term')} % 256 AS bucket,
+       CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+bdf AS (SELECT bucket, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+w0 AS (SELECT doc_id, bucket, tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS w
+       FROM tf JOIN bdf USING (bucket) CROSS JOIN n),
+w AS (SELECT doc_id, bucket,
+      ROUND(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6) AS weight
+      FROM w0),
+pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+          ROUND(SUM(a.weight * b.weight), 6) AS cosine
+          FROM w a JOIN w b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+dir AS (SELECT ida AS doc_id, idb AS neighbor_id, cosine FROM pairs
+        UNION ALL SELECT idb, ida, cosine FROM pairs)
+SELECT doc_id, neighbor_id, cosine FROM (
+  SELECT doc_id, neighbor_id, cosine, row_number() OVER (
+    PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM dir) WHERE rn <= 5
+"""
+
+_PAIRS["q122_tfidf_neighbors"] = ("", _TFIDF_NBR_DUCK)
+
+
+def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus's own lang labels
+    (hashing-trick buckets, the fastText-ish linear filter of CCNet /
+    RedPajama expressed as hash aggregates + one broadcast-model join),
+    then every doc scored and argmax'd. Model log-probs are 6dp-rounded
+    at train time so both engines score from identical values."""
+    from ckanext_extractor_spark.functions.classify import (
+        nb_classify,
+        nb_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = nb_train(docs, label_col="lang", dim=64)
+    return nb_classify(docs, model, dim=64)
+
+
+_NB_DUCK_BODY = f"""
+tok AS ({DUCK_TOK}),
+lab AS (SELECT doc_id, lang AS label FROM documents
+        WHERE lang IS NOT NULL AND text IS NOT NULL),
+ltok AS (SELECT l.label, {DUCK_H60.format(x='t.term')} % 64 AS bucket
+         FROM tok t JOIN lab l USING (doc_id)),
+counts AS (SELECT label, bucket, CAST(count(*) AS DOUBLE) AS cnt
+           FROM ltok GROUP BY 1, 2),
+totals AS (SELECT label, sum(cnt) AS tot FROM counts GROUP BY 1),
+cond AS (SELECT label, bucket,
+         ROUND(ln((cnt + 1.0) / (tot + 64.0)), 6) AS lp
+         FROM counts JOIN totals USING (label)),
+nlab AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+priors AS (SELECT label, ROUND(ln(count(*) / n), 6) AS prior
+           FROM lab CROSS JOIN nlab GROUP BY label, n),
+defaults AS (SELECT label, ROUND(ln(1.0 / (tot + 64.0)), 6) AS dflt
+             FROM totals),
+labels AS (SELECT label, prior, dflt
+           FROM priors JOIN defaults USING (label)),
+tf AS (SELECT doc_id, {DUCK_H60.format(x='term')} % 64 AS bucket,
+       CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+contrib AS (SELECT d.doc_id, l.label, l.prior,
+            COALESCE(SUM(tf.tf * COALESCE(c.lp, l.dflt)), 0.0) AS csum
+            FROM documents d CROSS JOIN labels l
+            LEFT JOIN tf ON tf.doc_id = d.doc_id
+            LEFT JOIN cond c ON c.label = l.label AND c.bucket = tf.bucket
+            GROUP BY 1, 2, 3),
+scored AS (SELECT doc_id, label, ROUND(prior + csum, 6) AS score
+           FROM contrib),
+pred AS (SELECT doc_id, label AS pred_label, score FROM (
+  SELECT doc_id, label, score, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM scored) WHERE rn = 1)
+"""
+
+_NB_DUCK = (
+    "WITH " + _NB_DUCK_BODY
+    + "SELECT doc_id, pred_label, score FROM pred"
+)
+
+_PAIRS["q123_nb_classify"] = ("", _NB_DUCK)
+
+
+def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the q123 self-classifier vs the true lang
+    labels — the evaluate step of the train-a-corpus-filter loop."""
+    from ckanext_extractor_spark.functions.classify import (
+        nb_classify,
+        nb_evaluate,
+        nb_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = nb_train(docs, label_col="lang", dim=64)
+    pred = nb_classify(docs, model, dim=64)
+    return nb_evaluate(pred, docs, label_col="lang")
+
+
+_NB_CONF_DUCK = (
+    "WITH " + _NB_DUCK_BODY
+    + """
+SELECT d.lang AS true_label, p.pred_label, count(*) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+)
+
+_PAIRS["q124_nb_confusion"] = ("", _NB_CONF_DUCK)
+
+
+def _q_srp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic signed random projection (Achlioptas ±1 JL
+    sketch): 64-d float embeddings down to 8 components, the sign
+    matrix derived in-plan from the pinned portable md5 hash of
+    'srp:i:j' — no RNG state, reproducible across engines."""
+    from ckanext_extractor_spark.functions.projection import srp_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return srp_project(emb, out_dim=8)
+
+
+_SRP_SIGN = ("CASE WHEN (('0x'||substr(md5('srp:'||{i}||':'||{j}),1,15))"
+             "::BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END")
+
+_SRP_PROJ_BODY = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT vec_id, unnest(range(0, len(v))) AS i, unnest(v) AS x FROM e),
+sp AS (SELECT ii.i, jj.j, {_SRP_SIGN.format(i='ii.i', j='jj.j')} AS s
+       FROM (SELECT unnest(range(0, 64)) AS i) ii
+       CROSS JOIN (SELECT unnest(range(0, {{nj}})) AS j) jj),
+proj AS (SELECT vec_id, j, ROUND(SUM(x.x * sp.s), 6) AS value
+         FROM x JOIN sp ON x.i = sp.i GROUP BY 1, 2)
+"""
+
+_SRP_PROJ_DUCK = (
+    "WITH " + _SRP_PROJ_BODY.format(nj=8)
+    + "SELECT vec_id, j, value FROM proj"
+)
+
+_PAIRS["q125_srp_project"] = ("", _SRP_PROJ_DUCK)
+
+
+def _q_srp_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar-SimHash binary signatures over embeddings: 16 SRP sign
+    bits packed little-endian into one BIGINT — the cheapest
+    embedding-near-dup blocking key (hamming ~ angular distance)."""
+    from ckanext_extractor_spark.functions.projection import srp_bits
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return srp_bits(emb, n_bits=16)
+
+
+_SRP_BITS_DUCK = (
+    "WITH " + _SRP_PROJ_BODY.format(nj=16)
+    + """
+SELECT vec_id,
+  CAST(SUM(CASE WHEN value >= 0
+       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bits
+FROM proj GROUP BY 1
+"""
+)
+
+_PAIRS["q126_srp_bits"] = ("", _SRP_BITS_DUCK)
+
+
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): 64-d embeddings
+    cut into 4 subspaces of 16, each snapped to the nearest of 8
+    pinned-seed codebook centroids by squared L2 (ties pinned d6 asc,
+    code asc) — 4 small ints replace 256 bytes per vector."""
+    from ckanext_extractor_spark.functions.projection import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, n_codes=8, rounds=0)
+    return pq_encode(emb, books)
+
+
+_PQ_BODY = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (SELECT vec_id, ss.s, list_slice(v, ss.s * 16 + 1, ss.s * 16 + 16)
+        AS sv FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
+seedids AS (SELECT vec_id,
+            row_number() OVER (ORDER BY vec_id) - 1 AS code
+            FROM e ORDER BY vec_id LIMIT 8),
+cents AS (SELECT sub.s, seedids.code, sub.sv AS cent
+          FROM sub JOIN seedids USING (vec_id)),
+dist AS (SELECT x.vec_id, x.s, c.code,
+         ROUND(list_sum(list_transform(range(1, 17),
+           i -> (x.sv[i] - c.cent[i]) * (x.sv[i] - c.cent[i]))), 6) AS d
+         FROM sub x JOIN cents c ON x.s = c.s),
+enc AS (SELECT vec_id, s AS subspace, code FROM
+        (SELECT vec_id, s, code, row_number() OVER (
+           PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn
+         FROM dist) WHERE rn = 1)
+"""
+
+_PQ_ENCODE_DUCK = (
+    "WITH " + _PQ_BODY
+    + "SELECT vec_id, CAST(subspace AS INT) AS subspace, "
+      "CAST(code AS INT) AS code FROM enc"
+)
+
+_PAIRS["q127_pq_encode"] = ("", _PQ_ENCODE_DUCK)
+
+
+def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for vec 0's embedding over the PQ codes: per-query
+    lookup table (m x n_codes subspace dot products, a driver-side
+    sketch) broadcast-joined to the code column — the scan never
+    touches the float vectors."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.projection import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, n_codes=8, rounds=0)
+    codes = pq_encode(emb, books)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_adc_topk(codes, books, qv, k=10)
+
+
+_PQ_ADC_DUCK = (
+    "WITH " + _PQ_BODY
+    + """,
+q AS (SELECT v FROM e WHERE vec_id = 0),
+tab AS (SELECT c.s, c.code,
+        ROUND(list_dot_product(
+          list_slice(q.v, c.s * 16 + 1, c.s * 16 + 16), c.cent), 6)
+        AS part FROM cents c CROSS JOIN q)
+SELECT enc.vec_id, ROUND(SUM(tab.part), 6) AS score
+FROM enc JOIN tab ON tab.s = enc.subspace AND tab.code = enc.code
+GROUP BY 1 ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+)
+
+_PAIRS["q128_pq_adc_topk"] = ("", _PQ_ADC_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -5409,6 +5677,13 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_kmeans_assign": _q_kmeans_assign,
     "q120_ivf_kmeans_topk": _q_ivf_kmeans_topk,
     "q121_synonym_phrase": _q_synonym_phrase,
+    "q122_tfidf_neighbors": _q_tfidf_neighbors,
+    "q123_nb_classify": _q_nb_classify,
+    "q124_nb_confusion": _q_nb_confusion,
+    "q125_srp_project": _q_srp_project,
+    "q126_srp_bits": _q_srp_bits,
+    "q127_pq_encode": _q_pq_encode,
+    "q128_pq_adc_topk": _q_pq_adc_topk,
 }
 
 

@@ -501,6 +501,8 @@ _PIPELINE_OPS = (
     "exact-dedup", "neardup-clusters", "semdedup", "tfidf", "chunk",
     "boilerplate", "dup-spans", "quality", "langid", "token-estimates",
     "surprisal", "repetition", "pii-scrub", "split", "decontaminate",
+    "tfidf-neighbors", "nb-train", "nb-classify",
+    "srp", "srp-bits", "pq-encode",
 )
 
 
@@ -517,6 +519,24 @@ def _pipeline_apply(df, a):
     )
 
     op = a.op
+    if op in ("srp", "srp-bits", "pq-encode"):
+        # embeddings-shaped (same contract as semdedup)
+        if a.text_col is not None:
+            raise SystemExit(f"{op} is embeddings-shaped; use "
+                             "--id-col/--vec-col, not --text-col")
+        from ckanext_extractor_spark.functions import projection
+        vid = a.id_col or "vec_id"
+        if op == "srp":
+            return projection.srp_project(df, out_dim=a.out_dim,
+                                          id_col=vid, vec_col=a.vec_col)
+        if op == "srp-bits":
+            return projection.srp_bits(df, n_bits=a.out_dim,
+                                       id_col=vid, vec_col=a.vec_col)
+        books = projection.pq_codebooks(
+            df, m=a.m, n_codes=a.n_codes, rounds=a.kmeans_rounds,
+            sample_frac=a.sample_frac, id_col=vid, vec_col=a.vec_col)
+        return projection.pq_encode(df, books, id_col=vid,
+                                    vec_col=a.vec_col)
     if op == "semdedup":
         # embeddings-shaped: there is no text column to name (ADVICE r4
         # #1 — the flag used to be silently dropped; now it's an error)
@@ -544,6 +564,22 @@ def _pipeline_apply(df, a):
                                       include_singletons=True)
     if op == "tfidf":
         return vectorize.hashed_tfidf(df, dim=a.dim, text_col=t, id_col=i)
+    if op == "tfidf-neighbors":
+        return vectorize.tfidf_neighbors_topk(
+            df, k=a.k, dim=a.dim, max_bucket_df=a.max_bucket_df,
+            min_cosine=a.min_cosine, text_col=t, id_col=i)
+    if op == "nb-train":
+        from ckanext_extractor_spark.functions import classify
+        return classify.nb_train(df, label_col=a.label_col, text_col=t,
+                                 id_col=i, dim=a.dim, alpha=a.alpha)
+    if op == "nb-classify":
+        from ckanext_extractor_spark.functions import classify
+        if not a.model:
+            raise SystemExit("nb-classify needs --model MODEL_PARQUET "
+                             "(an nb-train output)")
+        model = df.sparkSession.read.parquet(a.model)
+        return classify.nb_classify(df, model, text_col=t, id_col=i,
+                                    dim=a.dim)
     if op == "chunk":
         return chunking.chunk_documents(df, size=a.size or 512,
                                         overlap=a.overlap,
@@ -1084,6 +1120,28 @@ def main(argv=None) -> int:
     pl.add_argument("--salt", default="", help="split hash salt")
     pl.add_argument("--bench", default=None,
                     help="benchmark parquet path (decontaminate)")
+    pl.add_argument("--k", type=int, default=10,
+                    help="neighbors per doc (tfidf-neighbors)")
+    pl.add_argument("--max-bucket-df", dest="max_bucket_df", type=int,
+                    default=None,
+                    help="drop buckets hit by more docs than this before "
+                         "the pair join (tfidf-neighbors scale guard)")
+    pl.add_argument("--min-cosine", dest="min_cosine", type=float,
+                    default=0.0,
+                    help="pair score floor (tfidf-neighbors)")
+    pl.add_argument("--label-col", dest="label_col", default="lang",
+                    help="training label column (nb-train)")
+    pl.add_argument("--alpha", type=float, default=1.0,
+                    help="NB Laplace smoothing (nb-train)")
+    pl.add_argument("--model", default=None,
+                    help="model parquet from nb-train (nb-classify)")
+    pl.add_argument("--out-dim", dest="out_dim", type=int, default=16,
+                    help="projection components / sign bits (srp, "
+                         "srp-bits)")
+    pl.add_argument("--m", type=int, default=4,
+                    help="PQ subspaces (pq-encode)")
+    pl.add_argument("--n-codes", dest="n_codes", type=int, default=8,
+                    help="PQ codes per subspace (pq-encode)")
     pl.add_argument("--ngram", type=int, default=13,
                     help="decontamination n-gram length")
     pl.set_defaults(fn=cmd_pipeline)

@@ -84,3 +84,91 @@ def hashed_tfidf(
         F.col("bucket"),
         F.round("_w", 6).alias("weight"),
     )
+
+
+def tfidf_neighbors_topk(
+    df: DataFrame,
+    k: int = 10,
+    dim: int = 1024,
+    max_bucket_df: int | None = None,
+    min_cosine: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine top-k neighbors per document
+    (id, neighbor_id, ROUND(cosine, 6)) via an inverted-index
+    self-join — the Bayardo/Ma/Srikant WWW'07 all-pairs shape, not an
+    N^2 scan.
+
+    Plan: ``hashed_tfidf`` rows (already L2-normalized, 6dp-rounded —
+    the rounding happens BEFORE the pairing so both engines multiply
+    identical weights) -> optional df-prune of buckets hit by more
+    than ``max_bucket_df`` docs (the posting-length prefix filter:
+    high-df buckets carry the least cosine mass and all of the
+    quadratic join cost; at 100 TB this cap is what bounds the
+    bucket-join fan-out, exactly like the LSH ``max_bucket_size``
+    guard) -> bucket equi-join on id<id, per-pair SUM(w*w) hash
+    aggregate -> both directions unioned -> per-doc row_number window
+    <= k. Two shuffles beyond featurization; no vector ever
+    materializes on the driver.
+
+    ``min_cosine`` drops weak pairs before the window (score floor);
+    ties pinned (cosine 6dp desc, neighbor id asc).
+    """
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise ValueError(f"k must be an int >= 1, got {k!r}")
+    if max_bucket_df is not None and (
+        isinstance(max_bucket_df, bool)
+        or not isinstance(max_bucket_df, int)
+        or max_bucket_df < 2
+    ):
+        raise ValueError(
+            f"max_bucket_df must be an int >= 2 or None, got {max_bucket_df!r}"
+        )
+    from pyspark.sql import Window
+
+    w = hashed_tfidf(
+        df, dim=dim, l2_normalize=True, text_col=text_col, id_col=id_col
+    )
+    if max_bucket_df is not None:
+        w = w.withColumn(
+            "_bdf", F.count("*").over(Window.partitionBy("bucket"))
+        ).where(F.col("_bdf") <= max_bucket_df).drop("_bdf")
+    a = w.select(
+        F.col(id_col).alias("_ida"),
+        F.col("bucket"),
+        F.col("weight").alias("_wa"),
+    )
+    b = w.select(
+        F.col(id_col).alias("_idb"),
+        F.col("bucket"),
+        F.col("weight").alias("_wb"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("_ida") < F.col("_idb"))
+        .groupBy("_ida", "_idb")
+        .agg(F.round(F.sum(F.col("_wa") * F.col("_wb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= float(min_cosine))
+    )
+    directed = pairs.select(
+        F.col("_ida").alias(id_col),
+        F.col("_idb").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("_idb").alias(id_col),
+            F.col("_ida").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+    )
+    return (
+        directed.withColumn("_rn", rn)
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
