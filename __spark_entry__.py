@@ -5565,6 +5565,95 @@ GROUP BY 1 ORDER BY score DESC, vec_id ASC LIMIT 10
 _PAIRS["q128_pq_adc_topk"] = ("", _PQ_ADC_DUCK)
 
 
+def _q_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SRP embedding near-dup pairs: 24 sign bits in 3 bands of
+    8 — candidates collide on any band, survive at hamming <= 8; bits
+    never leave integer space (no float verify at all)."""
+    from ckanext_extractor_spark.functions.projection import (
+        srp_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return srp_neardup_pairs(emb, n_bits=24, n_bands=3, max_hamming=8)
+
+
+_SRP_NDUP_DUCK = (
+    "WITH " + _SRP_PROJ_BODY.format(nj=24)
+    + """,
+bt AS (SELECT vec_id,
+       CAST(SUM(CASE WHEN value >= 0
+            THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+       AS bits FROM proj GROUP BY 1),
+bands AS (SELECT vec_id, bits, bb.b,
+          (bits >> CAST(bb.b * 8 AS INT)) & 255 AS key
+          FROM bt CROSS JOIN (SELECT unnest(range(0, 3)) AS b) bb),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.bits AS ba, b.bits AS bb
+         FROM bands a JOIN bands b
+         ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, CAST(bit_count(xor(ba, bb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ba, bb)) <= 8
+"""
+)
+
+_PAIRS["q129_srp_neardup"] = ("", _SRP_NDUP_DUCK)
+
+
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVF8,PQ4 shape): pinned-seed coarse probe
+    (nprobe=2 of 8) prunes the corpus, ADC scores the survivors from
+    their PQ codes alone — the scan never touches the float vectors."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.projection import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, n_codes=8, rounds=0)
+    codes = pq_encode(emb, books)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_topk(codes, books, qv, k=10, nprobe=2,
+                      embeddings=emb, n_clusters=8)
+
+
+_IVFPQ_DUCK = (
+    "WITH " + _PQ_BODY
+    + """,
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ivfseeds AS (SELECT vec_id AS sid, v AS svec FROM e
+             ORDER BY vec_id LIMIT 8),
+cosd AS (SELECT e.vec_id, sid,
+  list_dot_product(v, svec)
+    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(svec, svec)))
+  AS c FROM e CROSS JOIN ivfseeds),
+assign AS (SELECT vec_id, sid AS cluster_id FROM
+  (SELECT vec_id, sid, row_number() OVER
+     (PARTITION BY vec_id ORDER BY ROUND(c, 6) DESC, sid ASC) AS rn
+   FROM cosd) WHERE rn = 1),
+probe AS (SELECT sid FROM
+  (SELECT sid, list_dot_product(svec, qv)
+     / (sqrt(list_dot_product(svec, svec)) * sqrt(list_dot_product(qv, qv)))
+     AS qc FROM ivfseeds CROSS JOIN q)
+  ORDER BY ROUND(qc, 6) DESC, sid ASC LIMIT 2),
+tab AS (SELECT c.s, c.code,
+        ROUND(list_dot_product(
+          list_slice(q.qv, c.s * 16 + 1, c.s * 16 + 16), c.cent), 6)
+        AS part FROM cents c CROSS JOIN q)
+SELECT enc.vec_id, ROUND(SUM(tab.part), 6) AS score
+FROM enc JOIN tab ON tab.s = enc.subspace AND tab.code = enc.code
+WHERE enc.vec_id IN (SELECT vec_id FROM assign
+                     WHERE cluster_id IN (SELECT sid FROM probe))
+GROUP BY 1 ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+)
+
+_PAIRS["q130_ivfpq_topk"] = ("", _IVFPQ_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -5684,6 +5773,8 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_srp_bits": _q_srp_bits,
     "q127_pq_encode": _q_pq_encode,
     "q128_pq_adc_topk": _q_pq_adc_topk,
+    "q129_srp_neardup": _q_srp_neardup,
+    "q130_ivfpq_topk": _q_ivfpq_topk,
 }
 
 

@@ -502,7 +502,7 @@ _PIPELINE_OPS = (
     "boilerplate", "dup-spans", "quality", "langid", "token-estimates",
     "surprisal", "repetition", "pii-scrub", "split", "decontaminate",
     "tfidf-neighbors", "nb-train", "nb-classify",
-    "srp", "srp-bits", "pq-encode",
+    "srp", "srp-bits", "pq-encode", "srp-neardup",
 )
 
 
@@ -519,7 +519,7 @@ def _pipeline_apply(df, a):
     )
 
     op = a.op
-    if op in ("srp", "srp-bits", "pq-encode"):
+    if op in ("srp", "srp-bits", "pq-encode", "srp-neardup"):
         # embeddings-shaped (same contract as semdedup)
         if a.text_col is not None:
             raise SystemExit(f"{op} is embeddings-shaped; use "
@@ -532,6 +532,11 @@ def _pipeline_apply(df, a):
         if op == "srp-bits":
             return projection.srp_bits(df, n_bits=a.out_dim,
                                        id_col=vid, vec_col=a.vec_col)
+        if op == "srp-neardup":
+            return projection.srp_neardup_pairs(
+                df, n_bits=a.out_dim, n_bands=a.n_bands,
+                max_hamming=a.max_hamming, id_col=vid,
+                vec_col=a.vec_col)
         books = projection.pq_codebooks(
             df, m=a.m, n_codes=a.n_codes, rounds=a.kmeans_rounds,
             sample_frac=a.sample_frac, id_col=vid, vec_col=a.vec_col)
@@ -1142,6 +1147,13 @@ def main(argv=None) -> int:
                     help="PQ subspaces (pq-encode)")
     pl.add_argument("--n-codes", dest="n_codes", type=int, default=8,
                     help="PQ codes per subspace (pq-encode)")
+    pl.add_argument("--n-bands", dest="n_bands", type=int, default=2,
+                    help="signature bands (srp-neardup; must divide "
+                         "--out-dim)")
+    pl.add_argument("--max-hamming", dest="max_hamming", type=int,
+                    default=6,
+                    help="hamming ceiling for a surviving pair "
+                         "(srp-neardup)")
     pl.add_argument("--ngram", type=int, default=13,
                     help="decontamination n-gram length")
     pl.set_defaults(fn=cmd_pipeline)

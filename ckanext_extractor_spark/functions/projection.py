@@ -278,3 +278,149 @@ def pq_adc_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    query_vec: "list[float]",
+    k: int = 10,
+    nprobe: int = 2,
+    assignments: DataFrame | None = None,
+    centroids: "list[list[float]] | None" = None,
+    embeddings: DataFrame | None = None,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse probe + compressed-domain ADC scoring — the
+    composition every billion-vector deployment actually runs (FAISS
+    IVFxx,PQyy): the IVF assignment prunes the scan to ~nprobe/
+    n_clusters of the corpus, then ADC scores the survivors from their
+    PQ codes alone. Both the assignment table and the code table are
+    computed once at ingest; the per-query work is a driver-side
+    centroid ranking (a K-row sketch), one semi-join, one broadcast
+    table join, one TakeOrdered.
+
+    Centroid source mirrors :func:`similarity.ivf_topk`: explicit
+    ``centroids`` (kmeans sketch; cluster_id = index) or the pinned
+    smallest-id seed vectors from ``embeddings`` (cluster_id = the
+    seed's id). ``nprobe = n_clusters`` degrades gracefully to
+    :func:`pq_adc_topk` over everything (pinned by test)."""
+    from ckanext_extractor_spark.functions.similarity import ivf_assign
+
+    if centroids is not None:
+        n_clusters = len(centroids)
+    if isinstance(nprobe, bool) or not isinstance(nprobe, int) \
+            or not (1 <= nprobe <= n_clusters):
+        raise ValueError(
+            f"nprobe must be an int in [1, n_clusters], got {nprobe!r}")
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+    if centroids is not None:
+        ranked = sorted(
+            (-round(float(np.dot(np.asarray(c, dtype=np.float64), qv))
+                    / (float(np.linalg.norm(c)) * qn), 6), i)
+            for i, c in enumerate(centroids)
+        )
+        probe_ids = [i for _, i in ranked[:nprobe]]
+        if assignments is None:
+            if embeddings is None:
+                raise ValueError(
+                    "ivfpq_topk needs assignments or embeddings")
+            assignments = ivf_assign(embeddings, n_clusters, id_col,
+                                     vec_col, centroids=centroids)
+    else:
+        if embeddings is None and assignments is None:
+            raise ValueError("ivfpq_topk needs assignments or embeddings")
+        if embeddings is None:
+            raise ValueError(
+                "pinned-seed ivfpq_topk needs embeddings for the seeds")
+        seed_rows = (
+            embeddings.select(
+                F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+            .orderBy(id_col).limit(n_clusters).collect()
+        )
+        ranked = sorted(
+            (-round(float(np.dot(np.asarray(r["_v"]), qv))
+                    / (float(np.linalg.norm(r["_v"])) * qn), 6),
+             r[id_col])
+            for r in seed_rows
+        )
+        probe_ids = [i for _, i in ranked[:nprobe]]
+        if assignments is None:
+            assignments = ivf_assign(embeddings, n_clusters, id_col,
+                                     vec_col)
+    cand_ids = assignments.where(
+        F.col("cluster_id").isin(probe_ids)).select(id_col)
+    cand = codes.join(cand_ids, id_col, "left_semi")
+    return pq_adc_topk(cand, codebooks, query_vec, k, id_col)
+
+
+def srp_neardup_pairs(
+    embeddings: DataFrame,
+    n_bits: int = 24,
+    n_bands: int = 3,
+    max_hamming: int = 6,
+    seed: str = "srp",
+    max_bucket_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup candidate pairs from SRP sign bits alone —
+    banded Charikar signatures: two vectors collide if ANY of the
+    ``n_bands`` contiguous (n_bits/n_bands)-bit slices of their
+    signature match exactly, then survive if total hamming distance
+    <= ``max_hamming`` (hamming ~ angular distance; bits never leave
+    integer space, so there is no float comparison anywhere).
+    Output: (id_a, id_b, hamming), id_a < id_b, deduped across bands.
+
+    Scale shape (the LSH/minhash discipline): candidates come from a
+    band-key equi-join; buckets larger than ``max_bucket_size`` are
+    dropped BEFORE the join (degenerate-bucket guard — a band key
+    shared by a million vectors contributes O(bucket²) join rows and
+    ~zero precision); verification reads only the two packed longs.
+    At 100 TB the float vectors are never touched."""
+    _check_pos_int("n_bands", n_bands)
+    _check_pos_int("max_bucket_size", max_bucket_size)
+    if isinstance(max_hamming, bool) or not isinstance(max_hamming, int) \
+            or max_hamming < 0:
+        raise ValueError(
+            f"max_hamming must be an int >= 0, got {max_hamming!r}")
+    if n_bits % n_bands != 0:
+        raise ValueError(f"n_bits {n_bits} not divisible by "
+                         f"n_bands {n_bands}")
+    from pyspark.sql import Window
+
+    w = n_bits // n_bands
+    bits = srp_bits(embeddings, n_bits=n_bits, seed=seed,
+                    id_col=id_col, vec_col=vec_col)
+    band = F.explode(F.array(*[F.lit(b) for b in range(n_bands)])) \
+        .alias("_b")
+    keyed = bits.select(id_col, "bits", band).withColumn(
+        "_key",
+        F.expr(f"(bits >> (_b * {w})) & {(1 << w) - 1}"),
+    )
+    keyed = keyed.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("_b", "_key"))
+    ).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    a = keyed.select(F.col(id_col).alias("_ida"),
+                     F.col("bits").alias("_bita"), "_b", "_key")
+    b = keyed.select(F.col(id_col).alias("_idb"),
+                     F.col("bits").alias("_bitb"), "_b", "_key")
+    cand = (
+        a.join(b, ["_b", "_key"])
+        .where(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb", "_bita", "_bitb")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("_bita").bitwiseXOR(F.col("_bitb"))).cast("int")
+    return (
+        cand.select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -163,3 +163,131 @@ def test_pq_validation(spark):
         pq_adc_topk(pq_encode(df, books), books, [1.0, 2.0], k=1)
     with pytest.raises(ValueError):
         pq_adc_topk(pq_encode(df, books), books, [1.0, 2.0, 3.0], k=0)
+
+
+# -------------------------------------------------- srp near-dup pairs
+
+
+def _py_bits(vecs, n_bits, seed="srp"):
+    proj = _py_project(vecs, n_bits, seed)
+    return [sum((1 << j) for j, x in enumerate(row) if x >= 0)
+            for row in proj]
+
+
+def test_srp_neardup_scaled_copy_hamming0(spark):
+    from ckanext_extractor_spark.functions.projection import (
+        srp_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=8).tolist()
+    vecs = [base, [2.0 * x for x in base], rng.normal(size=8).tolist()]
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in srp_neardup_pairs(
+               _emb_df(spark, vecs), n_bits=16, n_bands=2,
+               max_hamming=0).collect()}
+    # positive scaling never flips a sign bit -> hamming 0 pair
+    assert out.get((0, 1)) == 0
+
+
+def test_srp_neardup_matches_python_oracle(spark):
+    from ckanext_extractor_spark.functions.projection import (
+        srp_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(12, 6)).astype(np.float32).tolist()
+    n_bits, n_bands, w = 12, 3, 4
+    bits = _py_bits(vecs, n_bits)
+    want = {}
+    for i in range(12):
+        for j in range(i + 1, 12):
+            if any(((bits[i] >> (b * w)) & ((1 << w) - 1))
+                   == ((bits[j] >> (b * w)) & ((1 << w) - 1))
+                   for b in range(n_bands)):
+                want[(i, j)] = bin(bits[i] ^ bits[j]).count("1")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in srp_neardup_pairs(
+               _emb_df(spark, vecs), n_bits=n_bits, n_bands=n_bands,
+               max_hamming=n_bits).collect()}
+    assert got == want
+
+
+def test_srp_neardup_bucket_guard(spark):
+    from ckanext_extractor_spark.functions.projection import (
+        srp_neardup_pairs,
+    )
+
+    vecs = [[1.0, 2.0, 3.0, 4.0]] * 3  # identical -> one hot bucket
+    out = srp_neardup_pairs(_emb_df(spark, vecs), n_bits=8, n_bands=2,
+                            max_hamming=8, max_bucket_size=1).collect()
+    assert out == []  # every bucket bigger than 1 dropped pre-join
+
+
+def test_srp_neardup_validation(spark):
+    from ckanext_extractor_spark.functions.projection import (
+        srp_neardup_pairs,
+    )
+
+    df = _emb_df(spark, [[1.0, 2.0]])
+    with pytest.raises(ValueError):
+        srp_neardup_pairs(df, n_bits=10, n_bands=3)  # not divisible
+    with pytest.raises(ValueError):
+        srp_neardup_pairs(df, max_hamming=-1)
+    with pytest.raises(ValueError):
+        srp_neardup_pairs(df, max_bucket_size=0)
+
+
+# --------------------------------------------------------- ivf-pq
+
+
+def test_ivfpq_full_probe_equals_adc(spark):
+    from ckanext_extractor_spark.functions.projection import ivfpq_topk
+
+    rng = np.random.RandomState(13)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32).tolist()
+    df = _emb_df(spark, vecs)
+    books = pq_codebooks(df, m=4, n_codes=4, rounds=0)
+    codes = pq_encode(df, books)
+    q = rng.normal(size=8).tolist()
+    full = [(r["vec_id"], r["score"])
+            for r in pq_adc_topk(codes, books, q, k=5).collect()]
+    got = [(r["vec_id"], r["score"])
+           for r in ivfpq_topk(codes, books, q, k=5, nprobe=4,
+                               embeddings=df, n_clusters=4).collect()]
+    assert got == full
+
+
+def test_ivfpq_probe_prunes_to_near_cluster(spark):
+    from ckanext_extractor_spark.functions.projection import ivfpq_topk
+    from ckanext_extractor_spark.functions.similarity import (
+        kmeans_centroids,
+    )
+
+    # two tight planted clusters far apart; ids 0-4 near +e1, 5-9 near +e2
+    rng = np.random.RandomState(17)
+    a = (np.array([10.0, 0.0, 0.0, 0.0]) + 0.01 * rng.normal(size=(5, 4)))
+    b = (np.array([0.0, 10.0, 0.0, 0.0]) + 0.01 * rng.normal(size=(5, 4)))
+    vecs = np.vstack([a, b]).astype(np.float32).tolist()
+    df = _emb_df(spark, vecs)
+    cents = kmeans_centroids(df, n_clusters=2, rounds=2)
+    books = pq_codebooks(df, m=2, n_codes=4, rounds=1)
+    codes = pq_encode(df, books)
+    out = ivfpq_topk(codes, books, [10.0, 0.1, 0.0, 0.0], k=10,
+                     nprobe=1, centroids=cents, embeddings=df).collect()
+    ids = {r["vec_id"] for r in out}
+    # nprobe=1 scans only the +e1 cluster's members
+    assert ids and ids <= ({0, 1, 2, 3, 4} if 0 in ids else {5, 6, 7, 8, 9})
+    assert ids == {0, 1, 2, 3, 4}
+
+
+def test_ivfpq_validation(spark):
+    from ckanext_extractor_spark.functions.projection import ivfpq_topk
+
+    df = _emb_df(spark, [[1.0, 2.0]])
+    books = pq_codebooks(df, m=1, n_codes=1)
+    codes = pq_encode(df, books)
+    with pytest.raises(ValueError):
+        ivfpq_topk(codes, books, [1.0, 2.0], nprobe=0, embeddings=df)
+    with pytest.raises(ValueError):
+        ivfpq_topk(codes, books, [1.0, 2.0], nprobe=1)  # no source
