@@ -5232,7 +5232,10 @@ def _q_synonym_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         analyzer=SIMPLE_CONFIG,
     )
     eng.extract(corpus, build_id="entry-synphrase")
-    hits = eng.search("stream", k=10,
+    # overfetch + re-rank on (rounded score, ORIGINAL id): the engine's
+    # internal k-cut breaks unrounded ties by engine hash id, which the
+    # oracle can't see (code-review r5 finding)
+    hits = eng.search("stream", k=10**9,
                       synonyms={"stream": ["merge join"]})
     pmap = {
         int(r["doc_id"]): int(r["path"].split("/", 1)[1])
@@ -5240,7 +5243,8 @@ def _q_synonym_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "path").collect()
     }
     ranked = sorted(
-        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+        ((pmap[d], s) for d, s in hits),
+        key=lambda x: (-round(x[1], 6), x[0]),
     )[:10]
     return spark.createDataFrame(
         [(int(d), float(round(s, 4))) for d, s in ranked],

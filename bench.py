@@ -100,7 +100,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     require_mops = float(os.environ.get("SPARK_GRAFT_REQUIRE_MOPS", "30"))
     if "--require-mops" in sys.argv:
-        require_mops = float(sys.argv[sys.argv.index("--require-mops") + 1])
+        i = sys.argv.index("--require-mops")
+        try:
+            require_mops = float(sys.argv[i + 1])
+        except (IndexError, ValueError):
+            raise SystemExit(
+                "--require-mops needs a numeric value, e.g. "
+                "--require-mops 30")
     max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "240"))
     _, throttled = _wait_for_quiet_host(require_mops, max_wait)
     # default 8, not 32: this VM advertises 32 vCPUs but a CPU probe shows

@@ -2089,8 +2089,9 @@ class ExtractorEngine:
                     ptf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
                 )
                 rows.append((int(d), int(gid), float(s)))
-        if not rows:
-            return None
+        # resolved-but-no-matches is an EMPTY frame, not None: None now
+        # means "caller never resolved phrase members" and makes the
+        # operator raise (code-review r5 finding)
         return self.spark.createDataFrame(
             rows, "doc_id long, gid int, term_score double"
         )

@@ -583,8 +583,12 @@ def _pipeline_apply(df, a):
             raise SystemExit("nb-classify needs --model MODEL_PARQUET "
                              "(an nb-train output)")
         model = df.sparkSession.read.parquet(a.model)
+        # the model records its hashing dim (bucket=-3); trust it over
+        # the flag so train/classify can never silently disagree
+        drow = model.where("bucket = -3").limit(1).collect()
+        mdim = int(drow[0]["log_prob"]) if drow else a.dim
         return classify.nb_classify(df, model, text_col=t, id_col=i,
-                                    dim=a.dim)
+                                    dim=mdim)
     if op == "chunk":
         return chunking.chunk_documents(df, size=a.size or 512,
                                         overlap=a.overlap,

@@ -23,20 +23,18 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ckanext_extractor_spark.functions.dedup import _h60
+# the ONE pinned bucket function: NB scoring is only correct while its
+# bucketing stays byte-identical to the tfidf family's (code-review r5)
 from ckanext_extractor_spark.functions.textstats import _tokens
+from ckanext_extractor_spark.functions.vectorize import _bucket
 
 
 def _check_dim(dim: int) -> None:
     if isinstance(dim, bool) or not isinstance(dim, int) or dim < 1:
         raise ValueError(f"dim must be an int >= 1, got {dim!r}")
-
-
-def _bucket(term: Column, dim: int) -> Column:
-    return _h60(term) % F.lit(dim)
 
 
 def nb_train(
@@ -99,10 +97,19 @@ def nb_train(
         F.lit(-2).cast("int").alias("bucket"),
         F.log(F.lit(alpha) / denom).alias("_lp"),
     )
+    # bucket=-3 records the hashing dim so nb_classify can reject a
+    # train/classify dim mismatch instead of silently joining wrong
+    # per-bucket log-probs (code-review r5 finding)
+    dims = totals.select(
+        "label",
+        F.lit(-3).cast("int").alias("bucket"),
+        F.lit(float(dim)).alias("_lp"),
+    )
     return (
         cond.select("label", F.col("bucket").cast("int").alias("bucket"), "_lp")
         .unionByName(priors)
         .unionByName(defaults)
+        .unionByName(dims)
         .select("label", "bucket", F.round("_lp", 6).alias("log_prob"))
     )
 
@@ -129,6 +136,13 @@ def nb_classify(
     n_labels * (dim + 2) rows; docs shuffle once, keyed on id.
     """
     _check_dim(dim)
+    dim_rows = model.where(F.col("bucket") == -3) \
+        .select("log_prob").limit(1).collect()
+    if dim_rows and int(dim_rows[0]["log_prob"]) != dim:
+        raise ValueError(
+            f"model was trained with dim={int(dim_rows[0]['log_prob'])} "
+            f"but nb_classify got dim={dim} — bucket ids would join "
+            "the wrong log-probs")
     cond = model.where(F.col("bucket") >= 0)
     priors = model.where(F.col("bucket") == -1).select(
         "label", F.col("log_prob").alias("_prior")

@@ -307,7 +307,10 @@ def ivfpq_topk(
     smallest-id seed vectors from ``embeddings`` (cluster_id = the
     seed's id). ``nprobe = n_clusters`` degrades gracefully to
     :func:`pq_adc_topk` over everything (pinned by test)."""
-    from ckanext_extractor_spark.functions.similarity import ivf_assign
+    from ckanext_extractor_spark.functions.similarity import (
+        ivf_assign,
+        rank_centroids,
+    )
 
     if centroids is not None:
         n_clusters = len(centroids)
@@ -315,15 +318,8 @@ def ivfpq_topk(
             or not (1 <= nprobe <= n_clusters):
         raise ValueError(
             f"nprobe must be an int in [1, n_clusters], got {nprobe!r}")
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.linalg.norm(qv))
     if centroids is not None:
-        ranked = sorted(
-            (-round(float(np.dot(np.asarray(c, dtype=np.float64), qv))
-                    / (float(np.linalg.norm(c)) * qn), 6), i)
-            for i, c in enumerate(centroids)
-        )
-        probe_ids = [i for _, i in ranked[:nprobe]]
+        probe_ids = rank_centroids(centroids, query_vec, nprobe)
         if assignments is None:
             if embeddings is None:
                 raise ValueError(
@@ -331,8 +327,6 @@ def ivfpq_topk(
             assignments = ivf_assign(embeddings, n_clusters, id_col,
                                      vec_col, centroids=centroids)
     else:
-        if embeddings is None and assignments is None:
-            raise ValueError("ivfpq_topk needs assignments or embeddings")
         if embeddings is None:
             raise ValueError(
                 "pinned-seed ivfpq_topk needs embeddings for the seeds")
@@ -341,13 +335,10 @@ def ivfpq_topk(
                 F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
             .orderBy(id_col).limit(n_clusters).collect()
         )
-        ranked = sorted(
-            (-round(float(np.dot(np.asarray(r["_v"]), qv))
-                    / (float(np.linalg.norm(r["_v"])) * qn), 6),
-             r[id_col])
-            for r in seed_rows
+        probe_ids = rank_centroids(
+            [list(r["_v"]) for r in seed_rows], query_vec, nprobe,
+            keys=[r[id_col] for r in seed_rows],
         )
-        probe_ids = [i for _, i in ranked[:nprobe]]
         if assignments is None:
             assignments = ivf_assign(embeddings, n_clusters, id_col,
                                      vec_col)

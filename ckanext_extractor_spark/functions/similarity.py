@@ -336,7 +336,13 @@ def kmeans_centroids(
                              id_col=id_col)
     norm = sample.select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
-    ).localCheckpoint(eager=True)  # rounds re-scan it; pin the sample
+    )
+    if rounds >= 1:
+        # rounds re-scan the sample; pin it. With rounds=0 the frame is
+        # read exactly once (the seed collect), so materializing the
+        # whole table first is waste — pq_codebooks(rounds=0) would pay
+        # it m times (code-review r5 finding)
+        norm = norm.localCheckpoint(eager=True)
     seed_rows = norm.orderBy(id_col).limit(n_clusters).collect()
     if not seed_rows:
         raise ValueError("kmeans_centroids: empty (sampled) input")
@@ -364,6 +370,36 @@ def kmeans_centroids(
     return cents
 
 
+def rank_centroids(
+    centroids: "list[list[float]]",
+    query_vec: "list[float]",
+    nprobe: int,
+    keys: "list | None" = None,
+) -> list:
+    """Driver-side probe ranking over a K-row centroid sketch — the
+    shared kernel of :func:`ivf_topk` and ``projection.ivfpq_topk``
+    (ties pinned: cosine 6dp desc, key asc). A zero-norm QUERY is
+    rejected loudly (it ranks nothing); a zero-norm CENTROID scores
+    -inf so it never wins a probe — parity with the in-plan SQL path,
+    where the null cosine sorts last (code-review r5 finding: the
+    previous inline ranking raised ZeroDivisionError on either)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+    if qn == 0.0:
+        raise ValueError("query_vec must have non-zero norm")
+    if keys is None:
+        keys = list(range(len(centroids)))
+    ranked = []
+    for key, c in zip(keys, centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        cn = float(np.linalg.norm(cv))
+        cos = float("-inf") if cn == 0.0 \
+            else round(float(np.dot(cv, qv)) / (cn * qn), 6)
+        ranked.append((-cos, key))
+    ranked.sort()
+    return [k for _, k in ranked[:nprobe]]
+
+
 def _assign_to_centroids(
     norm: DataFrame, centroids: "list[list[float]]", id_col: str
 ) -> DataFrame:
@@ -379,9 +415,14 @@ def _assign_to_centroids(
         "_sid int, _sv array<double>",
     ))
     sv, v = F.col("_sv"), F.col("_v")
-    cos = _dot(v, sv) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(sv, sv)))
+    # try_divide: a zero-norm vector or centroid yields a NULL cosine
+    # (ANSI Spark otherwise raises DIVIDE_BY_ZERO mid-job); NULLs sort
+    # last so a degenerate centroid never captures anything
+    cos = F.try_divide(
+        _dot(v, sv), F.sqrt(_dot(v, v)) * F.sqrt(_dot(sv, sv))
+    )
     w = Window.partitionBy(id_col).orderBy(
-        F.round(F.col("_c"), 6).desc(), F.col("_sid").asc()
+        F.round(F.col("_c"), 6).desc_nulls_last(), F.col("_sid").asc()
     )
     return (
         norm.crossJoin(seeds)
@@ -425,9 +466,11 @@ def ivf_assign(
         )
     )
     sv, v = F.col("_sv"), F.col("_v")
-    cos_seed = _dot(v, sv) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(sv, sv)))
+    cos_seed = F.try_divide(
+        _dot(v, sv), F.sqrt(_dot(v, v)) * F.sqrt(_dot(sv, sv))
+    )
     w = Window.partitionBy(id_col).orderBy(
-        F.round(F.col("_c"), 6).desc(), F.col("_sid").asc()
+        F.round(F.col("_c"), 6).desc_nulls_last(), F.col("_sid").asc()
     )
     return (
         norm.crossJoin(seeds)
@@ -477,17 +520,7 @@ def ivf_topk(
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
     if centroids is not None:
         # same pinned tie rule as the frame path: cos 6dp desc, id asc
-        qv = np.asarray(query_vec, dtype=np.float64)
-        ranked = sorted(
-            (
-                (-round(float(np.dot(c, qv))
-                        / (float(np.linalg.norm(c)) * qn), 6), i)
-                for i, c in enumerate(
-                    np.asarray(c, dtype=np.float64) for c in centroids
-                )
-            ),
-        )
-        probe_ids = [i for _, i in ranked[:nprobe]]
+        probe_ids = rank_centroids(centroids, query_vec, nprobe)
         cand_ids = assignments.where(
             F.col("cluster_id").isin(probe_ids)
         ).select(id_col)

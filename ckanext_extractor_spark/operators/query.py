@@ -172,8 +172,17 @@ def bm25_search_synonyms(
             toks = analyze_query(syn, lang, QUERY_CONFIG)
             if len(toks) == 1:
                 members.extend(toks)
-            # multi-token synonyms arrive as phrase_rows, never as
-            # independent single-term members
+            elif len(toks) >= 2 and phrase_rows is None:
+                # multi-token synonyms arrive as phrase_rows, never as
+                # independent single-term members — silently dropping
+                # the synonym would shrink the group's match set
+                # (code-review r5 finding)
+                raise ValueError(
+                    f"multi-token synonym {syn!r} needs phrase_rows "
+                    "(use ExtractorEngine.search(synonyms=...), which "
+                    "resolves phrase members against the positions "
+                    "index)"
+                )
         for m in dict.fromkeys(members):
             pairs.append((m, gid))
     term_gid = spark.createDataFrame(pairs, "term string, gid int")
@@ -201,4 +210,8 @@ def bm25_search_synonyms(
     )
     if conjunctive:
         per_doc = per_doc.where(F.col("n_matched") == len(base_terms))
+    # clamp the TakeOrdered window to the corpus: a huge k (the
+    # fetch-everything idiom) otherwise allocates a k-sized heap
+    # (the boosted_search r3 OOM class)
+    k = min(int(k), max(int(n_docs), 1))
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

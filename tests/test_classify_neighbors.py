@@ -181,8 +181,11 @@ def test_nb_model_shape_and_summary_rows(spark):
     assert labels == {"x", "y"}
     for lab in labels:
         kinds = {r["bucket"] for r in rows if r["label"] == lab}
-        assert -1 in kinds and -2 in kinds  # prior + unseen default
+        # prior + unseen default + recorded dim
+        assert -1 in kinds and -2 in kinds and -3 in kinds
         assert all(b < 64 for b in kinds)
+    dims = {r["log_prob"] for r in rows if r["bucket"] == -3}
+    assert dims == {64.0}
     # priors: 1 doc each of 2 -> ln(0.5)
     pri = {r["label"]: r["log_prob"] for r in rows if r["bucket"] == -1}
     assert all(abs(v - round(math.log(0.5), 6)) < 1e-9 for v in pri.values())
