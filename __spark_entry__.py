@@ -5658,6 +5658,30 @@ GROUP BY 1 ORDER BY score DESC, vec_id ASC LIMIT 10
 _PAIRS["q130_ivfpq_topk"] = ("", _IVFPQ_DUCK)
 
 
+def _q_pq_packed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC over PACKED codes (one row per vector, array<int> — the
+    production storage layout): literal-table lookup projection +
+    TakeOrdered, zero shuffle at query time. Same scores as q128's
+    EAV-join form by construction; hash-gated against the same SQL."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.projection import (
+        pq_adc_topk_packed,
+        pq_codebooks,
+        pq_encode_packed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, n_codes=8, rounds=0)
+    codes = pq_encode_packed(emb, books)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_adc_topk_packed(codes, books, qv, k=10)
+
+
+_PAIRS["q131_pq_packed_topk"] = ("", _PQ_ADC_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -5779,6 +5803,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128_pq_adc_topk": _q_pq_adc_topk,
     "q129_srp_neardup": _q_srp_neardup,
     "q130_ivfpq_topk": _q_ivfpq_topk,
+    "q131_pq_packed_topk": _q_pq_packed_topk,
 }
 
 

@@ -540,8 +540,9 @@ def _pipeline_apply(df, a):
         books = projection.pq_codebooks(
             df, m=a.m, n_codes=a.n_codes, rounds=a.kmeans_rounds,
             sample_frac=a.sample_frac, id_col=vid, vec_col=a.vec_col)
-        return projection.pq_encode(df, books, id_col=vid,
-                                    vec_col=a.vec_col)
+        enc = (projection.pq_encode_packed if a.packed
+               else projection.pq_encode)
+        return enc(df, books, id_col=vid, vec_col=a.vec_col)
     if op == "semdedup":
         # embeddings-shaped: there is no text column to name (ADVICE r4
         # #1 — the flag used to be silently dropped; now it's an error)
@@ -1151,6 +1152,10 @@ def main(argv=None) -> int:
                     help="PQ subspaces (pq-encode)")
     pl.add_argument("--n-codes", dest="n_codes", type=int, default=8,
                     help="PQ codes per subspace (pq-encode)")
+    pl.add_argument("--packed", action="store_true",
+                    help="pq-encode: one row per vector with an "
+                         "array<int> code column (the production "
+                         "layout) instead of (id, subspace, code) rows")
     pl.add_argument("--n-bands", dest="n_bands", type=int, default=2,
                     help="signature bands (srp-neardup; must divide "
                          "--out-dim)")

@@ -291,3 +291,58 @@ def test_ivfpq_validation(spark):
         ivfpq_topk(codes, books, [1.0, 2.0], nprobe=0, embeddings=df)
     with pytest.raises(ValueError):
         ivfpq_topk(codes, books, [1.0, 2.0], nprobe=1)  # no source
+
+
+# --------------------------------------------------------- packed PQ
+
+
+def test_pq_packed_encode_matches_eav(spark):
+    from ckanext_extractor_spark.functions.projection import (
+        pq_encode_packed,
+    )
+
+    rng = np.random.RandomState(23)
+    vecs = rng.normal(size=(15, 8)).astype(np.float32).tolist()
+    df = _emb_df(spark, vecs)
+    books = pq_codebooks(df, m=4, n_codes=4, rounds=1)
+    eav = {(r["vec_id"], r["subspace"]): r["code"]
+           for r in pq_encode(df, books).collect()}
+    packed = {r["vec_id"]: r["codes"]
+              for r in pq_encode_packed(df, books).collect()}
+    assert set(packed) == set(range(15))
+    for i in range(15):
+        assert packed[i] == [eav[(i, s)] for s in range(4)]
+
+
+def test_pq_packed_adc_matches_eav_adc(spark):
+    from ckanext_extractor_spark.functions.projection import (
+        pq_adc_topk_packed,
+        pq_encode_packed,
+    )
+
+    rng = np.random.RandomState(29)
+    vecs = rng.normal(size=(25, 8)).astype(np.float32).tolist()
+    df = _emb_df(spark, vecs)
+    books = pq_codebooks(df, m=4, n_codes=4, rounds=1)
+    q = rng.normal(size=8).tolist()
+    eav = [(r["vec_id"], r["score"]) for r in
+           pq_adc_topk(pq_encode(df, books), books, q, k=25).collect()]
+    packed = [(r["vec_id"], r["score"]) for r in
+              pq_adc_topk_packed(pq_encode_packed(df, books), books,
+                                 q, k=25).collect()]
+    assert packed == eav
+
+
+def test_pq_packed_validation(spark):
+    from ckanext_extractor_spark.functions.projection import (
+        pq_adc_topk_packed,
+        pq_encode_packed,
+    )
+
+    df = _emb_df(spark, [[1.0, 2.0]])
+    books = pq_codebooks(df, m=1, n_codes=1)
+    packed = pq_encode_packed(df, books)
+    with pytest.raises(ValueError):
+        pq_adc_topk_packed(packed, books, [1.0], k=1)
+    with pytest.raises(ValueError):
+        pq_adc_topk_packed(packed, books, [1.0, 2.0], k=0)
