@@ -5682,6 +5682,116 @@ def _q_pq_packed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIRS["q131_pq_packed_topk"] = ("", _PQ_ADC_DUCK)
 
 
+def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window aggregate over the events
+    table: readStream -> watermark -> window(1h) x event_type ->
+    availableNow catch-up run into a parquet sink, read back. The
+    streaming plan's complete-mode result equals the plain batch GROUP
+    BY — hash-gated against DuckDB date_trunc."""
+    import os
+    import tempfile
+
+    from ckanext_extractor_spark.streaming.windows import (
+        stream_windowed_event_stats,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_stream_win_")
+    # the file streaming source needs a directory; events.parquet is a file
+    os.mkdir(f"{root}/in")
+    os.symlink(f"{sf_dir}/events.parquet", f"{root}/in/events.parquet")
+    return stream_windowed_event_stats(
+        spark,
+        f"{root}/in",
+        checkpoint_dir=f"{root}/ckpt",
+        out_dir=f"{root}/out",
+        window="1 hour",
+        watermark="2 hours",
+        mode="complete",
+    )
+
+
+_STREAM_WIN_DUCK = """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_PAIRS["q132_stream_window_counts"] = ("", _STREAM_WIN_DUCK)
+
+
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) via the
+    built-in session_window — gap-merge semantics (touching sessions
+    coalesce: break iff ts - prev_ts > gap; close at last_ts + gap)
+    hash-gated against a lag/cumsum SQL oracle with exact epoch-micros
+    boundaries."""
+    from ckanext_extractor_spark.streaming.windows import (
+        session_event_stats,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_event_stats(events, gap="30 minutes")
+
+
+_SESSION_WIN_DUCK = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+  CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+  CAST(epoch_us(MAX(ts)) AS BIGINT) + 1800000000 AS session_end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+_PAIRS["q133_session_windows"] = ("", _SESSION_WIN_DUCK)
+
+
+def _q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals carried in GroupState across micro-batches;
+    the latest emission per user equals the batch GROUP BY — the
+    pinned contract that makes arbitrary stateful ops oracle-checkable."""
+    import os
+    import tempfile
+
+    from ckanext_extractor_spark.streaming.windows import (
+        stateful_user_totals_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_stream_state_")
+    os.mkdir(f"{root}/in")
+    os.symlink(f"{sf_dir}/events.parquet", f"{root}/in/events.parquet")
+    return stateful_user_totals_stream(
+        spark,
+        f"{root}/in",
+        checkpoint_dir=f"{root}/ckpt",
+        out_dir=f"{root}/out",
+    )
+
+
+_STATEFUL_TOTALS_DUCK = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+_PAIRS["q134_stateful_user_totals"] = ("", _STATEFUL_TOTALS_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -5804,6 +5914,9 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q129_srp_neardup": _q_srp_neardup,
     "q130_ivfpq_topk": _q_ivfpq_topk,
     "q131_pq_packed_topk": _q_pq_packed_topk,
+    "q132_stream_window_counts": _q_stream_window_counts,
+    "q133_session_windows": _q_session_windows,
+    "q134_stateful_user_totals": _q_stateful_user_totals,
 }
 
 
