@@ -5,6 +5,10 @@ from ckanext_extractor_spark.functions.dedup import (  # noqa: F401
     minhash_signatures,
     simhash64,
 )
+from ckanext_extractor_spark.functions.fingerprint import (  # noqa: F401
+    fingerprint_candidates,
+    winnow_fingerprints,
+)
 from ckanext_extractor_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     lsh_bucket_topk,
