@@ -5792,6 +5792,194 @@ FROM events GROUP BY user_id
 _PAIRS["q134_stateful_user_totals"] = ("", _STATEFUL_TOTALS_DUCK)
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing fingerprints (Schleimer et al. SIGMOD'03, MOSS):
+    k=5-token gram hashes, w=4-gram windows, rightmost minimum per
+    window — one whole-stage-codegen projection, zero shuffle. The
+    oracle replicates the window argmin with a HUGEINT packing trick
+    (min of h*2^20 + (2^20-1-pos) == smallest hash, rightmost pos)."""
+    from ckanext_extractor_spark.functions.fingerprint import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
+_WINNOW_CTE = """
+t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+    (('0x' || substr(md5(array_to_string(toks[i+1 : i+5], ' ')), 1, 15))
+      ::BIGINT) AS h,
+    len(toks) - 4 AS n_grams
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 5 + 1)) AS i
+        FROM t WHERE len(toks) >= 5)
+),
+m AS (
+  SELECT doc_id, pos, n_grams,
+    min((h::HUGEINT) * 1048576 + (1048575 - pos)) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+    CAST(1048575 - (sel % 1048576) AS BIGINT) AS pos,
+    CAST(sel // 1048576 AS BIGINT) AS fp
+  FROM m
+  WHERE pos >= 3 OR pos = n_grams - 1
+)
+"""
+
+_WINNOW_DUCK = f"WITH {_WINNOW_CTE} SELECT doc_id, pos, fp FROM fp"
+
+_PAIRS["q135_winnow_fingerprints"] = ("", _WINNOW_DUCK)
+
+
+def _q_fingerprint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate pairs: docs sharing >= 2 distinct fingerprint
+    hashes (boilerplate fingerprints in > 100 docs dropped BEFORE the
+    self-join — the degenerate-bucket guard)."""
+    from ckanext_extractor_spark.functions.fingerprint import (
+        fingerprint_candidates,
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = winnow_fingerprints(docs, k=5, w=4)
+    return fingerprint_candidates(fps, min_shared=2, max_df=100)
+
+
+_FP_PAIRS_DUCK = f"""
+WITH {_WINNOW_CTE},
+keyed AS (SELECT DISTINCT doc_id, fp FROM fp),
+hot AS (
+  SELECT fp FROM keyed GROUP BY fp
+  HAVING count(*) >= 2 AND count(*) <= 100
+),
+kept AS (SELECT k.doc_id, k.fp FROM keyed k JOIN hot USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+_PAIRS["q136_fingerprint_candidates"] = ("", _FP_PAIRS_DUCK)
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (applyInPandasWithState keyed by content
+    hash): emit each distinct text exactly once with the deterministic
+    min-doc_id representative — equals the batch GROUP BY when the
+    input lands in one micro-batch (earliest-batch-wins across batches
+    is pinned by test)."""
+    import os
+    import tempfile
+
+    from ckanext_extractor_spark.streaming.dedup import (
+        stream_dedup_documents,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_stream_dedup_")
+    os.mkdir(f"{root}/in")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{root}/in/documents.parquet")
+    return stream_dedup_documents(
+        spark,
+        f"{root}/in",
+        checkpoint_dir=f"{root}/ckpt",
+        out_dir=f"{root}/out",
+    )
+
+
+_STREAM_DEDUP_DUCK = """
+SELECT md5(text) AS content_md5,
+       CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+_PAIRS["q137_stream_dedup"] = ("", _STREAM_DEDUP_DUCK)
+
+
+def _q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (Jelinek-Mercer, lam=0.75 so
+    1-lam is binary-exact) — the KenLM-shaped quality filter trained on
+    the corpus's own counts; first token scores unigram, the rest
+    interpolate p_bi and p_uni."""
+    from ckanext_extractor_spark.functions.textstats import (
+        bigram_perplexity,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_perplexity(docs, lam=0.75)
+
+
+_BIGRAM_PPL_DUCK = """
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS toks
+  FROM documents),
+u AS (SELECT doc_id, toks[i] AS term, i
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+            FROM t)),
+bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS w
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             FROM t WHERE len(toks) >= 2)),
+cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM u GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM u),
+bcf AS (SELECT prev, w, CAST(count(*) AS DOUBLE) AS bcf
+        FROM bg GROUP BY 1, 2),
+hist AS (SELECT prev, sum(bcf) AS hist FROM bcf GROUP BY 1),
+fb AS (SELECT doc_id, -log2(cf / total) AS bits
+       FROM u JOIN cf USING (term) CROSS JOIN tot WHERE i = 1),
+rb AS (SELECT bg.doc_id,
+         -log2(0.75 * (bcf / hist) + 0.25 * (cf / total)) AS bits
+       FROM bg JOIN bcf USING (prev, w) JOIN hist USING (prev)
+       JOIN cf ON cf.term = bg.w CROSS JOIN tot),
+p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, avg(bits) AS m
+      FROM (SELECT * FROM fb UNION ALL SELECT * FROM rb) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  ROUND(COALESCE(p.m, 0), 6) AS mean_bits,
+  ROUND(pow(2.0, COALESCE(p.m, 0)), 4) AS ppl
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+_PAIRS["q138_bigram_perplexity"] = ("", _BIGRAM_PPL_DUCK)
+
+
+def _q_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host/domain document cap (C4/RefinedWeb-style): keep at most
+    7 docs per source, survivors picked by the deterministic
+    (md5(id||salt), id) in-group rank."""
+    from ckanext_extractor_spark.functions.sampling import group_quota
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_quota(
+        docs.select("doc_id", "source"), "source", 7, salt="q5"
+    )
+
+
+_GROUP_QUOTA_DUCK = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'q5'), doc_id
+         ) AS rn
+  FROM documents)
+WHERE rn <= 7
+"""
+
+_PAIRS["q139_group_quota"] = ("", _GROUP_QUOTA_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -5917,6 +6105,11 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_stream_window_counts": _q_stream_window_counts,
     "q133_session_windows": _q_session_windows,
     "q134_stateful_user_totals": _q_stateful_user_totals,
+    "q135_winnow_fingerprints": _q_winnow_fingerprints,
+    "q136_fingerprint_candidates": _q_fingerprint_candidates,
+    "q137_stream_dedup": _q_stream_dedup,
+    "q138_bigram_perplexity": _q_bigram_perplexity,
+    "q139_group_quota": _q_group_quota,
 }
 
 

@@ -503,6 +503,7 @@ _PIPELINE_OPS = (
     "surprisal", "repetition", "pii-scrub", "split", "decontaminate",
     "tfidf-neighbors", "nb-train", "nb-classify",
     "srp", "srp-bits", "pq-encode", "srp-neardup",
+    "winnow", "fp-candidates", "bigram-ppl", "group-quota",
 )
 
 
@@ -621,6 +622,25 @@ def _pipeline_apply(df, a):
         bench = df.sparkSession.read.parquet(a.bench)
         return decontam.decontaminate(df, bench, n=a.ngram,
                                       text_col=t, id_col=i)
+    if op == "winnow":
+        from ckanext_extractor_spark.functions import fingerprint
+        return fingerprint.winnow_fingerprints(
+            df, k=a.gram_k, w=a.window_w, text_col=t, id_col=i)
+    if op == "bigram-ppl":
+        return textstats.bigram_perplexity(df, lam=a.lam,
+                                           text_col=t, id_col=i)
+    if op == "group-quota":
+        if not a.group_col:
+            raise SystemExit("group-quota needs --group-col COLUMN")
+        return sampling.group_quota(df, a.group_col,
+                                    a.n_per_group, salt=a.salt,
+                                    id_col=i)
+    if op == "fp-candidates":
+        from ckanext_extractor_spark.functions import fingerprint
+        fps = fingerprint.winnow_fingerprints(
+            df, k=a.gram_k, w=a.window_w, text_col=t, id_col=i)
+        return fingerprint.fingerprint_candidates(
+            fps, min_shared=a.min_shared, max_df=a.max_df, id_col=i)
     raise SystemExit(f"unknown pipeline op {op!r}")
 
 
@@ -1165,6 +1185,29 @@ def main(argv=None) -> int:
                          "(srp-neardup)")
     pl.add_argument("--ngram", type=int, default=13,
                     help="decontamination n-gram length")
+    pl.add_argument("--gram-k", dest="gram_k", type=int, default=5,
+                    help="winnowing shingle size in tokens "
+                         "(winnow / fp-candidates)")
+    pl.add_argument("--window-w", dest="window_w", type=int, default=4,
+                    help="winnowing window size in grams "
+                         "(winnow / fp-candidates)")
+    pl.add_argument("--min-shared", dest="min_shared", type=int,
+                    default=2,
+                    help="shared fingerprints for a candidate pair "
+                         "(fp-candidates)")
+    pl.add_argument("--max-df", dest="max_df", type=int, default=1000,
+                    help="drop fingerprints in more docs than this "
+                         "before the pair join (fp-candidates "
+                         "boilerplate guard)")
+    pl.add_argument("--lam", type=float, default=0.75,
+                    help="bigram-ppl interpolation weight on the "
+                         "bigram term (Jelinek-Mercer lambda)")
+    pl.add_argument("--group-col", dest="group_col", default=None,
+                    help="grouping column for group-quota (e.g. the "
+                         "host/source)")
+    pl.add_argument("--n-per-group", dest="n_per_group", type=int,
+                    default=1000,
+                    help="max rows kept per group (group-quota)")
     pl.set_defaults(fn=cmd_pipeline)
 
     i = sub.add_parser(

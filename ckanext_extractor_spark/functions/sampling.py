@@ -62,6 +62,47 @@ def hash_sample(
     return df.where(_hash_prefix(F.col(id_col), salt) < F.lit(thr))
 
 
+def group_quota(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n_per_group`` rows per group value — the
+    host/domain cap every web-corpus pipeline applies so one mirror or
+    crawler trap cannot dominate the training mix (C4 and RefinedWeb
+    both cap per-host document counts).
+
+    Which rows survive is deterministic and engine-independent: rows
+    rank within their group by (md5(id || salt), id) — a uniform
+    hash-shuffle inside the group, so the kept subset is an unbiased
+    sample of the group, stable across runs, engines, and partition
+    layouts (same contract as :func:`hash_sample`; change ``salt`` to
+    redraw).
+
+    Shape for scale: ONE exchange (hash-partition by group) feeding a
+    streaming row_number window; Spark's window sorter spills, so a
+    mega-group (hot host) costs a disk sort, never memory. Rows in
+    groups at or under quota pass through unchanged; output order is
+    not defined (filter semantics).
+    """
+    if isinstance(n_per_group, bool) or not isinstance(n_per_group, int) \
+            or n_per_group < 1:
+        raise ValueError(
+            f"n_per_group must be a positive int, got {n_per_group!r}"
+        )
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     field: str,

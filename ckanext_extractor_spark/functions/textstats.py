@@ -224,6 +224,104 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_perplexity(df: DataFrame, lam: float = 0.7,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Interpolated bigram-LM perplexity — the KenLM-shaped quality
+    filter one rung above :func:`unigram_surprisal` (CCNet filters on
+    a 5-gram KenLM; the Jelinek-Mercer bigram here is the same scoring
+    pipeline with a self-trained table, so swapping in external LM
+    probabilities stays a join swap).
+
+    Model: the corpus's own counts give p_uni(w) = cf(w)/T and
+    p_bi(w|prev) = cf(prev,w)/hist(prev) where hist(prev) counts prev
+    in history position (= sum of bigram counts with that prev, NOT
+    the unigram count — doc-final tokens never open a bigram). A doc's
+    first token scores -log2 p_uni; every later token scores
+    -log2(lam*p_bi + (1-lam)*p_uni) — interpolation means unseen-pair
+    smoothing is built in (p_bi term is never 0 for observed pairs and
+    the unigram floor covers the rest). Returns (id, n_tokens,
+    mean_bits [bits/token over all tokens], ppl = 2^mean); zero-token
+    docs pass through pinned to 0.
+
+    Shape for scale: the bigram stream is built INSIDE the per-row
+    projection (token array zipped with its own shift — no lag window,
+    so no per-doc sort exchange); then two hash aggregates (unigram
+    cf, bigram cf — both map-side partial), hist(prev) derived from
+    the bigram table (no third pass over tokens), and the count tables
+    joined back onto the streams on their natural keys (broadcast
+    while the dictionary fits, shuffle-hash beyond). One per-doc
+    aggregate closes it. Everything between scan and the count
+    aggregates is whole-stage codegen.
+    """
+    if isinstance(lam, bool) or not isinstance(lam, (int, float)) \
+            or not 0.0 <= float(lam) <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam!r}")
+    lam = float(lam)
+    toks = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_t")
+    )
+    uni_stream = toks.select(
+        F.col(id_col),
+        F.posexplode(F.col("_t")).alias("_pos", "_term"),
+    )
+    bi_stream = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 2, greatest(size(_t) - 1, 0)), "
+                "(w, i) -> struct(_t[i] as prev, w as w))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.prev").alias("_prev"),
+             F.col("_bg.w").alias("_w"))
+
+    uni = uni_stream.groupBy("_term").agg(
+        F.count("*").cast("double").alias("_cf")
+    )
+    total = uni_stream.select(F.count("*").cast("double").alias("_total"))
+    bi = bi_stream.groupBy("_prev", "_w").agg(
+        F.count("*").cast("double").alias("_bcf")
+    )
+    hist = bi.groupBy("_prev").agg(F.sum("_bcf").alias("_hist"))
+
+    p_uni = (F.col("_cf") / F.col("_total"))
+    first_bits = (
+        uni_stream.where(F.col("_pos") == 0)
+        .join(uni, "_term")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, (-F.log2(p_uni)).alias("_bits"))
+    )
+    rest_bits = (
+        bi_stream.join(bi, ["_prev", "_w"])
+        .join(hist, "_prev")
+        .join(uni.withColumnRenamed("_term", "_w"), "_w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (-F.log2(
+                F.lit(lam) * (F.col("_bcf") / F.col("_hist"))
+                + F.lit(1.0 - lam) * p_uni
+            )).alias("_bits"),
+        )
+    )
+    per_doc = first_bits.unionByName(rest_bits).groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.avg("_bits").alias("_mean"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce("_mean", F.lit(0.0)), 6).alias("mean_bits"),
+            F.round(F.pow(F.lit(2.0), F.coalesce("_mean", F.lit(0.0))), 4)
+            .alias("ppl"),
+        )
+    )
+
+
 def unigram_surprisal(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Perplexity-proxy quality signal: per-doc mean unigram surprisal

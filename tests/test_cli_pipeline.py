@@ -121,3 +121,36 @@ def test_pipeline_decontaminate(docs_pq, capsys, tmp_path, spark):
 def test_pipeline_bad_op_rejected(docs_pq):
     with pytest.raises(SystemExit):
         main(["pipeline", "no-such-op", "--in", docs_pq])
+
+
+def test_pipeline_winnow_and_candidates(docs_pq, capsys):
+    s = _run(capsys, "pipeline", "winnow", "--in", docs_pq,
+             "--gram-k", "3", "--window-w", "2")
+    # docs 0/1 (9 tokens, k=3 -> 7 grams) fingerprint; 2 has 5 tokens
+    # -> 3 grams; 3 is empty -> nothing
+    assert s["rows_in"] == 4 and s["rows_out"] > 0
+    assert set(s["columns"]) == {"doc_id", "pos", "fp"}
+    s2 = _run(capsys, "pipeline", "fp-candidates", "--in", docs_pq,
+              "--gram-k", "3", "--window-w", "2", "--min-shared", "1")
+    # identical docs 0 and 1 share every fingerprint
+    assert s2["rows_out"] == 1
+    assert set(s2["columns"]) == {"id_a", "id_b", "n_shared"}
+
+
+def test_pipeline_bigram_ppl_and_group_quota(docs_pq, capsys, spark,
+                                             tmp_path):
+    s = _run(capsys, "pipeline", "bigram-ppl", "--in", docs_pq,
+             "--lam", "0.5")
+    assert s["rows_in"] == 4 and s["rows_out"] == 4
+    assert set(s["columns"]) == {"doc_id", "n_tokens", "mean_bits",
+                                 "ppl"}
+    grp = str(tmp_path / "grp.parquet")
+    spark.createDataFrame(
+        [(i, f"h{i % 2}") for i in range(10)],
+        "doc_id long, source string",
+    ).write.parquet(grp)
+    s2 = _run(capsys, "pipeline", "group-quota", "--in", grp,
+              "--group-col", "source", "--n-per-group", "3")
+    assert s2["rows_in"] == 10 and s2["rows_out"] == 6
+    with pytest.raises(SystemExit):
+        main(["pipeline", "group-quota", "--in", grp])
