@@ -5980,6 +5980,57 @@ WHERE rn <= 7
 _PAIRS["q139_group_quota"] = ("", _GROUP_QUOTA_DUCK)
 
 
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass (quality rules -> exact dedup -> per-
+    source quota -> split) in ONE plan: every stage bites on this
+    corpus (token band drops short/long docs, dedup drops repeated
+    texts, quota caps each of the 20 sources at 12, split labels
+    survivors 25/75)."""
+    from ckanext_extractor_spark.functions.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_corpus(
+        docs, min_tokens=30, max_tokens=90, min_alpha_ratio=0.8,
+        min_distinct_ratio=0.35, quota_per_group=12, test_frac=0.25,
+        salt="c5",
+    )
+
+
+_CURATE_DUCK = """
+WITH toks AS (SELECT doc_id, source, text,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS tk
+  FROM documents),
+feat AS (SELECT doc_id, source, md5(text) AS chash,
+  len(tk) AS n_tokens,
+  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+    / greatest(length(text), 1) AS alpha_ratio,
+  CASE WHEN len(tk) > 0
+       THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+       ELSE 0.0 END AS distinct_ratio
+  FROM toks),
+kept AS (SELECT * FROM feat
+  WHERE n_tokens BETWEEN 30 AND 90
+    AND alpha_ratio >= 0.8 AND distinct_ratio >= 0.35),
+dedup AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY chash ORDER BY doc_id)
+      AS dr FROM kept) WHERE dr = 1),
+quota AS (SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'c5'), doc_id) AS qr
+    FROM dedup) WHERE qr <= 12)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(alpha_ratio, 6) AS alpha_ratio,
+  ROUND(distinct_ratio, 6) AS distinct_ratio,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'c5'), 1, 4) < '4000'
+       THEN 'test' ELSE 'train' END AS split
+FROM quota
+"""
+
+_PAIRS["q140_curate_corpus"] = ("", _CURATE_DUCK)
+
+
 _PAIRS["q90_neardup_clusters"] = (
     "",
     f"WITH RECURSIVE {_CC_COMP_DUCK} "
@@ -6110,6 +6161,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q137_stream_dedup": _q_stream_dedup,
     "q138_bigram_perplexity": _q_bigram_perplexity,
     "q139_group_quota": _q_group_quota,
+    "q140_curate_corpus": _q_curate,
 }
 
 

@@ -503,7 +503,7 @@ _PIPELINE_OPS = (
     "surprisal", "repetition", "pii-scrub", "split", "decontaminate",
     "tfidf-neighbors", "nb-train", "nb-classify",
     "srp", "srp-bits", "pq-encode", "srp-neardup",
-    "winnow", "fp-candidates", "bigram-ppl", "group-quota",
+    "winnow", "fp-candidates", "bigram-ppl", "group-quota", "curate",
 )
 
 
@@ -635,6 +635,16 @@ def _pipeline_apply(df, a):
         return sampling.group_quota(df, a.group_col,
                                     a.n_per_group, salt=a.salt,
                                     id_col=i)
+    if op == "curate":
+        from ckanext_extractor_spark.functions import curate
+        return curate.curate_corpus(
+            df, text_col=t, id_col=i,
+            group_col=a.group_col or "source",
+            min_tokens=a.min_tokens, max_tokens=a.max_tokens,
+            min_alpha_ratio=a.min_alpha,
+            min_distinct_ratio=a.min_distinct,
+            quota_per_group=a.quota, test_frac=a.test_frac,
+            salt=a.salt)
     if op == "fp-candidates":
         from ckanext_extractor_spark.functions import fingerprint
         fps = fingerprint.winnow_fingerprints(
@@ -1208,6 +1218,19 @@ def main(argv=None) -> int:
     pl.add_argument("--n-per-group", dest="n_per_group", type=int,
                     default=1000,
                     help="max rows kept per group (group-quota)")
+    pl.add_argument("--min-tokens", dest="min_tokens", type=int,
+                    default=20, help="curate: token-count band low end")
+    pl.add_argument("--max-tokens", dest="max_tokens", type=int,
+                    default=10_000,
+                    help="curate: token-count band high end")
+    pl.add_argument("--min-alpha", dest="min_alpha", type=float,
+                    default=0.5, help="curate: min alphabetic ratio")
+    pl.add_argument("--min-distinct", dest="min_distinct", type=float,
+                    default=0.3,
+                    help="curate: min distinct-token ratio")
+    pl.add_argument("--quota", type=int, default=None,
+                    help="curate: per-group cap applied after dedup "
+                         "(omit = no cap)")
     pl.set_defaults(fn=cmd_pipeline)
 
     i = sub.add_parser(
