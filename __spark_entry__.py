@@ -6018,7 +6018,8 @@ dedup AS (SELECT * FROM (
 quota AS (SELECT * FROM (
     SELECT *, row_number() OVER (
       PARTITION BY source
-      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'c5'), doc_id) AS qr
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'c5:quota'), doc_id)
+      AS qr
     FROM dedup) WHERE qr <= 12)
 SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
   ROUND(alpha_ratio, 6) AS alpha_ratio,

@@ -41,12 +41,13 @@ def nb_train(
     df: DataFrame,
     label_col: str = "lang",
     text_col: str = "text",
-    id_col: str = "doc_id",
     dim: int = 1024,
     alpha: float = 1.0,
 ) -> DataFrame:
     """Fit multinomial NB on the given (already-filtered) frame;
     returns the model frame (label, bucket, ROUND(log_prob, 6)).
+    Training is id-agnostic (it reads only label_col/text_col), so
+    there is deliberately no id_col parameter.
 
     Rows with bucket >= 0 hold ln((count + alpha) / (total_label +
     alpha * dim)) for buckets SEEN in that label's training text; the
@@ -76,15 +77,25 @@ def nb_train(
         .groupBy("label", "bucket")
         .agg(F.count("*").cast("double").alias("_cnt"))
     )
-    totals = counts.groupBy("label").agg(F.sum("_cnt").alias("_tot"))
+    n_docs = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").cast("double").alias("_nl")
+    )
+    # totals keyed off the LABEL set (n_docs), not the token set: a
+    # label whose training docs all tokenize to zero tokens still gets
+    # its default/dims rows (_tot = 0 -> default = ln(1/dim), the
+    # uniform distribution), so nb_classify's prior⋈default join can
+    # never silently drop a label (code-review r5 finding).
+    totals = (
+        n_docs.select("label")
+        .join(counts.groupBy("label").agg(F.sum("_cnt").alias("_t")),
+              "label", "left")
+        .select("label", F.coalesce("_t", F.lit(0.0)).alias("_tot"))
+    )
     denom = F.col("_tot") + F.lit(alpha * dim)
     cond = counts.join(F.broadcast(totals), "label").select(
         "label",
         "bucket",
         F.log((F.col("_cnt") + F.lit(alpha)) / denom).alias("_lp"),
-    )
-    n_docs = labeled.groupBy(F.col(label_col).alias("label")).agg(
-        F.count("*").cast("double").alias("_nl")
     )
     n_total = labeled.select(F.count("*").cast("double").alias("_n"))
     priors = n_docs.crossJoin(F.broadcast(n_total)).select(

@@ -101,8 +101,14 @@ def curate_corpus(
         .drop("_dr", "_chash")
     )
     if quota_per_group is not None:
+        # Domain-separated salt: group_quota and hash_split both rank
+        # on md5(id||salt), so sharing one salt would make the quota
+        # survivors exactly the lowest-hash rows — the very rows the
+        # split labels 'test' (a capped group could contribute ZERO
+        # training docs). The ':quota' suffix decorrelates the draws.
         deduped = group_quota(
-            deduped, group_col, quota_per_group, salt=salt, id_col=id_col
+            deduped, group_col, quota_per_group, salt=salt + ":quota",
+            id_col=id_col
         )
     out = hash_split(deduped, test_frac=test_frac, salt=salt,
                      id_col=id_col)

@@ -444,8 +444,6 @@ def srp_neardup_pairs(
     if n_bits % n_bands != 0:
         raise ValueError(f"n_bits {n_bits} not divisible by "
                          f"n_bands {n_bands}")
-    from pyspark.sql import Window
-
     w = n_bits // n_bands
     bits = srp_bits(embeddings, n_bits=n_bits, seed=seed,
                     id_col=id_col, vec_col=vec_col)
@@ -455,9 +453,15 @@ def srp_neardup_pairs(
         "_key",
         F.expr(f"(bits >> (_b * {w})) & {(1 << w) - 1}"),
     )
-    keyed = keyed.withColumn(
-        "_bsz", F.count("*").over(Window.partitionBy("_b", "_key"))
-    ).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    # groupBy + semi-join, not a windowed count: partial-aggregates
+    # map-side and never sorts the keyed rows (the
+    # fingerprint_candidates prune shape; code-review r5)
+    ok = (
+        keyed.groupBy("_b", "_key").agg(F.count("*").alias("_bsz"))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .select("_b", "_key")
+    )
+    keyed = keyed.join(ok, ["_b", "_key"], "left_semi")
     a = keyed.select(F.col(id_col).alias("_ida"),
                      F.col("bits").alias("_bita"), "_b", "_key")
     b = keyed.select(F.col(id_col).alias("_idb"),

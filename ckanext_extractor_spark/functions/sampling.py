@@ -81,6 +81,13 @@ def group_quota(
     layouts (same contract as :func:`hash_sample`; change ``salt`` to
     redraw).
 
+    CORRELATION HAZARD: this ranks on the same md5(id||salt) that
+    :func:`hash_sample` / :func:`hash_split` threshold on. Composing
+    them with the SAME salt makes the quota survivors exactly the
+    lowest-hash rows — i.e. the rows a subsequent split labels
+    'test'. Use distinct salts per stage (curate_corpus appends
+    ':quota').
+
     Shape for scale: ONE exchange (hash-partition by group) feeding a
     streaming row_number window; Spark's window sorter spills, so a
     mega-group (hot host) costs a disk sort, never memory. Rows in

@@ -131,9 +131,16 @@ def tfidf_neighbors_topk(
         df, dim=dim, l2_normalize=True, text_col=text_col, id_col=id_col
     )
     if max_bucket_df is not None:
-        w = w.withColumn(
-            "_bdf", F.count("*").over(Window.partitionBy("bucket"))
-        ).where(F.col("_bdf") <= max_bucket_df).drop("_bdf")
+        # groupBy + semi-join, not a windowed count: the count agg
+        # partial-aggregates map-side and never sorts, where the
+        # window shape forces a full sort+shuffle of every tf-idf row
+        # (the fingerprint_candidates prune shape; code-review r5).
+        ok = (
+            w.groupBy("bucket").agg(F.count("*").alias("_bdf"))
+            .where(F.col("_bdf") <= max_bucket_df)
+            .select("bucket")
+        )
+        w = w.join(ok, "bucket", "left_semi")
     a = w.select(
         F.col(id_col).alias("_ida"),
         F.col("bucket"),

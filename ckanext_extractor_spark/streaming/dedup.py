@@ -97,8 +97,14 @@ def stream_dedup_documents(
     )
 
     def _save(batch_df: DataFrame, epoch_id: int) -> None:
-        # keys are emitted exactly once, so appending is exact
-        batch_df.write.mode("append").parquet(out_dir)
+        # foreachBatch is at-least-once: a task failure after a partial
+        # write but before the epoch commits replays the epoch. Keys
+        # are emitted once per COMMITTED epoch (state is checkpointed),
+        # so a per-epoch path + overwrite makes the sink idempotent —
+        # a replayed epoch overwrites its own directory instead of
+        # appending duplicates (code-review r5 finding).
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}")
 
     q = (
         new_docs.writeStream.foreachBatch(_save)
@@ -108,4 +114,13 @@ def stream_dedup_documents(
         .start()
     )
     q.awaitTermination()
-    return spark.read.schema(new_docs.schema).parquet(out_dir)
+    from pyspark.errors import AnalysisException
+
+    try:
+        sunk = spark.read.parquet(out_dir)
+    except AnalysisException:
+        # zero batches ran (empty source) -> the sink dir was never
+        # created; the contract is still an empty frame, not an error
+        return spark.createDataFrame([], new_docs.schema)
+    # partition discovery surfaces the epoch dir as a column; drop it
+    return sunk.select("content_md5", "doc_id")

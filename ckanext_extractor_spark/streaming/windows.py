@@ -171,7 +171,13 @@ def stream_windowed_event_stats(
             .start()
         )
     q.awaitTermination()
-    return spark.read.schema(agg.schema).parquet(out_dir)
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(agg.schema).parquet(out_dir)
+    except AnalysisException:
+        # zero batches ran (empty source) -> sink dir never created
+        return spark.createDataFrame([], agg.schema)
 
 
 def stateful_user_totals_stream(
@@ -224,9 +230,11 @@ def stateful_user_totals_stream(
     )
 
     def _save(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).parquet(out_dir)
+        # per-epoch path + overwrite: idempotent under foreachBatch's
+        # at-least-once epoch replays (code-review r5 finding); the
+        # epoch lands as a partition column on read-back.
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}")
 
     q = (
         updates.writeStream.foreachBatch(_save)
@@ -236,7 +244,13 @@ def stateful_user_totals_stream(
         .start()
     )
     q.awaitTermination()
-    sunk = spark.read.parquet(out_dir)
+    from pyspark.errors import AnalysisException
+
+    try:
+        sunk = spark.read.parquet(out_dir)
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "user_id long, n_events long, sum_value double")
     latest = sunk.groupBy("user_id").agg(F.max("epoch").alias("epoch"))
     return (
         sunk.join(latest, ["user_id", "epoch"], "inner")

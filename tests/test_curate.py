@@ -72,7 +72,9 @@ def test_quota_caps_per_group_after_dedup(docs):
     assert len(by_src["a"]) == 2 and by_src["b"] == [7]
     # survivors are the quota hash-rank winners among {0,1,2} — NOT
     # raw rows: the duplicate (3) must not consume source a's budget.
-    ranked = sorted([0, 1, 2], key=lambda i: (_md5(f"{i}t"), i))
+    # The quota draw uses the domain-separated salt+':quota' hash so
+    # it cannot correlate with the split hash below.
+    ranked = sorted([0, 1, 2], key=lambda i: (_md5(f"{i}t:quota"), i))
     assert sorted(by_src["a"]) == sorted(ranked[:2])
 
 
@@ -89,6 +91,23 @@ def test_ratios_are_exact_int_divisions(docs):
     alpha = sum(c.isalpha() for c in LONG) / len(LONG)
     assert out[0]["alpha_ratio"] == round(alpha, 6)
     assert out[0]["distinct_ratio"] == round(len(set(toks)) / len(toks), 6)
+
+
+def test_quota_and_split_are_decorrelated(spark):
+    # Pre-fix regression: quota and split both drew on md5(id||salt),
+    # so a capped group's survivors were exactly the lowest-hash rows
+    # — all labeled 'test' (quota 20 of 100 at test_frac 0.25 gave a
+    # 0-doc train split). With the ':quota' domain separation the
+    # survivors must carry BOTH labels.
+    rows = [(i, "h", LONG + f" unique suffix number {i}")
+            for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    out = curate_corpus(docs, min_tokens=20, max_tokens=10_000,
+                        min_alpha_ratio=0.5, min_distinct_ratio=0.3,
+                        quota_per_group=20, test_frac=0.25, salt="c5")
+    splits = {r["split"] for r in out.collect()}
+    assert splits == {"test", "train"}
 
 
 def test_bad_band_rejected(docs):
