@@ -2045,15 +2045,18 @@ class ExtractorEngine:
         from ckanext_extractor_spark.operators.phrase import (
             phrase_tf_by_doc,
         )
-        from ckanext_extractor_spark.operators.query import QUERY_CONFIG
-
+        # analyze with the ENGINE's query config (not the default
+        # QUERY_CONFIG) so gid numbering lines up with
+        # bm25_search_synonyms under simple/stemmed analyzers
+        # (code-review r5 finding)
+        qconf = query_config_for(self.analyzer)
         base_terms = list(
-            dict.fromkeys(analyze_query(query, None, QUERY_CONFIG))
+            dict.fromkeys(analyze_query(query, None, qconf))
         )
         specs: "list[tuple[int, list[str]]]" = []
         for gid, t in enumerate(base_terms):
             for syn in synonyms.get(t, []):
-                toks = analyze_query(syn, None, QUERY_CONFIG)
+                toks = analyze_query(syn, None, qconf)
                 if len(toks) >= 2:
                     specs.append((gid, toks))
         if not specs:
@@ -2290,6 +2293,7 @@ class ExtractorEngine:
                 st["n_docs"], st["avgdl"], query, synonyms,
                 k=k, conjunctive=conjunctive,
                 phrase_rows=self._synonym_phrase_rows(query, synonyms, st),
+                config=query_config_for(self.analyzer),
             ).collect()
             return [(r["doc_id"], r["score"]) for r in rows]
         kernel = mode in ("auto", "wand", "exact", "maxscore")

@@ -311,7 +311,13 @@ class _Parser:
             self.next()
             child = self.unary()
             if child is None:
-                raise QuerySyntaxError("dangling NOT")
+                # the negated clause analyzed to nothing (pure
+                # stopword/punctuation): drop it, exactly as the same
+                # non-negated term drops — Lucene/Solr erase stopped
+                # clauses rather than failing the query (code-review
+                # r5 finding). A genuinely dangling NOT (no operand
+                # token at all) still errors in atom().
+                return None
             return Not(child)
         return self.atom()
 

@@ -60,7 +60,11 @@ def glob_filter_expr(col: Column, patterns: Iterable[str]) -> Column:
     pats = [p.lower() for p in patterns]
     if not pats or any(p == "*" for p in pats):
         return F.lit(True)
-    regex = "|".join(f"(?:{fnmatch.translate(p)})" for p in pats)
+    # \A-anchor every branch: fnmatch.translate only emits the END
+    # anchor (\Z) and rlike has search semantics, so without it any
+    # lang whose SUFFIX matches a pattern would pass (lang='numpy'
+    # vs pattern 'py' — code-review r5 finding)
+    regex = "|".join(f"(?:\\A{fnmatch.translate(p)})" for p in pats)
     return F.lower(col).rlike(regex)
 
 

@@ -378,7 +378,14 @@ def dismax_search_fields(
         return empty
     fields = list(qf)
     pf = dict(pf or {})
-    fields_all = list(dict.fromkeys(fields + list(pf)))
+    # fields_all must span EVERY phrase-field map: in Solr pf2/pf3
+    # fields are independent of qf, and the dl/stats/df_t relations
+    # below are filtered to fields_all — a field named only in
+    # pf2/pf3 would otherwise lose its rows and its phrase clauses
+    # would vanish in the inner joins (code-review r5 finding)
+    fields_all = list(dict.fromkeys(
+        fields + list(pf) + list(pf2 or {}) + list(pf3 or {})
+    ))
     fp_all = field_postings.where(F.col("field").isin(fields_all))
     fp = fp_all.where(F.col("field").isin(fields))
     if norms is not None:

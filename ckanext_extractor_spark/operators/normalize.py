@@ -70,5 +70,8 @@ def filter_metadata_fields(
     pats = [p.lower() for p in indexed_fields]
     if any(p == "*" for p in pats):
         return meta_col
-    regex = "|".join(f"(?:{fnmatch.translate(p)})" for p in pats)
+    # \A-anchored per branch: rlike has search semantics and
+    # fnmatch.translate only emits \Z, so 'my-lang' would match the
+    # pattern 'lang' unanchored (code-review r5 finding)
+    regex = "|".join(f"(?:\\A{fnmatch.translate(p)})" for p in pats)
     return F.map_filter(meta_col, lambda k, _v: F.lower(k).rlike(regex))

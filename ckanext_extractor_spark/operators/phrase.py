@@ -591,10 +591,49 @@ def phrase_matched_df(engine, terms: list, slop: int = 0,
             .drop("_kill_seq")
         )
     
-    # live df per slot -> idf (same formula as the driver path)
+    # live df per slot -> idf (same formula as the driver path).
+    # Counted on a POSITIONS-FREE decode pass: `decoded` is lazy and
+    # its consumer re-evaluates it, so aggregating df on it would run
+    # the expensive with_positions decode twice per query — the counts
+    # only need live (doc, slot) rows (code-review r5 finding).
+    def count_part(batches):
+        dead = DeadDocs(dead_pairs) if dead_pairs else None
+        for pdf in batches:
+            frames = []
+            has_gen = "gen_seq" in pdf.columns
+            for _, row in pdf.iterrows():
+                slot = slot_of.get(row["term"])
+                if slot is None:
+                    continue
+                ids, _tfs, _dls = decode_posting_list(bytes(row["blob"]))
+                gseq = int(row["gen_seq"]) if has_gen else 0
+                if dead is not None and len(dead):
+                    ids = ids[dead.live_mask(ids, gseq)]
+                if not len(ids):
+                    continue
+                frames.append(pd.DataFrame({
+                    "doc_id": ids,
+                    "slot": np.full(len(ids), slot, dtype=np.int32),
+                    "gen_seq": np.full(len(ids), gseq, dtype=np.int64),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    counted = seg.mapInPandas(
+        count_part, "doc_id long, slot int, gen_seq long"
+    )
+    if use_join:
+        counted = (
+            counted.join(dead_df, "doc_id", "left")
+            .where(
+                F.col("_kill_seq").isNull()
+                | (F.col("_kill_seq") <= F.col("gen_seq"))
+            )
+            .drop("_kill_seq")
+        )
     dfs = {
         int(r["slot"]): int(r["df"])
-        for r in decoded.groupBy("slot").agg(
+        for r in counted.groupBy("slot").agg(
             F.count("*").alias("df")
         ).collect()
     }

@@ -121,6 +121,11 @@ def bm25_search(
         per_doc = per_doc.join(
             include_df.select("doc_id").distinct(), "doc_id", "left_semi"
         )
+    # clamp the TakeOrdered window to the corpus: a huge k (the
+    # fetch-everything idiom) otherwise allocates a k-sized heap per
+    # partition (the boosted_search r3 OOM class; same clamp as the
+    # synonyms path — code-review r5 finding)
+    k = min(int(k), max(int(n_docs), 1))
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -137,6 +142,7 @@ def bm25_search_synonyms(
     k1: float = BM25_K1,
     b: float = BM25_B,
     phrase_rows: "DataFrame | None" = None,
+    config=None,
 ) -> DataFrame:
     """Query-time synonym expansion (SURVEY.md T6; reference analog:
     SynonymFilter in the query-only analyzer, schema.xml:61,
@@ -161,7 +167,13 @@ def bm25_search_synonyms(
     member tokens' idfs, tf = phrase start count, same dl norms) —
     which unions into the member scores before the group aggregate
     (see ExtractorEngine._synonym_phrase_rows)."""
-    base_terms = list(dict.fromkeys(analyze_query(query, lang, QUERY_CONFIG)))
+    # config must match the INDEX analyzer chain (the engine passes
+    # query_config_for(self.analyzer)); defaulting to QUERY_CONFIG
+    # against a simple-mode or stemmed index would analyze the query
+    # with the wrong chain and miss every term (code-review r5)
+    if config is None:
+        config = QUERY_CONFIG
+    base_terms = list(dict.fromkeys(analyze_query(query, lang, config)))
     spark = postings.sparkSession
     if not base_terms:
         return spark.createDataFrame([], "doc_id long, score double, n_matched int")
@@ -169,7 +181,7 @@ def bm25_search_synonyms(
     for gid, t in enumerate(base_terms):
         members = [t]
         for syn in synonyms.get(t, []):
-            toks = analyze_query(syn, lang, QUERY_CONFIG)
+            toks = analyze_query(syn, lang, config)
             if len(toks) == 1:
                 members.extend(toks)
             elif len(toks) >= 2 and phrase_rows is None:

@@ -188,7 +188,8 @@ class LazyTermPostings:
     callers route tombstoned indexes to the eager decode path instead.
     """
 
-    __slots__ = ("term", "n", "idf", "avgdl", "_shards", "_max_tfn")
+    __slots__ = ("term", "n", "idf", "avgdl", "_shards", "_max_tfn",
+                 "_n_docs")
 
     def __init__(self, term: str, shard_rows: list, n_docs: int,
                  avgdl: float):
@@ -215,6 +216,7 @@ class LazyTermPostings:
                 max_tfn = max(max_tfn, float(bm.max()))
         self._shards = shards
         self.n = n
+        self._n_docs = n_docs
         self.idf = float(np.log(1.0 + (n_docs - n + 0.5) / (n + 0.5)))
         self._max_tfn = max_tfn
 
@@ -230,29 +232,14 @@ class LazyTermPostings:
         return self.idf * (BM25_K1 + 1.0) * self._max_tfn
 
     def materialize(self) -> TermPostings:
-        """Full decode + shard merge — same values as
-        term_postings_from_rows without tombstones."""
-        ids, tfs, dls = [], [], []
-        for blob, _, _, _ in self._shards:
-            i, t, d = decode_posting_list(blob)
-            ids.append(i)
-            tfs.append(t)
-            dls.append(d)
-        doc_ids = np.concatenate(ids)
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids = doc_ids[order]
-        tfv = np.concatenate(tfs)[order]
-        dlv = np.concatenate(dls)[order]
-        k1, b = BM25_K1, BM25_B
-        tfn = tfv / (tfv + k1 * (1.0 - b + b * dlv / self.avgdl))
-        nb = (len(doc_ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
-        bl = np.empty(nb, dtype=np.int64)
-        bm = np.empty(nb, dtype=np.float64)
-        for bi in range(nb):
-            sl = slice(bi * BLOCK_SIZE, (bi + 1) * BLOCK_SIZE)
-            bl[bi] = doc_ids[sl][-1]
-            bm[bi] = tfn[sl].max()
-        return TermPostings(self.term, self.idf, doc_ids, tfv, dlv, bl, bm)
+        """Full decode + shard merge — delegates to
+        term_postings_from_rows (the lazy path is tombstone-free by
+        construction) so the merge/argsort/block-max-rebuild logic
+        exists exactly once and cannot drift between the lazy and
+        eager paths (code-review r5 finding)."""
+        rows = [{"blob": blob} for blob, _, _, _ in self._shards]
+        return term_postings_from_rows(
+            self.term, rows, self._n_docs, self.avgdl, dead=None)
 
     def probe_scores(self, cand: np.ndarray, k1: float = BM25_K1,
                      b: float = BM25_B) -> np.ndarray:
@@ -798,6 +785,10 @@ def query_segments_distributed(
     nq = n_query_terms or len(terms_idf)
     use_join = dead_df is not None
     dead_local = {} if use_join else dict(dead_pairs or {})
+    # small int ordinal per query term: lets the multi-generation path
+    # dedup per (doc, term) without widening the slimmed exchange with
+    # the term STRING (the r4 hash-exchange win stays intact)
+    tid_map = {t: i for i, t in enumerate(terms_idf)}
 
     def score_part(batches):
         dead = DeadDocs(dead_local) if dead_local else None
@@ -819,22 +810,33 @@ def query_segments_distributed(
                 frame = {"doc_id": ids, "term_score": s}
                 if use_join:
                     frame["gen_seq"] = np.full(len(ids), gseq, dtype=np.int64)
+                    frame["_tid"] = np.full(
+                        len(ids), tid_map[row["term"]], dtype=np.int64)
                 frames.append(pd.DataFrame(frame))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
     out_schema = "doc_id long, term_score double" + (
-        ", gen_seq long" if use_join else ""
+        ", gen_seq long, _tid long" if use_join else ""
     )
     scored = segments.mapInPandas(score_part, out_schema)
     if use_join:
+        # one live generation per (doc, term) after tombstone filtering
+        # is the invariant; a stray duplicate live generation would
+        # double-count score AND inflate n_matched past nq (evicting
+        # true conjunctive matches), so mirror scored_terms_distributed:
+        # the NEWEST generation wins (code-review r5 finding)
         scored = (
             scored.join(dead_df, "doc_id", "left")
             .where(
                 F.col("_kill_seq").isNull()
                 | (F.col("_kill_seq") <= F.col("gen_seq"))
             )
-            .drop("_kill_seq", "gen_seq")
+            .groupBy("doc_id", "_tid")
+            .agg(
+                F.max(F.struct("gen_seq", "term_score"))
+                .getField("term_score").alias("term_score")
+            )
         )
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("term_score").alias("score"),
