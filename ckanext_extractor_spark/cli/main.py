@@ -75,6 +75,35 @@ def cmd_status(args) -> int:
 
 
 def cmd_query(args) -> int:
+    # flag validation BEFORE the engine opens (fail fast on bad combos)
+    if args.bf and args.boost:
+        # bf is additive, boost multiplicative; the old `spec = bf or
+        # boost` silently applied the bf expression multiplicatively
+        # and dropped --boost entirely (code-review r5 finding)
+        raise SystemExit(
+            "--bf and --boost cannot be combined; run one of them "
+            "(or fold both into a single function expression)")
+    if args.snippets:
+        # these variants return before the snippets block; erroring
+        # beats silently printing unhighlighted output
+        # (code-review r5 finding)
+        unsupported = [
+            name for name, flag in (
+                ("--collapse", args.collapse), ("--elevate", args.elevate),
+                ("--bq", args.bq), ("--parent-of", args.parent_of),
+                ("--child-of", args.child_of), ("--geo-field", args.geo_field),
+                ("--graph-from", args.graph_from), ("--bf", args.bf),
+                ("--boost", args.boost), ("--group", args.group),
+                ("--sort", args.sort), ("--sort-multi", args.sort_multi),
+                ("--rerank", args.rerank), ("--qf", args.qf),
+            ) if flag
+        ]
+        if unsupported:
+            raise SystemExit(
+                "--snippets is not supported with "
+                + "/".join(unsupported)
+                + " (highlighting windows the plain/phrase/expr "
+                "search forms)")
     eng = _engine(args)
     if args.collapse:
         for rank, (doc_id, score, value, exp) in enumerate(

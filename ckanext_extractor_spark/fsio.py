@@ -57,6 +57,7 @@ class FsIO:
         if not self.is_local:
             jvm = spark._jvm
             self._jvm = jvm
+            self._gateway = spark.sparkContext._gateway
             hconf = spark._jsc.hadoopConfiguration()
             self._jfs = jvm.org.apache.hadoop.fs.FileSystem.get(
                 jvm.java.net.URI(root), hconf
@@ -159,13 +160,22 @@ class FsIO:
         except Exception:
             return None
         try:
-            out = bytearray()
-            while True:
-                b = stream.read()
-                if b < 0:
-                    break
-                out.append(b)
-            return out.decode("utf-8")
+            try:
+                # one JVM call for the whole file (commons-io ships on
+                # Spark's classpath); the old per-byte stream.read()
+                # loop cost one Py4J round-trip PER BYTE — thousands of
+                # RPCs for a few-KB meta file (code-review r5 finding)
+                return self._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            except Exception:
+                out = bytearray()
+                while True:
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    out.append(b)
+                return out.decode("utf-8")
         finally:
             stream.close()
 
@@ -183,8 +193,26 @@ class FsIO:
             stream.write(bytearray(text.encode("utf-8")))
         finally:
             stream.close()
-        self._jfs.delete(self._jpath(path), False)
-        if not self._jfs.rename(tmp, self._jpath(path)):
+        dst = self._jpath(path)
+        try:
+            # FileContext.rename(OVERWRITE) is the ATOMIC
+            # replace-existing rename on HDFS; the fallback's
+            # delete-then-rename leaves a window where a crash loses
+            # index_meta.json entirely (and a concurrent reader sees
+            # an 'empty' index) — code-review r5 finding
+            jvm = self._jvm
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._jfs.getUri(), self._jfs.getConf()
+            )
+            rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+            arr = self._gateway.new_array(rename_cls, 1)
+            arr[0] = rename_cls.OVERWRITE
+            fc.rename(tmp, dst, arr)
+            return
+        except Exception:
+            pass  # connector without FileContext: non-atomic fallback
+        self._jfs.delete(dst, False)
+        if not self._jfs.rename(tmp, dst):
             raise OSError(f"meta publish failed: {path}")
 
     def create_excl(self, path: str, text: str) -> bool:

@@ -44,7 +44,13 @@ def read_corpus(
     first, then parquet path).
     """
     df = None
-    if fmt in ("auto", "iceberg"):
+    if fmt == "parquet":
+        # explicit format skips the iceberg/catalog probes: a temp view
+        # or catalog table that happens to share the path's name must
+        # not shadow the parquet data the caller asked for
+        # (code-review r5 finding)
+        df = spark.read.parquet(source)
+    if df is None and fmt in ("auto", "iceberg"):
         try:
             df = spark.read.format("iceberg").load(source)
         except Exception:

@@ -96,31 +96,27 @@ def stream_dedup_documents(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    def _save(batch_df: DataFrame, epoch_id: int) -> None:
-        # foreachBatch is at-least-once: a task failure after a partial
-        # write but before the epoch commits replays the epoch. Keys
-        # are emitted once per COMMITTED epoch (state is checkpointed),
-        # so a per-epoch path + overwrite makes the sink idempotent —
-        # a replayed epoch overwrites its own directory instead of
-        # appending duplicates (code-review r5 finding).
-        batch_df.write.mode("overwrite").parquet(
-            f"{out_dir}/epoch={int(epoch_id)}")
+    from ckanext_extractor_spark.streaming.sink import (
+        clear_stale_sink,
+        epoch_saver,
+        read_sink_or_empty,
+    )
 
+    # shared sink rules (streaming/sink.py): per-epoch overwrite paths
+    # (idempotent under foreachBatch's at-least-once replays), stale
+    # sinks cleared on a fresh checkpoint (epoch numbering restarts at
+    # 0 — leftover epochs would yield duplicate keys), typed empty
+    # frame when zero batches ran
+    clear_stale_sink(checkpoint_dir, out_dir)
     q = (
-        new_docs.writeStream.foreachBatch(_save)
+        new_docs.writeStream.foreachBatch(epoch_saver(out_dir))
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    from pyspark.errors import AnalysisException
-
-    try:
-        sunk = spark.read.parquet(out_dir)
-    except AnalysisException:
-        # zero batches ran (empty source) -> the sink dir was never
-        # created; the contract is still an empty frame, not an error
-        return spark.createDataFrame([], new_docs.schema)
-    # partition discovery surfaces the epoch dir as a column; drop it
-    return sunk.select("content_md5", "doc_id")
+    return read_sink_or_empty(
+        spark, out_dir, new_docs.schema,
+        columns=["content_md5", "doc_id"],
+    )

@@ -45,9 +45,21 @@ def stream_incremental_build(
 
     def process(batch_df, epoch_id: int) -> None:
         if batch_df.take(1):
-            reports.append(
-                engine.extract(batch_df, build_id=f"stream-{epoch_id:06d}")
-            )
+            rep = engine.extract(batch_df, build_id=f"stream-{epoch_id:06d}")
+            if rep.in_progress:
+                # extract() declined because another build holds the
+                # index lock. Swallowing that would let the epoch
+                # COMMIT — the checkpoint then marks these source
+                # files ingested and they are never indexed (silent
+                # data loss; code-review r5 finding). Raising fails
+                # the batch so the stream retries it after the lock
+                # clears.
+                raise RuntimeError(
+                    f"micro-batch {epoch_id}: index build lock held; "
+                    "failing the epoch so the checkpoint does not "
+                    "mark these files ingested"
+                )
+            reports.append(rep)
 
     q = (
         stream.writeStream.foreachBatch(process)

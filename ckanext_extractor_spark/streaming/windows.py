@@ -92,16 +92,21 @@ def windowed_event_stats(
 
 
 def session_event_stats(
-    events: DataFrame, gap: str = "30 minutes"
+    events: DataFrame, gap: str = "30 minutes",
+    watermark: str = "2 hours"
 ) -> DataFrame:
     """Per-user session windows (gap-merged): an event extends the
     current session while it lands at or before prev_ts + gap (touching
     sessions coalesce — pinned by test); the session closes at
     last_ts + gap. Built-in ``session_window`` — whole-stage codegen in
-    batch, bounded merge state in streaming.
-    """
+    batch, bounded merge state in streaming (Spark REQUIRES a watermark
+    for streaming session aggregation, so the streaming branch adds one
+    exactly like windowed_event_stats — code-review r5 finding)."""
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
     return (
-        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        df
         .groupBy(
             F.session_window("ts", gap).alias("win"), "user_id"
         )
@@ -229,28 +234,30 @@ def stateful_user_totals_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    def _save(batch_df: DataFrame, epoch_id: int) -> None:
-        # per-epoch path + overwrite: idempotent under foreachBatch's
-        # at-least-once epoch replays (code-review r5 finding); the
-        # epoch lands as a partition column on read-back.
-        batch_df.write.mode("overwrite").parquet(
-            f"{out_dir}/epoch={int(epoch_id)}")
+    from ckanext_extractor_spark.streaming.sink import (
+        clear_stale_sink,
+        epoch_saver,
+        read_sink_or_empty,
+    )
 
+    # shared sink rules (streaming/sink.py): per-epoch overwrite paths
+    # (idempotent under epoch replays), stale sinks cleared on a fresh
+    # checkpoint (a previous run's epochs would win max('epoch') with
+    # stale totals), typed empty frame when zero batches ran; the
+    # epoch partition column is KEPT for the latest-wins join
+    clear_stale_sink(checkpoint_dir, out_dir)
     q = (
-        updates.writeStream.foreachBatch(_save)
+        updates.writeStream.foreachBatch(epoch_saver(out_dir))
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    from pyspark.errors import AnalysisException
-
-    try:
-        sunk = spark.read.parquet(out_dir)
-    except AnalysisException:
-        return spark.createDataFrame(
-            [], "user_id long, n_events long, sum_value double")
+    sunk = read_sink_or_empty(
+        spark, out_dir,
+        "user_id long, n_events long, sum_value double, epoch int",
+    )
     latest = sunk.groupBy("user_id").agg(F.max("epoch").alias("epoch"))
     return (
         sunk.join(latest, ["user_id", "epoch"], "inner")
