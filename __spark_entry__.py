@@ -6049,6 +6049,212 @@ _PAIRS["q91_dedup_representatives"] = (
 )
 
 
+# -- SpanNotQuery: include span minus dilated exclude windows ---------------
+def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNotQuery through the real engine: ordered 'scan fast'
+    spans (slop=1) that have NO 'table' position inside [first,
+    last + 1] (post=1). Returns the FULL surviving match set with
+    conjunctive BM25 scores so the hash certifies the span-minus-
+    exclude logic, not just a top-k prefix. Oracle: exists positions
+    a < b, b - a - 1 <= 1, with no 'table' in [a, b + 1] (all-pairs ≡
+    minimal-per-start by span dominance — the kill zone grows with the
+    window)."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_spannot_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG,
+    )
+    eng.extract(corpus, build_id="entry-spannot")
+    hits = eng.span_not_search("scan fast", "table", slop=1, k=10**9,
+                               post=1)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits), key=lambda x: (-x[1], x[0])
+    )
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_SPAN_NOT_DUCK = f"""
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+        FROM t),
+surv AS (SELECT DISTINCT a.doc_id FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.term = 'fast'
+    AND b.pos > a.pos AND b.pos - a.pos - 1 <= 1
+  WHERE a.term = 'scan' AND NOT EXISTS (
+    SELECT 1 FROM tok e WHERE e.doc_id = a.doc_id AND e.term = 'table'
+      AND e.pos BETWEEN a.pos AND b.pos + 1)),
+ranked AS ({_bm25_sql(DUCK_TOK, ["scan", "fast"], True, None)})
+SELECT r.doc_id, r.score FROM ranked r JOIN surv ON r.doc_id = surv.doc_id
+ORDER BY r.score DESC, r.doc_id ASC
+"""
+_PAIRS["q144_span_not"] = ("", _SPAN_NOT_DUCK)
+
+
+# -- hybrid retrieval: RRF fusion of BM25 + embedding-cosine lists ----------
+_DENSE_LEG = (
+    "WITH q AS (SELECT {cast} AS qv FROM embeddings WHERE vec_id = 0), "
+    "e AS (SELECT vec_id, {castv} AS v FROM embeddings WHERE vec_id != 0), "
+    "s AS (SELECT vec_id, {cos} AS cos FROM e CROSS JOIN q) "
+    "SELECT vec_id AS doc_id, ROUND(cos, 4) AS score FROM s "
+    "ORDER BY ROUND(cos, 6) DESC, vec_id ASC LIMIT 50"
+)
+_DENSE_LEG_SPARK = _DENSE_LEG.format(
+    cast="transform(embedding, x -> CAST(x AS DOUBLE))",
+    castv="transform(embedding, x -> CAST(x AS DOUBLE))",
+    cos=(
+        "aggregate(zip_with(v, qv, (a, b) -> a * b), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x) "
+        "/ (sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)) "
+        "* sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)))"
+    ),
+)
+_DENSE_LEG_DUCK = _DENSE_LEG.format(
+    cast="embedding::DOUBLE[]",
+    castv="embedding::DOUBLE[]",
+    cos=(
+        "list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+    ),
+)
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF fusion (k=60, Cormack SIGIR'09 /
+    Elasticsearch default) of the BM25 OR top-50 for
+    'vector stream batch' and the cosine top-50 around vec_id=0 —
+    through the real ``functions.hybrid.hybrid_topk`` plan (ranking
+    windows + union + hash agg)."""
+    from ckanext_extractor_spark.functions.hybrid import hybrid_topk
+
+    _load(spark, sf_dir)
+    lex = spark.sql(
+        _bm25_sql(SPARK_TOK, ["vector", "stream", "batch"], False, 50)
+    ).select("doc_id", "score")
+    den = spark.sql(_DENSE_LEG_SPARK)
+    return hybrid_topk(lex, den, topk=20, k=60)
+
+
+_HYBRID_DUCK = f"""
+WITH bm AS ({_bm25_sql(DUCK_TOK, ["vector", "stream", "batch"], False, 50)}),
+ann AS ({_DENSE_LEG_DUCK}),
+lrk AS (SELECT doc_id, row_number() OVER
+  (ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS rnk FROM bm),
+drk AS (SELECT doc_id, row_number() OVER
+  (ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS rnk FROM ann),
+u AS (SELECT doc_id, 1.0 / (60 + rnk) AS c FROM lrk
+      UNION ALL SELECT doc_id, 1.0 / (60 + rnk) FROM drk)
+SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score,
+       CAST(count(*) AS INT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY ROUND(SUM(c), 6) DESC, doc_id ASC LIMIT 20
+"""
+_PAIRS["q141_hybrid_rrf"] = ("", _HYBRID_DUCK)
+
+
+# -- DSIR: importance resampling toward an in-corpus target domain ----------
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. NeurIPS'23) Gumbel top-50 toward lang='en'
+    docs over 256 hashed-unigram buckets, salt 'r5' — the real
+    two-hash-aggregate + broadcast-logratio plan."""
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_resample(docs, target, n=50, dim=256, salt="r5")
+
+
+_DSIR_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tb AS (SELECT doc_id, {DUCK_H60.format(x='term')} % 256 AS bucket FROM tok),
+rawc AS (SELECT bucket, count(*) AS n FROM tb GROUP BY 1),
+tgtc AS (SELECT tb.bucket, count(*) AS n FROM tb
+  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+tot AS (SELECT
+  (SELECT count(*) FROM tb) AS tr,
+  (SELECT count(*) FROM tb JOIN documents d USING (doc_id)
+   WHERE d.lang = 'en') AS tt),
+lr AS (SELECT sp.bucket,
+  ln((COALESCE(tg.n, 0) + 1.0) / (tot.tt + 256.0))
+  - ln((COALESCE(r.n, 0) + 1.0) / (tot.tr + 256.0)) AS logratio
+  FROM range(256) sp(bucket)
+  LEFT JOIN rawc r ON sp.bucket = r.bucket
+  LEFT JOIN tgtc tg ON sp.bucket = tg.bucket
+  CROSS JOIN tot),
+pc AS (SELECT doc_id, bucket, count(*) AS c FROM tb GROUP BY 1, 2),
+w AS (SELECT d.doc_id,
+  ROUND(COALESCE(SUM(pc.c * lr.logratio), 0.0), 6) AS weight
+  FROM documents d
+  LEFT JOIN pc ON d.doc_id = pc.doc_id
+  LEFT JOIN lr ON pc.bucket = lr.bucket
+  GROUP BY d.doc_id),
+k AS (SELECT doc_id, weight,
+  ROUND(weight + (-ln(-ln(
+    ({DUCK_H60.format(x="CAST(doc_id AS VARCHAR) || 'r5'")} + 1.0)
+    / (1152921504606846976.0 + 1.0)))), 6) AS key
+  FROM w)
+SELECT doc_id, weight, key FROM k
+ORDER BY key DESC, doc_id ASC LIMIT 50
+"""
+_PAIRS["q142_dsir_select"] = ("", _DSIR_DUCK)
+
+
+# -- PMI co-occurrence pairs (collocation / corpus QA) ----------------------
+def _q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI top-50 with the df band (50..400) applied
+    before the self-join — the real ``functions.cooccur.pmi_pairs``
+    plan (distinct -> banded broadcast dictionary -> pair hash agg)."""
+    from ckanext_extractor_spark.functions.cooccur import pmi_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_pairs(
+        docs, min_df=50, max_df=400, min_pair_count=10, topk=50
+    )
+
+
+_PMI_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+t AS (SELECT DISTINCT doc_id, term FROM tok),
+d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+b AS (SELECT * FROM d WHERE df >= 50 AND df <= 400),
+tb AS (SELECT t.doc_id, t.term, b.df FROM t JOIN b USING (term)),
+n AS (SELECT count(*) AS nd FROM documents),
+p AS (SELECT a.term AS ta, c.term AS tc, count(*) AS pc,
+  min(a.df) AS dfa, min(c.df) AS dfc
+  FROM tb a JOIN tb c ON a.doc_id = c.doc_id AND a.term < c.term
+  GROUP BY 1, 2)
+SELECT ta AS term_a, tc AS term_b, CAST(pc AS BIGINT) AS pair_count,
+  CAST(dfa AS BIGINT) AS df_a, CAST(dfc AS BIGINT) AS df_b,
+  ROUND(ln(CAST(n.nd AS DOUBLE) * pc / (dfa * dfc)), 6) AS pmi
+FROM p CROSS JOIN n WHERE pc >= 10
+ORDER BY ROUND(ln(CAST(n.nd AS DOUBLE) * pc / (dfa * dfc)), 6) DESC,
+  term_a, term_b LIMIT 50
+"""
+_PAIRS["q143_pmi_pairs"] = ("", _PMI_DUCK)
+
+
 _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_engine_postings_simple": _q_engine_postings_simple,
     "q24_bm25_segments_exact": _q_bm25_segments_exact,
@@ -6163,6 +6369,10 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_bigram_perplexity": _q_bigram_perplexity,
     "q139_group_quota": _q_group_quota,
     "q140_curate_corpus": _q_curate,
+    "q141_hybrid_rrf": _q_hybrid_rrf,
+    "q142_dsir_select": _q_dsir_select,
+    "q143_pmi_pairs": _q_pmi_pairs,
+    "q144_span_not": _q_span_not,
 }
 
 

@@ -6875,6 +6875,88 @@ class ExtractorEngine:
             out = [(d, s) for d, s in scored if d in keep][:k]
         return out
 
+    def span_not_search(
+        self, query: str, exclude: str, slop: int = 0, k: int = 10,
+        pre: int = 0, post: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Lucene SpanNotQuery: top-k docs holding an ordered include
+        span for the analyzed ``query`` (one position per term,
+        strictly increasing, total gap budget <= ``slop`` — the
+        SpanNear(in_order=true) semantics) with NO occurrence of the
+        single-term ``exclude`` inside the dilated window
+        [first - pre, last + post] — "this phrase, but not when
+        ``exclude`` is on/near it" ('new york' NOT 'city';
+        'java' NOT within 2 of 'script'). pre/post default 0 = plain
+        overlap.
+
+        Matching docs keep the conjunctive-AND BM25 score of the
+        INCLUDE terms only (the exclude term is a span filter, never a
+        scoring clause — same pinned contract as phrase slop /
+        SpanFirst / SpanNear: span constraints change the MATCH SET,
+        not the scores). ``exclude`` must analyze to exactly one term
+        (SpanTerm exclude; wider exclude spans out of scope, rejected
+        loudly). A doc without the exclude term at all matches iff the
+        include span exists — span_not(q, e) over such docs ≡
+        span_near(q). Positions are index-time analyzer positions
+        (0-based, stopword gaps, posInc=0 stacking)."""
+        from ckanext_extractor_spark.operators.phrase import (
+            span_not_filter_docs,
+        )
+        from ckanext_extractor_spark.operators.wand import exact_topk
+
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_query(exclude)
+        _require_k(k)
+        _require_slop(slop)
+        for name, v in (("pre", pre), ("post", post)):
+            if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                raise ValidationError(
+                    f"{name} must be a non-negative int, got {v!r}"
+                )
+        if not self.with_positions:
+            raise ValueError(
+                "index was built without positions; span_not_search "
+                "needs with_positions=True"
+            )
+        cfg = query_config_for(self.analyzer)
+        terms = analyze_query(query, config=cfg)
+        if not terms:
+            return []
+        ex_terms = list(dict.fromkeys(analyze_query(exclude, config=cfg)))
+        if len(ex_terms) != 1:
+            raise ValidationError(
+                "span_not_search exclude must analyze to a single term; "
+                f"got {ex_terms!r}"
+            )
+        ex = ex_terms[0]
+        uniq = list(dict.fromkeys(terms))
+        st = self.corpus_stats()
+        tls = self._term_postings(uniq, st)
+        if len(tls) < len(uniq):
+            return []  # some include term absent: no include span
+        dead = self._dead_docs()
+        rows_by_term = {t: self._segment_rows(t) for t in uniq}
+        rows_by_term.setdefault(ex, self._segment_rows(ex))
+
+        def _filter(scored):
+            return set(span_not_filter_docs(
+                [d for d, _ in scored], rows_by_term, terms, ex,
+                slop, pre, post, dead,
+            ))
+
+        overfetch = max(k * 10, 100)
+        scored = exact_topk(tls, overfetch, st["avgdl"], conjunctive=True)
+        if not scored:
+            return []
+        keep = _filter(scored)
+        out = [(d, s) for d, s in scored if d in keep][:k]
+        if len(out) < k and len(scored) == overfetch:
+            scored = exact_topk(tls, 10**9, st["avgdl"], conjunctive=True)
+            keep = _filter(scored)
+            out = [(d, s) for d, s in scored if d in keep][:k]
+        return out
+
     def _gc_staging(self) -> None:
         """Drop staging dirs not referenced by any live generation."""
         st_root = self._p("staging", "raw_postings")

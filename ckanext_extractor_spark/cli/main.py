@@ -273,6 +273,14 @@ def cmd_query(args) -> int:
         hits = eng.phonetic_search(args.q, k=args.k)
     elif args.span_first is not None:
         hits = eng.span_first_search(args.q, end=args.span_first, k=args.k)
+    elif args.span_not is not None:
+        hits = eng.span_not_search(
+            args.q, args.span_not, slop=args.span_slop, k=args.k,
+            pre=args.span_pre, post=args.span_post)
+    elif args.span_near:
+        hits = eng.span_near_search(args.q, slop=args.span_slop,
+                                    k=args.k,
+                                    in_order=not args.unordered)
     elif args.wildcard:
         hits = eng.wildcard_search(args.q, k=args.k)
     elif args.fuzzy is not None:
@@ -533,6 +541,7 @@ _PIPELINE_OPS = (
     "tfidf-neighbors", "nb-train", "nb-classify",
     "srp", "srp-bits", "pq-encode", "srp-neardup",
     "winnow", "fp-candidates", "bigram-ppl", "group-quota", "curate",
+    "pmi", "dsir-weights", "dsir-select", "rrf-fuse",
 )
 
 
@@ -680,6 +689,41 @@ def _pipeline_apply(df, a):
             df, k=a.gram_k, w=a.window_w, text_col=t, id_col=i)
         return fingerprint.fingerprint_candidates(
             fps, min_shared=a.min_shared, max_df=a.max_df, id_col=i)
+    if op == "pmi":
+        from ckanext_extractor_spark.functions import cooccur
+        return cooccur.pmi_pairs(
+            df, min_df=a.min_df, max_df=a.max_df,
+            min_pair_count=a.min_shared, topk=a.topk,
+            text_col=t, id_col=i)
+    if op in ("dsir-weights", "dsir-select"):
+        from ckanext_extractor_spark.functions import dsir
+        if a.target:
+            tgt = df.sparkSession.read.parquet(a.target)
+        elif a.target_where:
+            tgt = df.where(a.target_where)
+        else:
+            raise SystemExit(f"{op} needs --target TARGET_PARQUET or "
+                             "--target-where SQL_PREDICATE")
+        if op == "dsir-weights":
+            return dsir.dsir_weights(df, tgt, dim=a.dim,
+                                     text_col=t, id_col=i)
+        return dsir.dsir_resample(
+            df, tgt, n=a.n_select, dim=a.dim,
+            gumbel_scale=a.gumbel_scale, salt=a.salt,
+            text_col=t, id_col=i)
+    if op == "rrf-fuse":
+        from ckanext_extractor_spark.functions import hybrid
+        if a.text_col is not None:
+            raise SystemExit("rrf-fuse inputs are ranked (id, score) "
+                             "lists; --text-col does not apply")
+        if not a.second:
+            raise SystemExit("rrf-fuse needs --second RANKED_PARQUET "
+                             "(the other ranked list)")
+        second = df.sparkSession.read.parquet(a.second)
+        return hybrid.hybrid_topk(
+            df, second, topk=a.topk or 10, k=a.rrf_k,
+            dense_weight=a.dense_weight, id_col=i,
+            score_col=a.score_col)
     raise SystemExit(f"unknown pipeline op {op!r}")
 
 
@@ -747,6 +791,24 @@ def main(argv=None) -> int:
     q.add_argument("--phonetic", action="store_true",
                    help="match terms that SOUND like --q (classic "
                         "Soundex, Solr PhoneticFilter analog)")
+    q.add_argument("--span-near", dest="span_near", action="store_true",
+                   help="SpanNearQuery over --q's terms with total gap "
+                        "budget --span-slop (ordered unless "
+                        "--unordered)")
+    q.add_argument("--span-not", dest="span_not", default=None,
+                   metavar="EXCLUDE",
+                   help="SpanNotQuery: --q's ordered span (budget "
+                        "--span-slop) with no EXCLUDE term within "
+                        "[--span-pre, --span-post] of the span window")
+    q.add_argument("--span-slop", dest="span_slop", type=int, default=0,
+                   help="total gap budget for --span-near/--span-not")
+    q.add_argument("--unordered", action="store_true",
+                   help="with --span-near: any term order "
+                        "(in_order=false)")
+    q.add_argument("--span-pre", dest="span_pre", type=int, default=0,
+                   help="--span-not: kill zone tokens before the span")
+    q.add_argument("--span-post", dest="span_post", type=int, default=0,
+                   help="--span-not: kill zone tokens after the span")
     q.add_argument("--start", type=int, default=0,
                    help="skip the first N ranked hits (Solr start/rows "
                         "pagination)")
@@ -1235,9 +1297,40 @@ def main(argv=None) -> int:
                     help="shared fingerprints for a candidate pair "
                          "(fp-candidates)")
     pl.add_argument("--max-df", dest="max_df", type=int, default=1000,
-                    help="drop fingerprints in more docs than this "
-                         "before the pair join (fp-candidates "
-                         "boilerplate guard)")
+                    help="drop fingerprints/terms in more docs than "
+                         "this before the pair join (fp-candidates / "
+                         "pmi boilerplate + fan-out guard)")
+    pl.add_argument("--min-df", dest="min_df", type=int, default=2,
+                    help="pmi: minimum document frequency for a term "
+                         "to enter the pair join")
+    pl.add_argument("--topk", type=int, default=None,
+                    help="result cap (pmi pairs / rrf-fuse)")
+    pl.add_argument("--target", default=None,
+                    help="target-domain parquet (dsir-weights / "
+                         "dsir-select)")
+    pl.add_argument("--target-where", dest="target_where", default=None,
+                    help="SQL predicate selecting the target domain "
+                         "from the input instead of --target "
+                         "(e.g. \"lang = 'en'\")")
+    pl.add_argument("--n-select", dest="n_select", type=int,
+                    default=1000,
+                    help="docs to keep (dsir-select)")
+    pl.add_argument("--gumbel-scale", dest="gumbel_scale", type=float,
+                    default=1.0,
+                    help="dsir-select sampling temperature (0 = hard "
+                         "top-weights)")
+    pl.add_argument("--second", default=None,
+                    help="second ranked (id, score) parquet "
+                         "(rrf-fuse)")
+    pl.add_argument("--rrf-k", dest="rrf_k", type=int, default=60,
+                    help="RRF rank shift k (rrf-fuse)")
+    pl.add_argument("--score-col", dest="score_col", default="score",
+                    help="score column in the ranked inputs "
+                         "(rrf-fuse)")
+    pl.add_argument("--dense-weight", dest="dense_weight", type=float,
+                    default=1.0,
+                    help="weight on the --second list's contribution "
+                         "(rrf-fuse)")
     pl.add_argument("--lam", type=float, default=0.75,
                     help="bigram-ppl interpolation weight on the "
                          "bigram term (Jelinek-Mercer lambda)")

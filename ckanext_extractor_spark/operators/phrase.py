@@ -347,6 +347,85 @@ def span_near_unordered_match(pos_lists: "list[np.ndarray]",
     return False
 
 
+def span_not_filter_docs(
+    candidate_docs: list[int],
+    term_shard_rows: dict[str, list],
+    include_terms: list[str],
+    exclude_term: str,
+    slop: int = 0,
+    pre: int = 0,
+    post: int = 0,
+    dead=None,
+) -> list[int]:
+    """Lucene SpanNotQuery(include=ordered SpanNear(slop),
+    exclude=SpanTerm, pre, post): keep candidate docs holding an
+    ordered include span — one position per include term, strictly
+    increasing, total gap budget (last - first) - (k - 1) <= slop —
+    such that NO exclude-term position e sits in the dilated window
+    [first - pre, last + post] (inclusive positions; pre/post are
+    Lucene's "within x tokens before / y after" knobs, 0/0 = plain
+    overlap).
+
+    Completeness via span dominance: the greedy earliest-next chain
+    (same as :func:`span_near_filter_docs`) yields the MINIMAL-window
+    span per start position; a wider span from the same start has a
+    strictly larger kill zone [s - pre, l' + post] ⊇ [s - pre,
+    l + post], so if the minimal span is killed every wider one is
+    too — checking minimal spans per start is exact for "some include
+    span survives". One searchsorted pair per doc tests all surviving
+    windows against the sorted exclude positions at once.
+
+    SpanOr as a top-level query is deliberately NOT a separate
+    operator: a disjunction of spans that only changes the match set
+    is exactly the boolean-OR the query language already provides
+    (`search_expr`), per the same span-changes-match-set-never-scores
+    contract."""
+    k = len(include_terms)
+    wanted = np.unique(np.asarray(list(candidate_docs), dtype=np.int64))
+    per_term_pos: list[dict[int, np.ndarray]] = []
+    for t in include_terms:
+        merged: dict[int, np.ndarray] = {}
+        for row in term_shard_rows.get(t, []):
+            merged.update(_positions_by_doc(row, dead, wanted))
+        per_term_pos.append(merged)
+    excl: dict[int, np.ndarray] = {}
+    for row in term_shard_rows.get(exclude_term, []):
+        excl.update(_positions_by_doc(row, dead, wanted))
+    budget = np.int64(slop + k - 1)
+    out = []
+    for d in candidate_docs:
+        start = per_term_pos[0].get(d)
+        if start is None or start.size == 0:
+            continue
+        start = start.astype(np.int64)
+        last = start
+        keep = np.ones(len(start), dtype=bool)
+        for pmap in per_term_pos[1:]:
+            nxt = pmap.get(d)
+            if nxt is None or nxt.size == 0:
+                keep[:] = False
+                break
+            nxt = nxt.astype(np.int64)
+            idx = np.searchsorted(nxt, last, side="right")
+            ok = keep & (idx < len(nxt))
+            last = np.where(ok, nxt[np.minimum(idx, len(nxt) - 1)], last)
+            keep = ok
+        keep = keep & ((last - start) <= budget)
+        if not keep.any():
+            continue
+        e = excl.get(d)
+        if e is None or e.size == 0:
+            out.append(d)
+            continue
+        e = np.sort(e.astype(np.int64))
+        s, l = start[keep], last[keep]
+        lo = np.searchsorted(e, s - np.int64(pre), side="left")
+        hi = np.searchsorted(e, l + np.int64(post), side="right")
+        if np.any(lo >= hi):  # some window holds no exclude position
+            out.append(d)
+    return out
+
+
 def span_first_filter_docs(
     candidate_docs: list[int],
     term_shard_rows: dict[str, list],

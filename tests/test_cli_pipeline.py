@@ -154,3 +154,49 @@ def test_pipeline_bigram_ppl_and_group_quota(docs_pq, capsys, spark,
     assert s2["rows_in"] == 10 and s2["rows_out"] == 6
     with pytest.raises(SystemExit):
         main(["pipeline", "group-quota", "--in", grp])
+
+
+def test_pipeline_pmi(docs_pq, capsys):
+    s = _run(capsys, "pipeline", "pmi", "--in", docs_pq,
+             "--min-df", "1", "--min-shared", "1", "--topk", "5")
+    assert s["rows_in"] == 4 and 0 < s["rows_out"] <= 5
+    assert set(s["columns"]) == {"term_a", "term_b", "pair_count",
+                                 "df_a", "df_b", "pmi"}
+
+
+def test_pipeline_dsir(docs_pq, capsys, spark, tmp_path):
+    tgt = str(tmp_path / "tgt.parquet")
+    spark.createDataFrame(
+        [(0, "quick brown fox")], "doc_id long, text string"
+    ).write.parquet(tgt)
+    s = _run(capsys, "pipeline", "dsir-weights", "--in", docs_pq,
+             "--target", tgt, "--dim", "64")
+    assert s["rows_in"] == 4 and s["rows_out"] == 4
+    assert set(s["columns"]) == {"doc_id", "weight"}
+    s2 = _run(capsys, "pipeline", "dsir-select", "--in", docs_pq,
+              "--target-where", "doc_id = 2", "--dim", "64",
+              "--n-select", "2")
+    assert s2["rows_out"] == 2
+    assert set(s2["columns"]) == {"doc_id", "weight", "key"}
+    with pytest.raises(SystemExit):
+        main(["pipeline", "dsir-select", "--in", docs_pq])
+
+
+def test_pipeline_rrf_fuse(capsys, spark, tmp_path):
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(1, 9.0), (2, 5.0)], "doc_id long, score double"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(2, 0.9), (3, 0.7)], "doc_id long, score double"
+    ).write.parquet(b)
+    s = _run(capsys, "pipeline", "rrf-fuse", "--in", a,
+             "--second", b, "--topk", "3", "--rrf-k", "10")
+    assert s["rows_out"] == 3
+    assert set(s["columns"]) == {"doc_id", "rrf_score", "n_lists"}
+    with pytest.raises(SystemExit):
+        main(["pipeline", "rrf-fuse", "--in", a])
+    with pytest.raises(SystemExit):
+        main(["pipeline", "rrf-fuse", "--in", a, "--second", b,
+              "--text-col", "text"])
