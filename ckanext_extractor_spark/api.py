@@ -6937,7 +6937,8 @@ class ExtractorEngine:
             return []  # some include term absent: no include span
         dead = self._dead_docs()
         rows_by_term = {t: self._segment_rows(t) for t in uniq}
-        rows_by_term.setdefault(ex, self._segment_rows(ex))
+        if ex not in rows_by_term:  # setdefault would fetch eagerly
+            rows_by_term[ex] = self._segment_rows(ex)
 
         def _filter(scored):
             return set(span_not_filter_docs(

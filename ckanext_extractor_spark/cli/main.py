@@ -3,7 +3,7 @@ extract/delete/list/show/init over explicit IDs or `all`, paster.py:72-194).
 
 Run under spark-submit (cluster) or plain python (local):
 
-    spark-submit --py-files engine.zip -m ckanext_extractor_spark.cli.main \
+    spark-submit --py-files engine.zip tools/submit_cli.py \
         build --source /data/corpus --index /data/index [--force] [--langs ...]
     python -m ckanext_extractor_spark.cli.main query --index /data/index \
         --q "parseBuffer camelCase" -k 10 [--mode wand|slow] [--or]
@@ -274,6 +274,13 @@ def cmd_query(args) -> int:
     elif args.span_first is not None:
         hits = eng.span_first_search(args.q, end=args.span_first, k=args.k)
     elif args.span_not is not None:
+        if args.span_near:
+            raise SystemExit("--span-not and --span-near are distinct "
+                             "queries; pass exactly one")
+        if args.unordered:
+            raise SystemExit("--span-not is ordered-only (SpanNot over "
+                             "an ordered include span); --unordered "
+                             "does not apply")
         hits = eng.span_not_search(
             args.q, args.span_not, slop=args.span_slop, k=args.k,
             pre=args.span_pre, post=args.span_post)
@@ -721,7 +728,7 @@ def _pipeline_apply(df, a):
                              "(the other ranked list)")
         second = df.sparkSession.read.parquet(a.second)
         return hybrid.hybrid_topk(
-            df, second, topk=a.topk or 10, k=a.rrf_k,
+            df, second, topk=a.topk, k=a.rrf_k,
             dense_weight=a.dense_weight, id_col=i,
             score_col=a.score_col)
     raise SystemExit(f"unknown pipeline op {op!r}")
@@ -1304,7 +1311,8 @@ def main(argv=None) -> int:
                     help="pmi: minimum document frequency for a term "
                          "to enter the pair join")
     pl.add_argument("--topk", type=int, default=None,
-                    help="result cap (pmi pairs / rrf-fuse)")
+                    help="result cap (pmi / rrf-fuse); omit for the "
+                         "full result")
     pl.add_argument("--target", default=None,
                     help="target-domain parquet (dsir-weights / "
                          "dsir-select)")

@@ -20,11 +20,14 @@ Spark-first plan with the quadratic bounded up front:
   lexicographic order) bounds any residual per-doc quadratic;
 * pair counts: self-equi-join on doc_id with term_a < term_b -> one
   hash aggregate on (term_a, term_b);
-* PMI = ln(N * c_ab / (c_a * c_b)) with N = total docs, c_x = banded
-  df — the banded dictionary is tiny and broadcast back.
+* PMI = ln(N * c_ab / (c_a * c_b)) with N = total docs (folded in as
+  a lazy 1-row broadcast — no eager count, the input plan executes
+  once), c_x = banded df. With a max_df ceiling the banded dictionary
+  is bounded and broadcast back; without one it can be the whole
+  vocabulary, so the join strategy is left to AQE.
 
 All Catalyst, no UDFs; two corpus-sized shuffles (the distinct and
-the pair count), everything else broadcast.
+the pair count).
 """
 
 from __future__ import annotations
@@ -68,7 +71,7 @@ def pmi_pairs(
         raise ValueError(
             f"min_pair_count must be >= 1, got {min_pair_count!r}"
         )
-    n_docs = df.select(id_col).count()
+    n = df.select(F.count("*").cast("double").alias("_n"))
     t = (
         df.select(
             F.col(id_col).alias("_doc"),
@@ -80,9 +83,14 @@ def pmi_pairs(
     band = dfs.where(F.col("_df") >= min_df)
     if max_df is not None:
         band = band.where(F.col("_df") <= max_df)
-    # banded dictionary is small by construction -> broadcast it into
-    # the posting stream instead of shuffling the postings again
-    tb = t.join(F.broadcast(band), "term")
+        # with a df ceiling the banded dictionary is bounded (each kept
+        # term needs >= min_df docs and <= max_df keeps it rare) ->
+        # broadcast it into the posting stream instead of shuffling the
+        # postings again. Without a ceiling the band can be the whole
+        # vocabulary, so let AQE pick the join strategy instead of
+        # forcing an unbounded driver collect.
+        band = F.broadcast(band)
+    tb = t.join(band, "term")
     if max_terms_per_doc is not None:
         if max_terms_per_doc < 2:
             raise ValueError(
@@ -115,7 +123,7 @@ def pmi_pairs(
         )
         .where(F.col("pair_count") >= min_pair_count)
     )
-    out = pairs.select(
+    out = pairs.crossJoin(F.broadcast(n)).select(
         "term_a",
         "term_b",
         F.col("pair_count").cast("long").alias("pair_count"),
@@ -123,7 +131,7 @@ def pmi_pairs(
         F.col("df_b").cast("long").alias("df_b"),
         F.round(
             F.log(
-                F.lit(float(n_docs))
+                F.col("_n")
                 * F.col("pair_count")
                 / (F.col("df_a") * F.col("df_b"))
             ),

@@ -122,7 +122,7 @@ def rrf_fuse(
 def hybrid_topk(
     lexical: DataFrame,
     dense: DataFrame,
-    topk: int = 10,
+    topk: Optional[int] = 10,
     k: int = RRF_K,
     lexical_weight: float = 1.0,
     dense_weight: float = 1.0,

@@ -100,6 +100,56 @@ def lucene_slop_match(pos_lists: "list[np.ndarray]", slop: int) -> bool:
         cur[i] = int(adj[i][idx[i]])
 
 
+def _merged_positions(
+    term_shard_rows: dict[str, list],
+    terms: list[str],
+    dead,
+    wanted: np.ndarray,
+) -> "list[dict[int, np.ndarray]]":
+    """Per term (in order): doc -> sorted positions, merged across that
+    term's segment shards, restricted to ``wanted`` docs."""
+    out: list[dict[int, np.ndarray]] = []
+    for t in terms:
+        merged: dict[int, np.ndarray] = {}
+        for row in term_shard_rows.get(t, []):
+            merged.update(_positions_by_doc(row, dead, wanted))
+        out.append(merged)
+    return out
+
+
+def _ordered_chain(per_term_pos: "list[dict[int, np.ndarray]]", d: int):
+    """Greedy earliest-next ordered chain for one doc: for every start
+    position of term 1, pick the EARLIEST strictly-later position of
+    each following term. Returns (start, last, keep) int64/bool arrays
+    — the MINIMAL ordered window per start (earliest-next minimizes the
+    chain's last position, so this is complete for any window-bound
+    predicate) — or None when some term has no positions in the doc.
+    Strictly-increasing chaining makes repeated terms consume distinct
+    positions (Lucene's non-overlapping ordered spans). Shared by
+    SpanNear(in_order=true) and SpanNot (r5 review #3: one kernel, not
+    three drifting copies)."""
+    start = per_term_pos[0].get(d)
+    if start is None or start.size == 0:
+        return None
+    start = start.astype(np.int64)
+    last = start
+    keep = np.ones(len(start), dtype=bool)
+    for pmap in per_term_pos[1:]:
+        nxt = pmap.get(d)
+        # empty arrays guarded too: np.where evaluates both branches,
+        # so nxt[min(idx, len-1)] would index nxt[-1] on size 0
+        # (ADVICE r4 #3 — unreachable via _positions_by_doc, which
+        # drops whole docs, but the kernel stands alone)
+        if nxt is None or nxt.size == 0:
+            return None
+        nxt = nxt.astype(np.int64)
+        idx = np.searchsorted(nxt, last, side="right")
+        ok = keep & (idx < len(nxt))
+        last = np.where(ok, nxt[np.minimum(idx, len(nxt) - 1)], last)
+        keep = ok
+    return start, last, keep
+
+
 def phrase_filter_docs(
     candidate_docs: list[int],
     term_shard_rows: dict[str, list],
@@ -125,12 +175,9 @@ def phrase_filter_docs(
     shadow an updated doc's positions."""
     win = np.int64(slop + 1)
     wanted = np.unique(np.asarray(list(candidate_docs), dtype=np.int64))
-    per_term_pos: list[dict[int, np.ndarray]] = []
-    for t in ordered_terms:
-        merged: dict[int, np.ndarray] = {}
-        for row in term_shard_rows.get(t, []):
-            merged.update(_positions_by_doc(row, dead, wanted))
-        per_term_pos.append(merged)
+    per_term_pos = _merged_positions(
+        term_shard_rows, ordered_terms, dead, wanted
+    )
     if slop_mode == "lucene":
         # total-move budget (see lucene_slop_match); opt-in, so the
         # per-doc sweep loop is acceptable here — candidates are already
@@ -269,12 +316,9 @@ def span_near_filter_docs(
     position (pinned)."""
     k = len(ordered_terms)
     wanted = np.unique(np.asarray(list(candidate_docs), dtype=np.int64))
-    per_term_pos: list[dict[int, np.ndarray]] = []
-    for t in ordered_terms:
-        merged: dict[int, np.ndarray] = {}
-        for row in term_shard_rows.get(t, []):
-            merged.update(_positions_by_doc(row, dead, wanted))
-        per_term_pos.append(merged)
+    per_term_pos = _merged_positions(
+        term_shard_rows, ordered_terms, dead, wanted
+    )
     if not in_order:
         out = []
         for d in candidate_docs:
@@ -286,26 +330,10 @@ def span_near_filter_docs(
     budget = np.int64(slop + k - 1)
     out = []
     for d in candidate_docs:
-        start = per_term_pos[0].get(d)
-        if start is None or start.size == 0:
+        res = _ordered_chain(per_term_pos, d)
+        if res is None:
             continue
-        start = start.astype(np.int64)
-        last = start
-        keep = np.ones(len(start), dtype=bool)
-        for pmap in per_term_pos[1:]:
-            nxt = pmap.get(d)
-            # empty arrays guarded too: np.where evaluates both branches,
-            # so nxt[min(idx, len-1)] would index nxt[-1] on size 0
-            # (ADVICE r4 #3 — unreachable via _positions_by_doc, which
-            # drops whole docs, but the kernel stands alone)
-            if nxt is None or nxt.size == 0:
-                keep[:] = False
-                break
-            nxt = nxt.astype(np.int64)
-            idx = np.searchsorted(nxt, last, side="right")
-            ok = keep & (idx < len(nxt))
-            last = np.where(ok, nxt[np.minimum(idx, len(nxt) - 1)], last)
-            keep = ok
+        start, last, keep = res
         if keep.any() and np.any((last - start)[keep] <= budget):
             out.append(d)
     return out
@@ -382,34 +410,19 @@ def span_not_filter_docs(
     contract."""
     k = len(include_terms)
     wanted = np.unique(np.asarray(list(candidate_docs), dtype=np.int64))
-    per_term_pos: list[dict[int, np.ndarray]] = []
-    for t in include_terms:
-        merged: dict[int, np.ndarray] = {}
-        for row in term_shard_rows.get(t, []):
-            merged.update(_positions_by_doc(row, dead, wanted))
-        per_term_pos.append(merged)
-    excl: dict[int, np.ndarray] = {}
-    for row in term_shard_rows.get(exclude_term, []):
-        excl.update(_positions_by_doc(row, dead, wanted))
+    per_term_pos = _merged_positions(
+        term_shard_rows, include_terms, dead, wanted
+    )
+    [excl] = _merged_positions(
+        term_shard_rows, [exclude_term], dead, wanted
+    )
     budget = np.int64(slop + k - 1)
     out = []
     for d in candidate_docs:
-        start = per_term_pos[0].get(d)
-        if start is None or start.size == 0:
+        res = _ordered_chain(per_term_pos, d)
+        if res is None:
             continue
-        start = start.astype(np.int64)
-        last = start
-        keep = np.ones(len(start), dtype=bool)
-        for pmap in per_term_pos[1:]:
-            nxt = pmap.get(d)
-            if nxt is None or nxt.size == 0:
-                keep[:] = False
-                break
-            nxt = nxt.astype(np.int64)
-            idx = np.searchsorted(nxt, last, side="right")
-            ok = keep & (idx < len(nxt))
-            last = np.where(ok, nxt[np.minimum(idx, len(nxt) - 1)], last)
-            keep = ok
+        start, last, keep = res
         keep = keep & ((last - start) <= budget)
         if not keep.any():
             continue
@@ -441,9 +454,7 @@ def span_first_filter_docs(
     removal leaves gaps, catenated identifier tokens stack at
     posInc=0 — same space every phrase operator uses)."""
     wanted = np.unique(np.asarray(list(candidate_docs), dtype=np.int64))
-    merged: dict[int, np.ndarray] = {}
-    for row in term_shard_rows.get(term, []):
-        merged.update(_positions_by_doc(row, dead, wanted))
+    [merged] = _merged_positions(term_shard_rows, [term], dead, wanted)
     out = []
     for d in candidate_docs:
         p = merged.get(d)

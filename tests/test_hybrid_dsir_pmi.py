@@ -168,9 +168,17 @@ def test_dsir_resample_deterministic_and_temperature(spark):
         for r in sorted(w, key=lambda r: (-r["weight"], r["doc_id"]))[:3]
     ]
     assert sorted(r["doc_id"] for r in hard.collect()) == sorted(top3)
-    # a different salt redraws the gumbel noise
-    c = dsir_resample(docs, target, n=3, dim=32, salt="y").collect()
-    assert {r["doc_id"] for r in c} != set() # smoke; sets may or may not differ
+    # a different salt redraws the gumbel noise: same docs, different
+    # keys (keys are continuous, so any collision means salt was
+    # ignored)
+    keys_x = {r["doc_id"]: r["key"]
+              for r in dsir_resample(docs, docs, n=6, dim=32,
+                                     salt="x").collect()}
+    keys_y = {r["doc_id"]: r["key"]
+              for r in dsir_resample(docs, docs, n=6, dim=32,
+                                     salt="y").collect()}
+    assert set(keys_x) == set(keys_y)  # target==raw -> weight 0 for all
+    assert all(keys_x[d] != keys_y[d] for d in keys_x)
     # keys are weight + noise: with scale 0, key == weight
     for r in hard.collect():
         assert r["key"] == pytest.approx(r["weight"], abs=1e-6)

@@ -8,11 +8,12 @@ code revision."""
 from __future__ import annotations
 
 import hashlib
+import os
 import subprocess
 import sys
 import zipfile
 
-sys.path.insert(0, "tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 from package_pyfiles import build_zip  # noqa: E402
 
 

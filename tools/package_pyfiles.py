@@ -8,9 +8,10 @@ Then on any cluster:
 
     spark-submit --py-files dist/ckanext_extractor_spark.zip \
         your_job.py ...
-    # or drive the CLI itself:
+    # or drive the CLI itself (spark-submit has no `python -m`
+    # equivalent, so ship the 3-line wrapper as the primary resource):
     spark-submit --py-files dist/ckanext_extractor_spark.zip \
-        -m ckanext_extractor_spark.cli.main build --source ... --index ...
+        tools/submit_cli.py build --source ... --index ...
 
 Deterministic output: entries are added in sorted order with a fixed
 timestamp, so the same tree always produces byte-identical artifacts
