@@ -6109,6 +6109,93 @@ ORDER BY r.score DESC, r.doc_id ASC
 _PAIRS["q144_span_not"] = ("", _SPAN_NOT_DUCK)
 
 
+# -- PRF: pseudo-relevance-feedback query expansion (Rocchio) ---------------
+def _q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blind-feedback expansion through the REAL engine: 'vector' top-5
+    docs mined for their 3 most interesting non-query terms (MLT
+    ClassicSimilarity score, df >= 2), then one disjunctive pass scored
+    BM25(vector) + 0.5 * BM25(expansion) via the boost_postings idf
+    rewrite. Top-15 of the FULL expanded match set (expansion-only docs
+    admitted, per Rocchio). Boundary scores checked distinct at both
+    SFs so the feedback set is tie-robust across engines."""
+    import tempfile
+
+    from ckanext_extractor_spark.analysis.tokenizer import SIMPLE_CONFIG
+    from ckanext_extractor_spark.api import ExtractorEngine
+    from ckanext_extractor_spark.sources.corpus_source import (
+        documents_as_corpus,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_prf_")
+    eng = ExtractorEngine(
+        spark, root, n_buckets=8, salt_threshold=100_000,
+        analyzer=SIMPLE_CONFIG, store_content=True,
+    )
+    eng.extract(corpus, build_id="entry-prf")
+    hits = eng.prf_search("vector", k=10**9, fb_docs=5, fb_terms=3,
+                          expand_boost=0.5, min_doc_freq=2)
+    pmap = {
+        int(r["doc_id"]): int(r["path"].split("/", 1)[1])
+        for r in spark.read.parquet(eng._p("doc_stats"))
+        .select("doc_id", "path").collect()
+    }
+    ranked = sorted(
+        ((pmap[d], s) for d, s in hits),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )[:15]
+    return spark.createDataFrame(
+        [(int(d), float(round(s, 4))) for d, s in ranked],
+        "doc_id long, score double",
+    )
+
+
+_PRF_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM (SELECT d.doc_id, COALESCE(dl.doc_len, 0) AS doc_len
+        FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) x),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+init AS (SELECT doc_id FROM (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / s.avgdl))
+           AS score
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s WHERE tf.term = 'vector')
+  ORDER BY score DESC, doc_id ASC LIMIT 5),
+fbtf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS tfs FROM tf
+  WHERE doc_id IN (SELECT doc_id FROM init) AND term <> 'vector'
+  GROUP BY term),
+exp AS (SELECT term FROM (
+  SELECT f.term, f.tfs * (1.0 + ln(s.n_docs / (df.df + 1.0))) AS sc
+  FROM fbtf f JOIN df ON f.term = df.term CROSS JOIN stats s
+  WHERE df.df >= 2)
+  ORDER BY sc DESC, term ASC LIMIT 3),
+weights AS (SELECT 'vector' AS term, 1.0 AS w
+            UNION ALL SELECT term, 0.5 FROM exp),
+scored AS (
+  SELECT tf.doc_id,
+         w.w * ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / s.avgdl))
+           AS c
+  FROM tf JOIN weights w ON tf.term = w.term
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s)
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT doc_id, sum(c) AS score FROM scored GROUP BY doc_id) r
+ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 15
+"""
+_PAIRS["q145_prf_search"] = ("", _PRF_DUCK)
+
+
 # -- hybrid retrieval: RRF fusion of BM25 + embedding-cosine lists ----------
 _DENSE_LEG = (
     "WITH q AS (SELECT {cast} AS qv FROM embeddings WHERE vec_id = 0), "
@@ -6373,6 +6460,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_dsir_select": _q_dsir_select,
     "q143_pmi_pairs": _q_pmi_pairs,
     "q144_span_not": _q_span_not,
+    "q145_prf_search": _q_prf_search,
 }
 
 

@@ -3772,6 +3772,206 @@ class ExtractorEngine:
         scored = self._mlt_terms(doc_id, min_term_freq, min_doc_freq)
         return [(t, s) for s, t in scored[:max_query_terms]]
 
+    def _prf_terms(
+        self,
+        feedback_ids: list[int],
+        exclude_terms: set,
+        fb_terms: int,
+        min_doc_freq: int,
+    ) -> list[tuple[str, float]]:
+        """Expansion-term selection for :meth:`prf_search`: the
+        feedback docs' stored fulltexts re-analyzed with the index
+        chain (ONE doc-store fetch for all of them), per-term tf summed
+        across the feedback set, original query terms excluded,
+        ranked by ``tf_sum * (1 + ln(N / (df + 1)))`` (the same
+        ClassicSimilarity interestingness as :meth:`_mlt_terms`, ties
+        term-asc). Returns the top ``fb_terms`` as [(term, score)]."""
+        if not self.store_content:
+            raise ValidationError(
+                "prf_search requires store_content=True (feedback docs' "
+                "fulltext is re-analyzed, as Lucene MLT does)"
+            )
+        rows = self._doc_store_rows(feedback_ids)
+        if not rows:
+            return []
+        import math
+
+        import pandas as pd
+
+        from ckanext_extractor_spark.analysis.tokenizer import analyze_batch
+
+        ids = [int(r["doc_id"]) for r in rows]
+        langs = None
+        ds = self._read_or_none("doc_stats")
+        if ds is not None and "lang" in ds.columns:
+            lmap = {
+                int(r["doc_id"]): r["lang"]
+                for r in ds.where(F.col("doc_id").isin(ids))
+                .select("doc_id", "lang").collect()
+            }
+            langs = pd.Series([lmap.get(i) for i in ids])
+        toks = analyze_batch(
+            pd.Series([r["content"] for r in rows]), langs, self.analyzer
+        )
+        if toks.empty:
+            return []
+        vc = toks["term"].value_counts()
+        cand = [
+            str(t) for t in vc.index if str(t) not in exclude_terms
+        ]
+        if not cand:
+            return []
+        dfm = self._df_for_terms(cand)
+        n = float(self.corpus_stats()["n_docs"])
+        scored = []
+        for t in cand:
+            d = dfm.get(t, 0)
+            if d < min_doc_freq:
+                continue
+            scored.append(
+                (float(vc[t]) * (1.0 + math.log(n / (d + 1.0))), t)
+            )
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return [(t, s) for s, t in scored[:fb_terms]]
+
+    def prf_search(
+        self,
+        query: str,
+        k: int = 10,
+        fb_docs: int = 5,
+        fb_terms: int = 10,
+        expand_boost: float = 0.5,
+        min_doc_freq: int = 2,
+    ) -> list[tuple[int, float]]:
+        """Pseudo-relevance feedback (Rocchio-style blind feedback —
+        the classic automatic query expansion): run the disjunctive
+        BM25 query, treat the top ``fb_docs`` hits as relevant, mine
+        their most interesting terms (MLT selection score, original
+        query terms excluded), and re-score with the expanded query
+
+            score(d) = BM25(d, query) + expand_boost * BM25(d, expansion)
+
+        i.e. every expansion term enters the disjunction with its idf
+        scaled by ``expand_boost`` (the Rocchio beta; implemented with
+        the same ``boost_postings`` rewrite the ``term^boost`` surface
+        uses, so scores stay kernel-exact). Docs matching ONLY
+        expansion terms are admitted — the expanded query IS the query,
+        per Rocchio. Requires ``store_content=True``. Returns
+        [(doc_id, score)] ranked (score desc, doc_id asc).
+
+        The retrieval tail auto-routes exact/MaxScore like
+        :meth:`search`; nothing materializes beyond top-k."""
+        from ckanext_extractor_spark.operators.wand import (
+            boost_postings,
+            exact_topk,
+            maxscore_topk,
+        )
+
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        for name, v in (("fb_docs", fb_docs), ("fb_terms", fb_terms),
+                        ("min_doc_freq", min_doc_freq)):
+            if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                raise ValidationError(
+                    f"{name} must be a positive integer, got {v!r}"
+                )
+        if not isinstance(expand_boost, (int, float)) \
+                or isinstance(expand_boost, bool) or expand_boost < 0:
+            raise ValidationError(
+                f"expand_boost must be a non-negative number, got "
+                f"{expand_boost!r}"
+            )
+        qterms = list(dict.fromkeys(analyze_query(
+            query, config=query_config_for(self.analyzer)
+        )))
+        if not qterms:
+            return []
+        initial = self.search(query, k=fb_docs, conjunctive=False)
+        if not initial:
+            return []
+        expansion = self._prf_terms(
+            [d for d, _ in initial], set(qterms), fb_terms, min_doc_freq
+        )
+        st = self.corpus_stats()
+        tls = [
+            tp for tp in self._term_postings(qterms, st)
+            if len(tp.doc_ids)
+        ]
+        if expansion and expand_boost > 0:
+            tls += [
+                boost_postings(tp, float(expand_boost))
+                for tp in self._term_postings(
+                    [t for t, _ in expansion], st
+                )
+                if len(tp.doc_ids)
+            ]
+        if not tls:
+            return []
+        fn = (
+            maxscore_topk
+            if sum(len(tp.doc_ids) for tp in tls) > self.MAXSCORE_AUTO_ROWS
+            else exact_topk
+        )
+        return fn(tls, k, st["avgdl"], conjunctive=False)
+
+    def hybrid_search(
+        self,
+        query: str,
+        dense_hits: list,
+        k: int = 10,
+        rrf_k: int = 60,
+        lexical_k: int = 100,
+        lexical_weight: float = 1.0,
+        dense_weight: float = 1.0,
+    ) -> list[tuple[int, float]]:
+        """Hybrid retrieval at the engine surface: fuse this index's
+        disjunctive BM25 top-``lexical_k`` with a caller-provided dense
+        (ANN) result list via reciprocal-rank fusion —
+
+            rrf(d) = w_lex/(rrf_k + rank_lex(d)) + w_dense/(rrf_k + rank_dense(d))
+
+        (Cormack SIGIR'09; rrf_k=60, the Elasticsearch default; a doc
+        missing from one list contributes nothing for it). Both lists
+        rank by (ROUND(score, 6) DESC, doc_id ASC) — the repo's pinned
+        tie-break — so fusion is deterministic. ``dense_hits`` is
+        [(doc_id, score)] from any vector system (e.g.
+        ``functions.similarity.ivf_topk`` collected, or an external
+        ANN service); the DataFrame-scale twin is
+        ``functions.hybrid.hybrid_topk``. Returns [(doc_id,
+        rrf_score)] rounded to 6, ranked (rrf desc, doc_id asc)."""
+        self._check_access("extractor_search")
+        _require_query(query)
+        _require_k(k)
+        _require_k(lexical_k)
+        if isinstance(rrf_k, bool) or not isinstance(rrf_k, int) \
+                or rrf_k < 1:
+            raise ValidationError(
+                f"rrf_k must be a positive integer, got {rrf_k!r}"
+            )
+        if not isinstance(dense_hits, list) or any(
+            not isinstance(h, (tuple, list)) or len(h) != 2
+            for h in dense_hits
+        ):
+            raise ValidationError(
+                "dense_hits must be a list of (doc_id, score) pairs"
+            )
+        lex = self.search(query, k=lexical_k, conjunctive=False)
+        fused: dict[int, float] = {}
+        for w, hits in ((float(lexical_weight), lex),
+                        (float(dense_weight), dense_hits)):
+            ranked = sorted(
+                ((int(d), float(s)) for d, s in hits),
+                key=lambda x: (-round(x[1], 6), x[0]),
+            )
+            for rank, (d, _) in enumerate(ranked, start=1):
+                fused[d] = fused.get(d, 0.0) + w / (rrf_k + rank)
+        out = sorted(
+            ((d, round(s, 6)) for d, s in fused.items()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return out[:k]
+
     def _fq_match_df(self, fq: dict[str, str] | None) -> DataFrame | None:
         """doc_id DataFrame matching ALL fq clauses (Solr filter-query
         semantics: each ``{field: value_query}`` is an unscored AND over

@@ -28,6 +28,8 @@ def _engine(args) -> ExtractorEngine:
         args.index,
         indexed_langs=tuple(args.langs) if getattr(args, "langs", None) else ("*",),
         n_buckets=getattr(args, "buckets", 64),
+        store_content=getattr(args, "store_content", False),
+        store_offsets=getattr(args, "store_offsets", False),
     )
 
 
@@ -273,6 +275,10 @@ def cmd_query(args) -> int:
         hits = eng.phonetic_search(args.q, k=args.k)
     elif args.span_first is not None:
         hits = eng.span_first_search(args.q, end=args.span_first, k=args.k)
+    elif args.prf:
+        hits = eng.prf_search(args.q, k=args.k, fb_docs=args.fb_docs,
+                              fb_terms=args.fb_terms,
+                              expand_boost=args.expand_boost)
     elif args.span_not is not None:
         if args.span_near:
             raise SystemExit("--span-not and --span-near are distinct "
@@ -772,6 +778,15 @@ def main(argv=None) -> int:
     b.add_argument("--build-id", default=None)
     b.add_argument("--langs", nargs="*", default=None)
     b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--store-content", dest="store_content",
+                   action="store_true",
+                   help="keep a doc_store table (fulltext per doc) — "
+                        "required by query --snippets / --prf and "
+                        "mlt/more-like-this")
+    b.add_argument("--store-offsets", dest="store_offsets",
+                   action="store_true",
+                   help="store character offsets alongside positions "
+                        "(exact highlight windows)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k search")
@@ -798,6 +813,19 @@ def main(argv=None) -> int:
     q.add_argument("--phonetic", action="store_true",
                    help="match terms that SOUND like --q (classic "
                         "Soundex, Solr PhoneticFilter analog)")
+    q.add_argument("--prf", action="store_true",
+                   help="pseudo-relevance feedback: expand --q with the "
+                        "most interesting terms of its own top hits "
+                        "(Rocchio blind feedback; needs an index built "
+                        "with --store-content)")
+    q.add_argument("--fb-docs", dest="fb_docs", type=int, default=5,
+                   help="--prf: feedback depth (top docs mined)")
+    q.add_argument("--fb-terms", dest="fb_terms", type=int, default=10,
+                   help="--prf: expansion terms added")
+    q.add_argument("--expand-boost", dest="expand_boost", type=float,
+                   default=0.5,
+                   help="--prf: weight on expansion-term BM25 "
+                        "(Rocchio beta)")
     q.add_argument("--span-near", dest="span_near", action="store_true",
                    help="SpanNearQuery over --q's terms with total gap "
                         "budget --span-slop (ordered unless "
