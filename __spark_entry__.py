@@ -6109,6 +6109,101 @@ ORDER BY r.score DESC, r.doc_id ASC
 _PAIRS["q144_span_not"] = ("", _SPAN_NOT_DUCK)
 
 
+# -- passage retrieval: chunk-level BM25 + per-doc collapse (RAG shape) -----
+def _q_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-passage retrieval: BM25 over 32-token windows (stride 24)
+    for 'spark join', collapsed to each doc's single best passage,
+    global top-20 — the real shuffle-light plan (per-chunk tf via
+    higher-order array filters, one stats aggregate broadcast back, one
+    per-doc window)."""
+    from ckanext_extractor_spark.functions.passage import passage_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return passage_topk(
+        docs, ["spark", "join"], size=32, overlap=8, k=20, per_doc=1
+    )
+
+
+_PASSAGE_DUCK = """
+WITH t AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS toks
+  FROM documents),
+c AS (SELECT doc_id,
+  CAST(start / 24 AS BIGINT) AS chunk_id,
+  CAST(least(32, len(toks) - start) AS BIGINT) AS n_tokens,
+  list_slice(toks, start + 1, start + 32) AS w
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        FROM t WHERE len(toks) > 0)),
+f AS (SELECT doc_id, chunk_id, n_tokens,
+  CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+  CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1
+  FROM c),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+  avg(CAST(n_tokens AS DOUBLE)) AS avgdl,
+  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+  FROM f),
+sc AS (SELECT doc_id, chunk_id, n_tokens,
+  (CASE WHEN tf0 > 0 THEN
+     ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+     * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * n_tokens / s.avgdl))
+   ELSE 0.0 END
+   + CASE WHEN tf1 > 0 THEN
+     ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+     * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * n_tokens / s.avgdl))
+   ELSE 0.0 END) AS s
+  FROM f CROSS JOIN stats s WHERE tf0 > 0 OR tf1 > 0),
+best AS (SELECT * FROM (
+  SELECT doc_id, chunk_id, n_tokens, s,
+    row_number() OVER (PARTITION BY doc_id
+      ORDER BY ROUND(s, 6) DESC, chunk_id ASC) AS rn
+  FROM sc) WHERE rn = 1)
+SELECT doc_id, chunk_id, n_tokens, ROUND(s, 4) AS score FROM best
+ORDER BY ROUND(s, 4) DESC, doc_id ASC, chunk_id ASC LIMIT 20
+"""
+_PAIRS["q146_passage_topk"] = ("", _PASSAGE_DUCK)
+
+
+# -- count-min sketch: fixed-memory term counts, engine-portable ------------
+def _q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates (width 512, depth 3, md5-row hashes)
+    for a fixed probe set incl. an absent term — every sketch cell is
+    engine-reproducible, so DuckDB rebuilds the identical sketch and
+    the estimates hash-match exactly."""
+    from ckanext_extractor_spark.functions.sketch import (
+        cms_build,
+        cms_query,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = cms_build(docs, width=512, depth=3)
+    return cms_query(
+        sk, ["spark", "join", "merge", "window", "hash", "zzznope"],
+        width=512, depth=3,
+    )
+
+
+_CMS_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+cells AS (SELECT r.rw AS row,
+  {DUCK_H60.format(x="'cms' || CAST(r.rw AS VARCHAR) || '#' || term")}
+    % 512 AS cell
+  FROM tok CROSS JOIN range(3) r(rw)),
+sk AS (SELECT row, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+probe AS (SELECT t.term, r.rw AS row,
+  {DUCK_H60.format(x="'cms' || CAST(r.rw AS VARCHAR) || '#' || t.term")}
+    % 512 AS cell
+  FROM (VALUES ('spark'), ('join'), ('merge'), ('window'), ('hash'),
+        ('zzznope')) t(term)
+  CROSS JOIN range(3) r(rw))
+SELECT p.term, CAST(min(COALESCE(sk.c, 0)) AS BIGINT) AS est
+FROM probe p LEFT JOIN sk ON p.row = sk.row AND p.cell = sk.cell
+GROUP BY p.term ORDER BY p.term
+"""
+_PAIRS["q147_cms_estimates"] = ("", _CMS_DUCK)
+
+
 # -- PRF: pseudo-relevance-feedback query expansion (Rocchio) ---------------
 def _q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blind-feedback expansion through the REAL engine: 'vector' top-5
@@ -6461,6 +6556,8 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q143_pmi_pairs": _q_pmi_pairs,
     "q144_span_not": _q_span_not,
     "q145_prf_search": _q_prf_search,
+    "q146_passage_topk": _q_passage_topk,
+    "q147_cms_estimates": _q_cms_estimates,
 }
 
 

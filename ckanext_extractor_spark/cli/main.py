@@ -555,6 +555,7 @@ _PIPELINE_OPS = (
     "srp", "srp-bits", "pq-encode", "srp-neardup",
     "winnow", "fp-candidates", "bigram-ppl", "group-quota", "curate",
     "pmi", "dsir-weights", "dsir-select", "rrf-fuse",
+    "passage", "cms-build", "cms-query",
 )
 
 
@@ -724,6 +725,25 @@ def _pipeline_apply(df, a):
             df, tgt, n=a.n_select, dim=a.dim,
             gumbel_scale=a.gumbel_scale, salt=a.salt,
             text_col=t, id_col=i)
+    if op == "passage":
+        from ckanext_extractor_spark.functions import passage
+        if not a.terms:
+            raise SystemExit("passage needs --terms T1,T2,...")
+        return passage.passage_topk(
+            df, a.terms.split(","), size=a.size or 64,
+            overlap=a.overlap, k=a.k, per_doc=a.per_doc,
+            text_col=t, id_col=i)
+    if op == "cms-build":
+        from ckanext_extractor_spark.functions import sketch
+        return sketch.cms_build(df, width=a.width, depth=a.depth,
+                                text_col=t)
+    if op == "cms-query":
+        from ckanext_extractor_spark.functions import sketch
+        if not a.terms:
+            raise SystemExit("cms-query needs --terms T1,T2,... "
+                             "(--in is the cms-build sketch parquet)")
+        return sketch.cms_query(df, a.terms.split(","),
+                                width=a.width, depth=a.depth)
     if op == "rrf-fuse":
         from ckanext_extractor_spark.functions import hybrid
         if a.text_col is not None:
@@ -1367,6 +1387,17 @@ def main(argv=None) -> int:
                     default=1.0,
                     help="weight on the --second list's contribution "
                          "(rrf-fuse)")
+    pl.add_argument("--terms", default=None,
+                    help="comma-separated query/probe terms "
+                         "(passage / cms-query)")
+    pl.add_argument("--per-doc", dest="per_doc", type=int, default=1,
+                    help="passage: best passages kept per document")
+    pl.add_argument("--width", type=int, default=1024,
+                    help="count-min sketch cells per hash row "
+                         "(cms-build / cms-query — must match)")
+    pl.add_argument("--depth", type=int, default=4,
+                    help="count-min sketch hash rows "
+                         "(cms-build / cms-query — must match)")
     pl.add_argument("--lam", type=float, default=0.75,
                     help="bigram-ppl interpolation weight on the "
                          "bigram term (Jelinek-Mercer lambda)")
