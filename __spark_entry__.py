@@ -6204,6 +6204,85 @@ GROUP BY p.term ORDER BY p.term
 _PAIRS["q147_cms_estimates"] = ("", _CMS_DUCK)
 
 
+# -- HyperLogLog: fixed-memory distinct-count sketch ------------------------
+_HLL_ALPHA_512 = 0.7213 / (1.0 + 1.079 / 512)
+
+
+def _q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-token estimate (p=9, m=512) — registers are pure
+    integer/md5 arithmetic (shiftright + bin-length rho), so DuckDB
+    rebuilds the identical register table and the estimator (incl. the
+    small-range linear-counting branch) hash-matches."""
+    from ckanext_extractor_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hll_estimate(hll_registers(docs, p=9), p=9)
+
+
+_HLL_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+h AS (SELECT {DUCK_H60.format(x='term')} AS hv FROM tok),
+r AS (SELECT hv % 512 AS register,
+  CASE WHEN (hv >> 9) > 0
+       THEN 51 - (length(bin(hv >> 9)) - 1) ELSE 52 END AS rho
+  FROM h),
+regs AS (SELECT register, max(rho) AS max_rho FROM r GROUP BY 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS nz,
+  sum(power(2.0, -max_rho)) AS s FROM regs),
+est AS (SELECT 512 - nz AS n_empty,
+  CAST({_HLL_ALPHA_512!r} AS DOUBLE) * 512.0 * 512.0
+    / (s + CAST(512 - nz AS DOUBLE)) AS raw
+  FROM agg)
+SELECT CAST(512 AS BIGINT) AS m, CAST(n_empty AS BIGINT) AS n_empty,
+  ROUND(CASE WHEN raw <= 1280.0 AND n_empty > 0
+             THEN 512.0 * ln(512.0 / CAST(n_empty AS DOUBLE))
+             ELSE raw END, 4) AS estimate
+FROM est
+"""
+_PAIRS["q148_hll_estimate"] = ("", _HLL_DUCK)
+
+
+# -- Bloom filter: fixed-memory set membership ------------------------------
+def _q_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership (4096 bits, 3 md5-row hashes) for present and
+    absent probes — the set-bit table is engine-reproducible, so the
+    all-k-bits-set verdicts hash-match exactly."""
+    from ckanext_extractor_spark.functions.sketch import (
+        bloom_build,
+        bloom_query,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bl = bloom_build(docs, m_bits=4096, k_hashes=3)
+    return bloom_query(
+        bl, ["spark", "join", "merge", "zzznope", "qqq"], 4096, 3
+    )
+
+
+_BLOOM_DUCK = f"""
+WITH tok AS ({DUCK_TOK}),
+bits AS (SELECT DISTINCT
+  {DUCK_H60.format(x="'bf' || CAST(r.rw AS VARCHAR) || '#' || term")}
+    % 4096 AS bit
+  FROM tok CROSS JOIN range(3) r(rw)),
+probe AS (SELECT t.term, r.rw,
+  {DUCK_H60.format(x="'bf' || CAST(r.rw AS VARCHAR) || '#' || t.term")}
+    % 4096 AS bit
+  FROM (VALUES ('spark'), ('join'), ('merge'), ('zzznope'), ('qqq'))
+    t(term)
+  CROSS JOIN range(3) r(rw))
+SELECT p.term,
+  CAST(sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 3 AS BOOLEAN)
+    AS maybe_present
+FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+GROUP BY p.term ORDER BY p.term
+"""
+_PAIRS["q149_bloom_query"] = ("", _BLOOM_DUCK)
+
+
 # -- PRF: pseudo-relevance-feedback query expansion (Rocchio) ---------------
 def _q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blind-feedback expansion through the REAL engine: 'vector' top-5
@@ -6558,6 +6637,8 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_prf_search": _q_prf_search,
     "q146_passage_topk": _q_passage_topk,
     "q147_cms_estimates": _q_cms_estimates,
+    "q148_hll_estimate": _q_hll_estimate,
+    "q149_bloom_query": _q_bloom_query,
 }
 
 

@@ -556,6 +556,7 @@ _PIPELINE_OPS = (
     "winnow", "fp-candidates", "bigram-ppl", "group-quota", "curate",
     "pmi", "dsir-weights", "dsir-select", "rrf-fuse",
     "passage", "cms-build", "cms-query",
+    "hll", "bloom-build", "bloom-query",
 )
 
 
@@ -744,6 +745,21 @@ def _pipeline_apply(df, a):
                              "(--in is the cms-build sketch parquet)")
         return sketch.cms_query(df, a.terms.split(","),
                                 width=a.width, depth=a.depth)
+    if op == "hll":
+        from ckanext_extractor_spark.functions import sketch
+        return sketch.hll_estimate(
+            sketch.hll_registers(df, p=a.hll_p, text_col=t), p=a.hll_p)
+    if op == "bloom-build":
+        from ckanext_extractor_spark.functions import sketch
+        return sketch.bloom_build(df, m_bits=a.m_bits,
+                                  k_hashes=a.k_hashes, text_col=t)
+    if op == "bloom-query":
+        from ckanext_extractor_spark.functions import sketch
+        if not a.terms:
+            raise SystemExit("bloom-query needs --terms T1,T2,... "
+                             "(--in is the bloom-build bit parquet)")
+        return sketch.bloom_query(df, a.terms.split(","),
+                                  m_bits=a.m_bits, k_hashes=a.k_hashes)
     if op == "rrf-fuse":
         from ckanext_extractor_spark.functions import hybrid
         if a.text_col is not None:
@@ -1398,6 +1414,14 @@ def main(argv=None) -> int:
     pl.add_argument("--depth", type=int, default=4,
                     help="count-min sketch hash rows "
                          "(cms-build / cms-query — must match)")
+    pl.add_argument("--hll-p", dest="hll_p", type=int, default=9,
+                    help="HLL precision: 2^p registers (hll)")
+    pl.add_argument("--m-bits", dest="m_bits", type=int, default=8192,
+                    help="bloom filter bits (bloom-build / bloom-query "
+                         "— must match)")
+    pl.add_argument("--k-hashes", dest="k_hashes", type=int, default=4,
+                    help="bloom hash functions (bloom-build / "
+                         "bloom-query — must match)")
     pl.add_argument("--lam", type=float, default=0.75,
                     help="bigram-ppl interpolation weight on the "
                          "bigram term (Jelinek-Mercer lambda)")

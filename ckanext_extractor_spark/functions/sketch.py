@@ -125,3 +125,150 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return allr.groupBy("row", "cell").agg(
         F.sum("count").alias("count")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — fixed-memory DISTINCT counts (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+def hll_registers(
+    df: DataFrame,
+    p: int = 9,
+    text_col: str = "text",
+) -> DataFrame:
+    """HLL register table (register, max_rho) over the token stream —
+    one explode + one hash aggregate, bounded at m = 2^p rows whatever
+    the corpus size (only NON-ZERO registers emitted).
+
+    Register index = h60(term) % m; rho = leading-zero rank of the
+    remaining (60 - p) bits + 1, computed with integer/string ops only
+    (``length(bin(w))``, identical in Spark and DuckDB) so the whole
+    register table is engine-reproducible — no floats until the
+    estimator. Duplicate tokens hash identically, so max() sees
+    distinct values by construction (no pre-distinct shuffle needed)."""
+    if isinstance(p, bool) or not isinstance(p, int) or not 4 <= p <= 18:
+        raise ValueError(f"p must be an int in [4, 18], got {p!r}")
+    m = 1 << p
+    h = _h60(F.col("_t"))
+    # exact integer shift — `h / m` would be DOUBLE division and lose
+    # the low bits of a 60-bit hash (doubles are exact only to 2^53)
+    w = F.shiftright(h, p)  # the remaining 60 - p bits
+    rho = F.when(
+        w > 0,
+        F.lit(60 - p) - (F.length(F.bin(w)) - 1)
+    ).otherwise(F.lit(60 - p + 1))
+    return (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("_t"))
+        .select((h % F.lit(m)).alias("register"), rho.alias("_rho"))
+        .groupBy("register")
+        .agg(F.max("_rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 9,
+) -> DataFrame:
+    """Distinct-count estimate from an :func:`hll_registers` table:
+    one row (m, n_empty, estimate) with the standard estimator
+    alpha_m * m^2 / sum(2^-M_j) and the small-range linear-counting
+    correction (E <= 2.5m and empty registers present ->
+    m * ln(m / n_empty)). Estimate rounded to 4 decimals. Register
+    tables are mergeable with a max-aggregate (HLL is a lattice):
+    ``a.unionByName(b).groupBy("register").agg(max("max_rho"))``."""
+    if isinstance(p, bool) or not isinstance(p, int) or not 4 <= p <= 18:
+        raise ValueError(f"p must be an int in [4, 18], got {p!r}")
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m >= 64:
+        alpha = 0.709
+    elif m >= 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    agg = registers.agg(
+        F.count("*").cast("long").alias("_nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+    )
+    n_empty = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + n_empty.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (n_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        n_empty.cast("long").alias("n_empty"),
+        F.round(est, 4).alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — fixed-memory set membership (Bloom 1970)
+# ---------------------------------------------------------------------------
+
+def bloom_build(
+    df: DataFrame,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Set-bit table (bit) for the corpus's DISTINCT tokens: k md5-row
+    hashes per token (``h60("bf{i}#" || term) % m_bits`` — the same
+    portable family as the CMS rows), one explode + one distinct
+    aggregate, bounded at m_bits rows. False positives only, never
+    false negatives; bloom filters OR-merge (union + distinct)."""
+    _check_shape(m_bits, k_hashes)
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("_t"))
+    rows = [
+        toks.select(
+            (_h60(F.concat(F.lit(f"bf{i}#"), F.col("_t")))
+             % F.lit(m_bits)).alias("bit")
+        )
+        for i in range(k_hashes)
+    ]
+    allr = rows[0]
+    for r in rows[1:]:
+        allr = allr.unionByName(r)
+    return allr.distinct()
+
+
+def bloom_query(
+    bloom: DataFrame,
+    terms: Sequence[str],
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """(term, maybe_present): true iff ALL k of the term's bits are
+    set (possibly-present — false positives possible at the standard
+    (1 - e^-kn/m)^k rate; false = definitely absent). The bloom side
+    is at most m_bits rows -> broadcast lookup join."""
+    _check_shape(m_bits, k_hashes)
+    ts = list(dict.fromkeys(terms))
+    if not ts or any(not isinstance(t, str) or not t for t in ts):
+        raise ValueError(f"terms must be non-empty strings, got {terms!r}")
+    spark = bloom.sparkSession
+    probe = spark.createDataFrame(
+        [(t, i) for t in ts for i in range(k_hashes)],
+        "term string, hidx int",
+    )
+    bit = F.lit(None).cast("long")
+    for i in range(k_hashes):
+        bit = F.when(
+            F.col("hidx") == i,
+            _h60(F.concat(F.lit(f"bf{i}#"), F.col("term")))
+            % F.lit(m_bits),
+        ).otherwise(bit)
+    probe = probe.withColumn("bit", bit)
+    joined = probe.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return (
+        joined.groupBy("term")
+        .agg(
+            (F.sum(F.coalesce("_set", F.lit(0)))
+             == F.countDistinct("hidx")).alias("maybe_present")
+        )
+        .orderBy("term")
+    )

@@ -191,3 +191,152 @@ def test_cli_passage_and_cms(spark, tmp_path, capsys):
         main(["pipeline", "passage", "--in", src])
     with _pt.raises(SystemExit):
         main(["pipeline", "cms-query", "--in", sk])
+
+
+# ------------------------------------------------------- HLL / Bloom
+
+
+def _h60py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_hll_registers_match_python(spark):
+    docs = _docs(spark)
+    p = 6
+    got = {r["register"]: r["max_rho"]
+           for r in __import__("ckanext_extractor_spark.functions.sketch",
+                               fromlist=["hll_registers"])
+           .hll_registers(docs, p=p).collect()}
+    want = {}
+    toks = []
+    for r in docs.collect():
+        toks += [t for t in r["text"].lower().split() if t]
+    for t in set(toks):
+        h = _h60py(t)
+        reg, w = h % (1 << p), h >> p
+        rho = (60 - p) - (w.bit_length() - 1) if w > 0 else 60 - p + 1
+        want[reg] = max(want.get(reg, 0), rho)
+    assert got == want
+
+
+def test_hll_estimate_accuracy_and_small_range(spark):
+    import math
+
+    from ckanext_extractor_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    # 2000 distinct tokens, p=9 -> relative error ~1.04/sqrt(512) ≈ 4.6%
+    big = spark.range(2000).selectExpr(
+        "concat('tok', id) AS text"
+    )
+    est = hll_estimate(hll_registers(big, p=9), p=9).collect()[0]
+    assert abs(est["estimate"] - 2000) / 2000 < 0.15
+    # tiny corpus -> linear counting: estimate == m * ln(m / n_empty)
+    small = _docs(spark)
+    row = hll_estimate(hll_registers(small, p=9), p=9).collect()[0]
+    m, v = row["m"], row["n_empty"]
+    assert v > 0
+    assert row["estimate"] == round(m * math.log(m / v), 4)
+
+
+def test_hll_merge_is_register_max(spark):
+    from pyspark.sql import functions as F
+
+    from ckanext_extractor_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = _docs(spark)
+    a = hll_registers(docs.where("doc_id < 2"), p=8)
+    b = hll_registers(docs.where("doc_id >= 2"), p=8)
+    merged = a.unionByName(b).groupBy("register").agg(
+        F.max("max_rho").cast("int").alias("max_rho"))
+    whole = hll_registers(docs, p=8)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    assert hll_estimate(merged, p=8).collect() == \
+        hll_estimate(whole, p=8).collect()
+
+
+def test_hll_validation(spark):
+    from ckanext_extractor_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        hll_registers(docs, p=3)
+    with pytest.raises(ValueError):
+        hll_estimate(hll_registers(docs, p=8), p=19)
+
+
+def test_bloom_no_false_negatives_and_python_parity(spark):
+    from ckanext_extractor_spark.functions.sketch import (
+        bloom_build,
+        bloom_query,
+    )
+
+    docs = _docs(spark)
+    m_bits, kh = 256, 3
+    bl = bloom_build(docs, m_bits=m_bits, k_hashes=kh)
+    bits = {r["bit"] for r in bl.collect()}
+    toks = set()
+    for r in docs.collect():
+        toks |= {t for t in r["text"].lower().split() if t}
+    want_bits = {
+        _h60py(f"bf{i}#{t}") % m_bits for t in toks for i in range(kh)
+    }
+    assert bits == want_bits
+    got = {r["term"]: r["maybe_present"]
+           for r in bloom_query(bl, sorted(toks) + ["nope1", "nope2"],
+                                m_bits, kh).collect()}
+    for t in toks:
+        assert got[t] is True  # never a false negative
+    for t in ("nope1", "nope2"):
+        want = all(
+            _h60py(f"bf{i}#{t}") % m_bits in bits for i in range(kh)
+        )
+        assert got[t] is want  # matches the exact bit test
+
+
+def test_bloom_merge_is_union(spark):
+    from ckanext_extractor_spark.functions.sketch import bloom_build
+
+    docs = _docs(spark)
+    a = bloom_build(docs.where("doc_id < 2"), m_bits=128, k_hashes=2)
+    b = bloom_build(docs.where("doc_id >= 2"), m_bits=128, k_hashes=2)
+    merged = a.unionByName(b).distinct()
+    whole = bloom_build(docs, m_bits=128, k_hashes=2)
+    assert sorted(r["bit"] for r in merged.collect()) == \
+        sorted(r["bit"] for r in whole.collect())
+
+
+def test_cli_hll_and_bloom(spark, tmp_path, capsys):
+    import json
+
+    from ckanext_extractor_spark.cli.main import main
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    src = str(tmp_path / "d2.parquet")
+    _docs(spark).write.parquet(src)
+    s = run("pipeline", "hll", "--in", src, "--hll-p", "8")
+    assert s["rows_out"] == 1
+    assert set(s["columns"]) == {"m", "n_empty", "estimate"}
+    bl = str(tmp_path / "bl.parquet")
+    run("pipeline", "bloom-build", "--in", src, "--m-bits", "256",
+        "--k-hashes", "2", "--out", bl)
+    s2 = run("pipeline", "bloom-query", "--in", bl, "--terms",
+             "alpha,nope", "--m-bits", "256", "--k-hashes", "2")
+    assert s2["rows_out"] == 2
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["pipeline", "bloom-query", "--in", bl])
