@@ -3693,24 +3693,31 @@ class ExtractorEngine:
         hits = fn(tls, k + 1, st["avgdl"], conjunctive=False)  # room to
         return [(d, s) for d, s in hits if d != doc_id][:k]    # drop seed
 
-    def _mlt_terms(
+    def _interesting_terms_for(
         self,
-        doc_id: int,
+        doc_ids: list[int],
         min_term_freq: int,
         min_doc_freq: int,
+        exclude_terms: "frozenset | set" = frozenset(),
+        surface: str = "more_like_this",
     ) -> list[tuple[float, str]]:
-        """MoreLikeThis term selection: the seed doc's stored fulltext
-        re-analyzed with the index chain, candidates ranked by
+        """MoreLikeThis term selection over one or more docs: the
+        stored fulltexts re-analyzed with the index chain (ONE
+        doc-store fetch), per-term tf summed across the set, candidates
+        with ``tf >= min_term_freq`` / ``df >= min_doc_freq`` /
+        not in ``exclude_terms`` ranked by
         ``tf * (1 + ln(N / (df + 1)))`` (ClassicSimilarity idf, ties
-        term-asc). Shared by :meth:`more_like_this` (query tail) and
-        :meth:`interesting_terms` (Solr mlt.interestingTerms)."""
+        term-asc). The single shared selection kernel behind
+        :meth:`more_like_this`, :meth:`interesting_terms`, and
+        :meth:`prf_search` — one place for the formula, df source, and
+        tie-break (r5 review #4)."""
         if not self.store_content:
             raise ValidationError(
-                "more_like_this requires store_content=True (the seed "
-                "doc's fulltext is re-analyzed, as Lucene MLT does for "
+                f"{surface} requires store_content=True (the docs' "
+                "fulltext is re-analyzed, as Lucene MLT does for "
                 "fields without term vectors)"
             )
-        rows = self._doc_store_rows([doc_id])
+        rows = self._doc_store_rows(doc_ids)
         if not rows:
             return []
         import math
@@ -3719,20 +3726,35 @@ class ExtractorEngine:
 
         from ckanext_extractor_spark.analysis.tokenizer import analyze_batch
 
-        lang = None
+        ids = [int(r["doc_id"]) for r in rows] if len(rows) > 1 else None
+        langs = None
         ds = self._read_or_none("doc_stats")
         if ds is not None and "lang" in ds.columns:
-            lrows = ds.where(F.col("doc_id") == doc_id).select("lang").collect()
-            lang = lrows[0]["lang"] if lrows else None
+            if ids is None:
+                lrows = ds.where(
+                    F.col("doc_id") == doc_ids[0]
+                ).select("lang").collect()
+                if lrows:
+                    langs = pd.Series([lrows[0]["lang"]])
+            else:
+                lmap = {
+                    int(r["doc_id"]): r["lang"]
+                    for r in ds.where(F.col("doc_id").isin(ids))
+                    .select("doc_id", "lang").collect()
+                }
+                langs = pd.Series([lmap.get(i) for i in ids])
         toks = analyze_batch(
-            pd.Series([rows[0]["content"]]),
-            pd.Series([lang]) if lang is not None else None,
-            self.analyzer,
+            pd.Series([r["content"] for r in rows]), langs, self.analyzer
         )
         if toks.empty:
             return []
         vc = toks["term"].value_counts()
-        cand = [str(t) for t, c in vc.items() if int(c) >= min_term_freq]
+        cand = [
+            str(t) for t, c in vc.items()
+            if int(c) >= min_term_freq and str(t) not in exclude_terms
+        ]
+        if not cand:
+            return []
         dfm = self._df_for_terms(cand)
         n = float(self.corpus_stats()["n_docs"])
         scored = []
@@ -3743,6 +3765,17 @@ class ExtractorEngine:
             scored.append((float(vc[t]) * (1.0 + math.log(n / (d + 1.0))), t))
         scored.sort(key=lambda x: (-x[0], x[1]))
         return scored
+
+    def _mlt_terms(
+        self,
+        doc_id: int,
+        min_term_freq: int,
+        min_doc_freq: int,
+    ) -> list[tuple[float, str]]:
+        """Single-doc wrapper of :meth:`_interesting_terms_for`."""
+        return self._interesting_terms_for(
+            [doc_id], min_term_freq, min_doc_freq
+        )
 
     def interesting_terms(
         self,
@@ -3779,59 +3812,14 @@ class ExtractorEngine:
         fb_terms: int,
         min_doc_freq: int,
     ) -> list[tuple[str, float]]:
-        """Expansion-term selection for :meth:`prf_search`: the
-        feedback docs' stored fulltexts re-analyzed with the index
-        chain (ONE doc-store fetch for all of them), per-term tf summed
-        across the feedback set, original query terms excluded,
-        ranked by ``tf_sum * (1 + ln(N / (df + 1)))`` (the same
-        ClassicSimilarity interestingness as :meth:`_mlt_terms`, ties
-        term-asc). Returns the top ``fb_terms`` as [(term, score)]."""
-        if not self.store_content:
-            raise ValidationError(
-                "prf_search requires store_content=True (feedback docs' "
-                "fulltext is re-analyzed, as Lucene MLT does)"
-            )
-        rows = self._doc_store_rows(feedback_ids)
-        if not rows:
-            return []
-        import math
-
-        import pandas as pd
-
-        from ckanext_extractor_spark.analysis.tokenizer import analyze_batch
-
-        ids = [int(r["doc_id"]) for r in rows]
-        langs = None
-        ds = self._read_or_none("doc_stats")
-        if ds is not None and "lang" in ds.columns:
-            lmap = {
-                int(r["doc_id"]): r["lang"]
-                for r in ds.where(F.col("doc_id").isin(ids))
-                .select("doc_id", "lang").collect()
-            }
-            langs = pd.Series([lmap.get(i) for i in ids])
-        toks = analyze_batch(
-            pd.Series([r["content"] for r in rows]), langs, self.analyzer
+        """Expansion-term selection for :meth:`prf_search`: the shared
+        MLT interestingness kernel over the feedback set with the
+        original query terms excluded; top ``fb_terms`` as
+        [(term, score)]."""
+        scored = self._interesting_terms_for(
+            feedback_ids, 1, min_doc_freq,
+            exclude_terms=exclude_terms, surface="prf_search",
         )
-        if toks.empty:
-            return []
-        vc = toks["term"].value_counts()
-        cand = [
-            str(t) for t in vc.index if str(t) not in exclude_terms
-        ]
-        if not cand:
-            return []
-        dfm = self._df_for_terms(cand)
-        n = float(self.corpus_stats()["n_docs"])
-        scored = []
-        for t in cand:
-            d = dfm.get(t, 0)
-            if d < min_doc_freq:
-                continue
-            scored.append(
-                (float(vc[t]) * (1.0 + math.log(n / (d + 1.0))), t)
-            )
-        scored.sort(key=lambda x: (-x[0], x[1]))
         return [(t, s) for s, t in scored[:fb_terms]]
 
     def prf_search(
@@ -3956,10 +3944,24 @@ class ExtractorEngine:
             raise ValidationError(
                 "dense_hits must be a list of (doc_id, score) pairs"
             )
+        try:
+            dense = [(int(d), float(s)) for d, s in dense_hits]
+            weights = (float(lexical_weight), float(dense_weight))
+        except (TypeError, ValueError) as e:
+            raise ValidationError(
+                f"dense_hits scores and weights must be numeric: {e}"
+            ) from None
+        # an external ANN list may carry duplicate ids (sharded /
+        # multi-probe merges); keep each doc's BEST entry so one doc
+        # can't stack multiple rank contributions (r5 review #5)
+        best: dict[int, float] = {}
+        for d, s in dense:
+            if d not in best or s > best[d]:
+                best[d] = s
+        dense = list(best.items())
         lex = self.search(query, k=lexical_k, conjunctive=False)
         fused: dict[int, float] = {}
-        for w, hits in ((float(lexical_weight), lex),
-                        (float(dense_weight), dense_hits)):
+        for w, hits in ((weights[0], lex), (weights[1], dense)):
             ranked = sorted(
                 ((int(d), float(s)) for d, s in hits),
                 key=lambda x: (-round(x[1], 6), x[0]),

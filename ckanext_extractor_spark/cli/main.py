@@ -35,6 +35,17 @@ def _engine(args) -> ExtractorEngine:
 
 def cmd_build(args) -> int:
     eng = _engine(args)
+    # an existing index's meta pins its storage options and wins over
+    # constructor args — fail loudly instead of silently dropping the
+    # flag (a doc_store can't be conjured for already-indexed docs)
+    for flag, name in (("store_content", "--store-content"),
+                       ("store_offsets", "--store-offsets")):
+        if getattr(args, flag, False) and not getattr(eng, flag):
+            raise SystemExit(
+                f"{name} requested but the existing index at "
+                f"{args.index} was built without it; use a fresh "
+                "--index root (storage options are pinned at first "
+                "build)")
     corpus = read_corpus(eng.spark, args.source, fmt=args.format)
     rep = eng.extract(corpus, force=args.force, build_id=args.build_id)
     print(

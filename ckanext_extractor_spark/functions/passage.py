@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ckanext_extractor_spark.functions.chunking import chunk_documents
-from ckanext_extractor_spark.functions.textstats import _tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -72,7 +71,10 @@ def passage_topk(
     chunks = chunk_documents(
         df, size=size, overlap=overlap, text_col=text_col, id_col=id_col
     )
-    toks = _tokens(F.col("chunk_text"))
+    # chunk_text is array_join(normalized_tokens, " ") — split on the
+    # single joining space recovers the token array exactly, without
+    # re-paying lower() + the regex split per chunk (r5 review)
+    toks = F.split(F.col("chunk_text"), " ")
 
     def _eq(term: str):
         # NB: a 2-arg lambda would get (element, index) from F.filter

@@ -38,11 +38,10 @@ def _cms_cell(term: Column, row: int, width: int) -> Column:
     return _h60(F.concat(F.lit(f"cms{row}#"), term)) % F.lit(width)
 
 
-def _check_shape(width: int, depth: int) -> None:
-    if isinstance(width, bool) or not isinstance(width, int) or width < 1:
-        raise ValueError(f"width must be a positive int, got {width!r}")
-    if isinstance(depth, bool) or not isinstance(depth, int) or depth < 1:
-        raise ValueError(f"depth must be a positive int, got {depth!r}")
+def _check_shape(width: int, depth: int, names=("width", "depth")) -> None:
+    for name, v in zip(names, (width, depth)):
+        if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+            raise ValueError(f"{name} must be a positive int, got {v!r}")
 
 
 def cms_build(
@@ -55,19 +54,23 @@ def cms_build(
     NON-EMPTY cell (absent cell = 0). One explode + one hash aggregate;
     output bounded by depth * width rows whatever the corpus size."""
     _check_shape(width, depth)
+    # ONE source scan: a union of per-row selects would re-scan and
+    # re-tokenize the corpus `depth` times (Catalyst does not dedupe
+    # union children) — instead each token explodes a depth-long
+    # struct array (r5 review: single-scan fix)
     toks = df.select(F.explode(_tokens(F.col(text_col))).alias("_t"))
-    rows = [
-        toks.select(
+    cells = F.array(*[
+        F.struct(
             F.lit(d).alias("row"),
             _cms_cell(F.col("_t"), d, width).alias("cell"),
         )
         for d in range(depth)
-    ]
-    allr = rows[0]
-    for r in rows[1:]:
-        allr = allr.unionByName(r)
-    return allr.groupBy("row", "cell").agg(
-        F.count("*").alias("count")
+    ])
+    return (
+        toks.select(F.explode(cells).alias("_rc"))
+        .select("_rc.row", "_rc.cell")
+        .groupBy("row", "cell")
+        .agg(F.count("*").alias("count"))
     )
 
 
@@ -189,7 +192,11 @@ def hll_estimate(
         alpha = 0.673
     agg = registers.agg(
         F.count("*").cast("long").alias("_nz"),
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+        # coalesce: an EMPTY corpus aggregates sum -> NULL, which would
+        # poison the estimator; 0.0 routes to linear counting -> 0.0
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0)
+        ).alias("_s"),
     )
     n_empty = F.lit(m) - F.col("_nz")
     raw = F.lit(alpha * m * m) / (F.col("_s") + n_empty.cast("double"))
@@ -219,19 +226,18 @@ def bloom_build(
     portable family as the CMS rows), one explode + one distinct
     aggregate, bounded at m_bits rows. False positives only, never
     false negatives; bloom filters OR-merge (union + distinct)."""
-    _check_shape(m_bits, k_hashes)
+    _check_shape(m_bits, k_hashes, names=("m_bits", "k_hashes"))
+    # single scan, like cms_build: per-token array of k bit positions
     toks = df.select(F.explode(_tokens(F.col(text_col))).alias("_t"))
-    rows = [
-        toks.select(
-            (_h60(F.concat(F.lit(f"bf{i}#"), F.col("_t")))
-             % F.lit(m_bits)).alias("bit")
-        )
+    bits = F.array(*[
+        (_h60(F.concat(F.lit(f"bf{i}#"), F.col("_t")))
+         % F.lit(m_bits))
         for i in range(k_hashes)
-    ]
-    allr = rows[0]
-    for r in rows[1:]:
-        allr = allr.unionByName(r)
-    return allr.distinct()
+    ])
+    return (
+        toks.select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
 
 
 def bloom_query(
@@ -244,7 +250,7 @@ def bloom_query(
     set (possibly-present — false positives possible at the standard
     (1 - e^-kn/m)^k rate; false = definitely absent). The bloom side
     is at most m_bits rows -> broadcast lookup join."""
-    _check_shape(m_bits, k_hashes)
+    _check_shape(m_bits, k_hashes, names=("m_bits", "k_hashes"))
     ts = list(dict.fromkeys(terms))
     if not ts or any(not isinstance(t, str) or not t for t in ts):
         raise ValueError(f"terms must be non-empty strings, got {terms!r}")
