@@ -6204,6 +6204,36 @@ GROUP BY p.term ORDER BY p.term
 _PAIRS["q147_cms_estimates"] = ("", _CMS_DUCK)
 
 
+# -- temperature-based data mixing (multilingual alpha-sampling) ------------
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mBERT/XLM-R exponential-smoothing mix: ~100 docs with per-lang
+    quotas ∝ count^0.5 (tail langs upweighted vs natural proportions),
+    kept rows = the deterministic md5-ranked in-group sample."""
+    from ckanext_extractor_spark.functions.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(
+        docs.select("doc_id", "lang"), "lang",
+        alpha=0.5, total=100, salt="r5",
+    ).select("doc_id", "lang")
+
+
+_TEMP_MIX_DUCK = """
+WITH c AS (SELECT lang, count(*) AS cg FROM documents GROUP BY 1),
+w AS (SELECT lang, power(CAST(cg AS DOUBLE), 0.5) AS wg FROM c),
+ws AS (SELECT sum(wg) AS s FROM w),
+t AS (SELECT lang, CAST(floor(100.0 * wg / ws.s) AS BIGINT) AS target
+      FROM w CROSS JOIN ws),
+r AS (SELECT d.doc_id, d.lang,
+  row_number() OVER (PARTITION BY d.lang
+    ORDER BY md5(CAST(d.doc_id AS VARCHAR) || 'r5:mix'), d.doc_id)
+    AS rn
+  FROM documents d)
+SELECT r.doc_id, r.lang FROM r JOIN t USING (lang) WHERE rn <= t.target
+"""
+_PAIRS["q150_temperature_mix"] = ("", _TEMP_MIX_DUCK)
+
+
 # -- HyperLogLog: fixed-memory distinct-count sketch ------------------------
 _HLL_ALPHA_512 = 0.7213 / (1.0 + 1.079 / 512)
 
@@ -6639,6 +6669,7 @@ _ENGINE_ORACLE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_cms_estimates": _q_cms_estimates,
     "q148_hll_estimate": _q_hll_estimate,
     "q149_bloom_query": _q_bloom_query,
+    "q150_temperature_mix": _q_temperature_mix,
 }
 
 

@@ -567,7 +567,7 @@ _PIPELINE_OPS = (
     "winnow", "fp-candidates", "bigram-ppl", "group-quota", "curate",
     "pmi", "dsir-weights", "dsir-select", "rrf-fuse",
     "passage", "cms-build", "cms-query",
-    "hll", "bloom-build", "bloom-query",
+    "hll", "bloom-build", "bloom-query", "temperature-mix",
 )
 
 
@@ -699,6 +699,12 @@ def _pipeline_apply(df, a):
         return sampling.group_quota(df, a.group_col,
                                     a.n_per_group, salt=a.salt,
                                     id_col=i)
+    if op == "temperature-mix":
+        if not a.group_col:
+            raise SystemExit("temperature-mix needs --group-col COLUMN")
+        return sampling.temperature_mix(
+            df, a.group_col, alpha=a.mix_alpha, total=a.total,
+            salt=a.salt, id_col=i)
     if op == "curate":
         from ckanext_extractor_spark.functions import curate
         return curate.curate_corpus(
@@ -1433,6 +1439,13 @@ def main(argv=None) -> int:
     pl.add_argument("--k-hashes", dest="k_hashes", type=int, default=4,
                     help="bloom hash functions (bloom-build / "
                          "bloom-query — must match)")
+    pl.add_argument("--mix-alpha", dest="mix_alpha", type=float,
+                    default=0.5,
+                    help="temperature-mix smoothing exponent (quota "
+                         "per group ∝ count^alpha; 1 = natural, "
+                         "0 = uniform)")
+    pl.add_argument("--total", type=int, default=10_000,
+                    help="temperature-mix target sample size")
     pl.add_argument("--lam", type=float, default=0.75,
                     help="bigram-ppl interpolation weight on the "
                          "bigram term (Jelinek-Mercer lambda)")

@@ -133,3 +133,63 @@ def stratified_hash_sample(
             F.col(field) == value, F.lit(_threshold_hex(frac))
         ).otherwise(thr)
     return df.where(_hash_prefix(F.col(id_col), salt) < thr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    total: int = 10_000,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based data mixing: sample ~``total`` rows with group
+    quotas proportional to ``count_g ** alpha`` — the alpha-sampling
+    rule every multilingual/multi-source LLM pretraining mix uses
+    (mBERT/XLM-R exponential smoothing: alpha < 1 upweights the tail so
+    low-resource groups are not drowned by the head; alpha = 1 is
+    natural proportions, alpha = 0 is uniform).
+
+    Quota per group: ``floor(total * w_g / sum(w))`` with
+    ``w_g = count_g ** alpha``, capped at the group's actual count —
+    no redistribution of unmet quota (deterministic; the realized total
+    can undershoot, which callers compensate by raising ``total``).
+    WITHIN each group the kept rows rank by (md5(id || salt || ':mix'),
+    id) — the :func:`group_quota` unbiased in-group shuffle, with a
+    dedicated salt domain so composing with hash_split/hash_sample on
+    the same salt cannot correlate (the curate lesson).
+
+    Plan shape: one count aggregate (#groups rows) + a 1-row total fold
+    (both lazy broadcasts back onto the stream), then the single
+    group-keyed exchange into a spilling row_number window — identical
+    scaling behavior to group_quota; nothing materializes on the
+    driver."""
+    if isinstance(alpha, bool) or not isinstance(alpha, (int, float)) \
+            or alpha < 0.0:
+        raise ValueError(f"alpha must be a number >= 0, got {alpha!r}")
+    if isinstance(total, bool) or not isinstance(total, int) or total < 1:
+        raise ValueError(f"total must be a positive int, got {total!r}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_cg"))
+    weights = counts.select(
+        group_col,
+        F.pow(F.col("_cg").cast("double"), float(alpha)).alias("_wg"),
+    )
+    wsum = weights.agg(F.sum("_wg").alias("_ws"))
+    targets = weights.crossJoin(F.broadcast(wsum)).select(
+        group_col,
+        F.floor(
+            F.lit(float(total)) * F.col("_wg") / F.col("_ws")
+        ).cast("long").alias("_target"),
+    )
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt + ":mix"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(targets, group_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("_target"))
+        .drop("_rn", "_target")
+    )

@@ -133,3 +133,89 @@ def test_group_quota_validation(grouped):
     for bad in (0, -1, True, 1.5, None):
         with pytest.raises((ValueError, TypeError)):
             group_quota(grouped, "source", bad)
+
+
+# -------------------------------------------------- temperature_mix
+
+
+def _mix_docs(spark):
+    # head group a: 64 rows, mid b: 16, tail c: 4 -> sqrt weights 8/4/2
+    rows = [(i, "a") for i in range(64)]
+    rows += [(100 + i, "b") for i in range(16)]
+    rows += [(200 + i, "c") for i in range(4)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_temperature_mix_quotas_follow_alpha(spark):
+    from ckanext_extractor_spark.functions.sampling import temperature_mix
+
+    docs = _mix_docs(spark)
+    # alpha=0.5: weights 8/4/2, sum 14; total=14 -> quotas 8/4/2
+    out = temperature_mix(docs, "source", alpha=0.5, total=14)
+    sizes = {r["source"]: r["count"]
+             for r in out.groupBy("source").count().collect()}
+    assert sizes == {"a": 8, "b": 4, "c": 2}
+    # alpha=1: natural proportions 64/16/4 of 84 -> total=84 keeps all
+    out1 = temperature_mix(docs, "source", alpha=1.0, total=84)
+    s1 = {r["source"]: r["count"]
+          for r in out1.groupBy("source").count().collect()}
+    assert s1 == {"a": 64, "b": 16, "c": 4}
+    # alpha=0: uniform thirds
+    out0 = temperature_mix(docs, "source", alpha=0.0, total=9)
+    s0 = {r["source"]: r["count"]
+          for r in out0.groupBy("source").count().collect()}
+    assert s0 == {"a": 3, "b": 3, "c": 3}
+
+
+def test_temperature_mix_caps_at_group_size_no_redistribution(spark):
+    from ckanext_extractor_spark.functions.sampling import temperature_mix
+
+    docs = _mix_docs(spark)
+    # total huge: tail group c (4 rows) caps at 4; no redistribution
+    out = temperature_mix(docs, "source", alpha=0.5, total=1400)
+    sizes = {r["source"]: r["count"]
+             for r in out.groupBy("source").count().collect()}
+    assert sizes["c"] == 4
+    assert sizes["a"] == 64  # capped at count too (quota 800 > 64)
+
+
+def test_temperature_mix_deterministic_and_salted(spark):
+    from ckanext_extractor_spark.functions.sampling import temperature_mix
+
+    docs = _mix_docs(spark)
+    a = {r["doc_id"] for r in temperature_mix(
+        docs, "source", total=14, salt="s").collect()}
+    b = {r["doc_id"] for r in temperature_mix(
+        docs.repartition(7), "source", total=14, salt="s").collect()}
+    assert a == b  # partition-layout independent
+    c = {r["doc_id"] for r in temperature_mix(
+        docs, "source", total=14, salt="t").collect()}
+    assert a != c  # salt redraws the in-group sample
+
+
+def test_temperature_mix_validation(spark):
+    from ckanext_extractor_spark.functions.sampling import temperature_mix
+
+    docs = _mix_docs(spark)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_mix(docs, "source", alpha=-0.1)
+    with _pt.raises(ValueError):
+        temperature_mix(docs, "source", total=0)
+
+
+def test_cli_temperature_mix(spark, tmp_path, capsys):
+    import json
+
+    from ckanext_extractor_spark.cli.main import main
+
+    src = str(tmp_path / "mix.parquet")
+    _mix_docs(spark).write.parquet(src)
+    assert main(["pipeline", "temperature-mix", "--in", src,
+                 "--group-col", "source", "--mix-alpha", "0.5",
+                 "--total", "14"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows_out"] == 14
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["pipeline", "temperature-mix", "--in", src])
