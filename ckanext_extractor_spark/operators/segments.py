@@ -465,21 +465,15 @@ _XXHASH_CACHE: dict[str, int] = {}
 def _xxhash64_strs(strings: list[str]) -> dict[str, int]:
     """Driver-side xxhash64 matching Spark's `xxhash64(string)` (seed 42).
 
-    Used only to compute bucket ids for partition pruning at query time;
-    correctness does not depend on it (the residual term filter is exact) —
-    a wrong bucket mapping would only read more data. One batched local
-    JVM round-trip for all uncached terms, memoized per process.
-    """
+    Computes bucket ids for partition pruning at query time. Optimization
+    r6: pure-python XXH64 (analysis/xxh64.py, identity vs the JVM
+    expression pinned by tests/test_xxh64.py) replaces the per-batch
+    createDataFrame+collect Spark job — the hash is on every cold query's
+    critical path and the JVM round-trip dominated it."""
     missing = [s for s in strings if s not in _XXHASH_CACHE]
     if missing:
-        from pyspark.sql import SparkSession
+        from ckanext_extractor_spark.analysis.xxh64 import xxh64_str
 
-        spark = SparkSession.getActiveSession()
-        rows = (
-            spark.createDataFrame([(s,) for s in missing], "t string")
-            .select("t", F.xxhash64("t").alias("h"))
-            .collect()
-        )
-        for r in rows:
-            _XXHASH_CACHE[r["t"]] = r["h"]
+        for s in missing:
+            _XXHASH_CACHE[s] = xxh64_str(s)
     return {s: _XXHASH_CACHE[s] for s in strings}
