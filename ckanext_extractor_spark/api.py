@@ -646,15 +646,14 @@ class ExtractorEngine:
             delta_postings = spark.read.parquet(
                 self._p(gen_postings_rel)
             ).where(F.col("term").isNotNull())
-        append_lineage(lineage, self.root)
-        # delta size (posting rows) from the kernel's own marker rows —
-        # free, and the right scaling input for the encode shuffle
-        n_delta_rows = int(
-            raw.where(F.col("term").isNull() & (F.col("tf") >= 0))
-            .agg(F.sum("tf").alias("n"))
-            .collect()[0]["n"]
-            or 0
-        )
+        # ONE scan of the staging markers yields both the lineage rows
+        # (~one per tokenize task) and the delta size: n_delta_rows is
+        # their n_postings sum, and the lineage append re-writes the
+        # collected rows from the driver instead of re-scanning staging
+        # (optimization r6 — was two marker scans of the staging table)
+        lin_schema = lineage.schema
+        lin_rows = lineage.collect()
+        n_delta_rows = int(sum(int(r["n_postings"] or 0) for r in lin_rows))
         stage_sec["lineage_markers"] = time.time() - _t; _t = time.time()
 
         next_seq = self._seq + 1
@@ -686,92 +685,180 @@ class ExtractorEngine:
             self._tomb_count = None
         stage_sec["tombstones"] = time.time() - _t; _t = time.time()
 
-        if n_changed:
-            # ---- generation doc set (compaction accounting) --------------
-            to_index_ids.write.mode("overwrite").parquet(
-                self._p("gens", build_id, "docs")
-            )
-            stage_sec["gen_docs"] = time.time() - _t; _t = time.time()
+        # ---- overlapped stage group (optimization r6, guide §2.6) ---------
+        # Everything below up to the generation commit is a set of
+        # INDEPENDENT Spark jobs over immutable inputs (the published
+        # staging parquet, the cached meta_slim, the OLD index tables):
+        # delta segment encode, gen-docs/lineage bookkeeping, doc_stats →
+        # corpus_stats, field sidecars + manifest, doc_store. Serialized,
+        # their fixed per-job overhead dominated the build at bench scale
+        # (measured: 3.1 s of small-job tail vs 3.8 s of real work per
+        # 50k-doc build); submitted from a thread pool, the small jobs
+        # back-fill the encode stage's tail. Sequential-equivalence:
+        #   * every task reads only OLD table files or the staging dir,
+        #     both immutable during the group;
+        #   * the one table a SIBLING's lazy plan may re-read while its
+        #     own replacement is being written — doc_manifest, via the
+        #     `statused` plan — is written to a temp dir in-task and
+        #     SWAPPED only after every task joined (deferred publish), so
+        #     concurrent reads always see the old files, exactly like the
+        #     sequential order (manifest published last);
+        #   * avgdl is pre-read (corpus_stats is replaced by a task);
+        #   * publish order within each dependency chain is unchanged
+        #     (norms before field_postings, doc_stats before corpus_stats).
+        # A task failure surfaces after the group joins and fails the
+        # build before the generation commit, same as a serial failure;
+        # re-running the build_id resumes from staging and republishes
+        # every table idempotently.
+        from concurrent.futures import ThreadPoolExecutor
 
-            # ---- delta segments ------------------------------------------
-            # df-driven salting within this generation: hot terms split by
-            # doc-hash so no single encode task owns a whole hot list
+        from ckanext_extractor_spark.manifest import doc_lens_from_raw
+
+        avgdl_est = self._avgdl_estimate(meta_slim, lang_ok)
+        lin_df = spark.createDataFrame(lin_rows, lin_schema)
+        ignored_ids = statused.where(
+            F.col("status") == STATUS_IGNORED
+        ).select("doc_id")
+        if resumed:
+            # a staging dir from an older build may lack per-doc markers;
+            # probe (one tiny job) and fall back to the postings groupBy
+            doc_lens = doc_lens_from_raw(raw)
+        else:
+            # markers are written by the current kernel unconditionally —
+            # no probe job needed
+            doc_lens = raw.where(
+                F.col("term").isNull() & (F.col("tf") < 0)
+            ).select("doc_id", "doc_len")
+        mpath = self._p("doc_manifest")
+        has_prev_manifest = self.fs.exists(mpath) and self._has_part_files(
+            mpath
+        )
+        par_sec: dict[str, float] = {}
+        deferred: list = []
+
+        def _timed(name, fn):
+            t0 = time.time()
+            spark.sparkContext.setJobDescription(
+                f"build {build_id}: {name}"
+            )
+            try:
+                fn()
+            finally:
+                spark.sparkContext.setJobDescription(None)
+            par_sec[name] = round(time.time() - t0, 3)
+
+        def t_encode():
+            # ---- delta segments --------------------------------------
+            # df-driven salting within this generation: hot terms split
+            # by doc-hash so no single encode task owns a whole hot
+            # list. Direct partitioned write from the encode tasks — NO
+            # second exchange: the encode shuffle is keyed by
+            # (term_bucket, salt_id), so every key lives wholly in one
+            # task and the file count is ~#distinct (bucket, salt) keys.
+            # Rows leave the kernel already term-lexical within each
+            # task, so parquet min/max row-group pruning on `term` works.
             salted = salted_postings_auto(
                 delta_postings, self.n_buckets, self.salt_threshold
             )
-            # direct partitioned write from the encode tasks — NO second
-            # exchange: the encode shuffle is keyed by (term_bucket,
-            # salt_id), so every key lives wholly in one task and the file
-            # count is ~#distinct (bucket, salt) keys, not tasks x buckets.
-            # Rows leave the kernel already term-lexical within each task,
-            # so parquet min/max row-group pruning on `term` still works.
             self._encode_and_write_segments(
                 salted,
-                self._avgdl_estimate(meta_slim, lang_ok),
+                avgdl_est,
                 self._encode_tasks(n_delta_rows),
                 self._p("gens", build_id, "segments"),
             )
-            stage_sec["encode_segments"] = time.time() - _t; _t = time.time()
 
-        # ---- doc_stats: changed docs re-derived, unchanged rows kept ------
-        # doc_len comes from the kernel's per-doc marker rows (tiny scan);
-        # the posting-table groupBy only runs when resuming a staging dir
-        # written before per-doc markers existed
-        from ckanext_extractor_spark.manifest import doc_lens_from_raw
-
-        changed_meta = meta_slim.join(to_index_ids, "doc_id", "left_semi")
-        batch_stats = build_doc_stats(
-            changed_meta, delta_postings, doc_lens=doc_lens_from_raw(raw)
-        )
-        prev_ds = self._read_or_none("doc_stats")
-        if prev_ds is not None:
-            dropped = to_index_ids.unionByName(
-                statused.where(F.col("status") == STATUS_IGNORED).select("doc_id")
-            )
-            kept_ds = prev_ds.join(dropped, "doc_id", "left_anti")
-            batch_stats = kept_ds.unionByName(
-                batch_stats, allowMissingColumns=True
-            )
-        _atomic_overwrite(batch_stats, self._p("doc_stats"), spark)
-        stage_sec["doc_stats"] = time.time() - _t; _t = time.time()
-        if "metadata" in meta_slim.columns:
-            from ckanext_extractor_spark.operators.fields import (
-                build_field_norms,
-                build_field_postings,
-            )
-
-            batch_fp = build_field_postings(changed_meta)
-            # per-(doc, field) norms ride the same build (Lucene writes
-            # norms at flush time; dismax reads them instead of
-            # re-aggregating the whole field table per query) — merged
-            # incrementally with the same kept/dropped discipline as
-            # field_postings so the two tables never drift
-            batch_norms = build_field_norms(batch_fp)
-            prev_fp = self._read_or_none("field_postings")
-            if prev_fp is not None:
-                dropped_fp = to_index_ids.unionByName(
-                    statused.where(
-                        F.col("status") == STATUS_IGNORED
-                    ).select("doc_id")
+        def t_gen_docs():
+            # generation doc set (compaction accounting) + lineage append
+            if n_changed:
+                to_index_ids.write.mode("overwrite").parquet(
+                    self._p("gens", build_id, "docs")
                 )
-                kept_fp = prev_fp.join(dropped_fp, "doc_id", "left_anti")
-                prev_norms = self._read_or_none("field_norms")
-                if prev_norms is None:
-                    # pre-norms store: derive the kept docs' norms once
-                    kept_norms = build_field_norms(kept_fp)
-                else:
-                    kept_norms = prev_norms.join(
+            append_lineage(lin_df, self.root)
+
+        def t_doc_stats():
+            # doc_stats: changed docs re-derived, unchanged rows kept;
+            # doc_len from the kernel's per-doc marker rows (tiny scan)
+            changed_meta = meta_slim.join(
+                to_index_ids, "doc_id", "left_semi"
+            )
+            batch_stats = build_doc_stats(
+                changed_meta, delta_postings, doc_lens=doc_lens
+            )
+            prev_ds = self._read_or_none("doc_stats")
+            if prev_ds is not None:
+                dropped = to_index_ids.unionByName(ignored_ids)
+                kept_ds = prev_ds.join(dropped, "doc_id", "left_anti")
+                batch_stats = kept_ds.unionByName(
+                    batch_stats, allowMissingColumns=True
+                )
+            _atomic_overwrite(batch_stats, self._p("doc_stats"), spark)
+            stats = build_corpus_stats(
+                spark.read.parquet(self._p("doc_stats"))
+            )
+            _atomic_overwrite(stats, self._p("corpus_stats"), spark)
+
+        def t_fields_manifest():
+            if "metadata" in meta_slim.columns:
+                from ckanext_extractor_spark.operators.fields import (
+                    build_field_norms,
+                    build_field_postings,
+                )
+
+                changed_meta = meta_slim.join(
+                    to_index_ids, "doc_id", "left_semi"
+                )
+                batch_fp = build_field_postings(changed_meta)
+                # per-(doc, field) norms ride the same build (Lucene
+                # writes norms at flush time; dismax reads them instead
+                # of re-aggregating the whole field table per query) —
+                # merged incrementally with the same kept/dropped
+                # discipline as field_postings so the two never drift
+                batch_norms = build_field_norms(batch_fp)
+                prev_fp = self._read_or_none("field_postings")
+                if prev_fp is not None:
+                    dropped_fp = to_index_ids.unionByName(ignored_ids)
+                    kept_fp = prev_fp.join(
                         dropped_fp, "doc_id", "left_anti"
                     )
-                batch_fp = kept_fp.unionByName(batch_fp)
-                batch_norms = kept_norms.unionByName(batch_norms)
-            # norms publish FIRST: the pre-norms upgrade branch derives
-            # kept docs' norms from the OLD field_postings files, which
-            # the postings publish below replaces (lazy plans read at
-            # action time, not build time)
-            _atomic_overwrite(batch_norms, self._p("field_norms"), spark)
-            _atomic_overwrite(batch_fp, self._p("field_postings"), spark)
-        if self.store_content:
+                    prev_norms = self._read_or_none("field_norms")
+                    if prev_norms is None:
+                        # pre-norms store: derive kept docs' norms once
+                        kept_norms = build_field_norms(kept_fp)
+                    else:
+                        kept_norms = prev_norms.join(
+                            dropped_fp, "doc_id", "left_anti"
+                        )
+                    batch_fp = kept_fp.unionByName(batch_fp)
+                    batch_norms = kept_norms.unionByName(batch_norms)
+                # norms publish FIRST: the pre-norms upgrade branch
+                # derives kept docs' norms from the OLD field_postings
+                # files, which the postings publish below replaces
+                _atomic_overwrite(batch_norms, self._p("field_norms"), spark)
+                _atomic_overwrite(batch_fp, self._p("field_postings"), spark)
+            # manifest: heavy write now, swap deferred past the group
+            # join (siblings' statused plans re-read the old files)
+            new_manifest = statused.select(
+                "doc_id",
+                "content_sha256",
+                "lang",
+                F.when(F.col("status") == STATUS_IGNORED, STATUS_IGNORED)
+                .otherwise(F.lit("indexed"))
+                .alias("status"),
+                F.lit(build_id).alias("build_id"),
+            )
+            # merge: keep manifest rows for docs not in this batch
+            if has_prev_manifest:
+                kept_m = manifest.join(
+                    meta_slim.select("doc_id"), "doc_id", "left_anti"
+                )
+                new_manifest = kept_m.unionByName(new_manifest)
+            if self.hooks.after_save:
+                new_manifest = self.hooks.after_save(new_manifest)
+            deferred.append(
+                _atomic_overwrite_staged(new_manifest, mpath, spark)
+            )
+
+        def t_doc_store():
             # doc-store (fulltext kept, reference tasks.py:99-104): one
             # more pruned content scan, only when opted in
             batch_store = prepared.join(
@@ -779,56 +866,49 @@ class ExtractorEngine:
             ).select("doc_id", "content")
             if self.store_offsets:
                 # position->char offsets ride the same scan (offsets.py;
-                # Lucene IndexOptions..AND_OFFSETS computed at index time)
+                # Lucene IndexOptions..AND_OFFSETS at index time)
                 from ckanext_extractor_spark.operators.offsets import (
                     offsets_udf,
                 )
 
                 batch_store = batch_store.withColumn(
-                    "pos_offsets", offsets_udf(self.analyzer)(F.col("content"))
+                    "pos_offsets",
+                    offsets_udf(self.analyzer)(F.col("content")),
                 )
             prev_store = self._read_or_none("doc_store")
             if prev_store is not None:
-                dropped_st = to_index_ids.unionByName(
-                    statused.where(
-                        F.col("status") == STATUS_IGNORED
-                    ).select("doc_id")
-                )
+                dropped_st = to_index_ids.unionByName(ignored_ids)
                 # allowMissingColumns: a store written before (or after)
                 # offsets were enabled merges with null blobs — snippet
-                # lookups fall back to the analyzer re-scan for those docs
+                # lookups fall back to the analyzer re-scan there
                 batch_store = prev_store.join(
                     dropped_st, "doc_id", "left_anti"
                 ).unionByName(batch_store, allowMissingColumns=True)
-            # fulltext compresses ~3-5x under zstd and the doc store is
-            # read only for show()/snippets() point lookups — storage
-            # cost, not scan cost, dominates it at corpus scale
+            # fulltext compresses ~3-5x under zstd; the doc store is
+            # read only for show()/snippets() point lookups
             _atomic_overwrite(
-                batch_store, self._p("doc_store"), spark, compression="zstd"
+                batch_store, self._p("doc_store"), spark,
+                compression="zstd",
             )
-        stats = build_corpus_stats(spark.read.parquet(self._p("doc_stats")))
-        _atomic_overwrite(stats, self._p("corpus_stats"), spark)
-        stage_sec["corpus_stats"] = time.time() - _t; _t = time.time()
-        self._stats_cache = None  # N/avgdl changed
 
-        # ---- manifest ------------------------------------------------------
-        new_manifest = statused.select(
-            "doc_id",
-            "content_sha256",
-            "lang",
-            F.when(F.col("status") == STATUS_IGNORED, STATUS_IGNORED)
-            .otherwise(F.lit("indexed"))
-            .alias("status"),
-            F.lit(build_id).alias("build_id"),
-        )
-        # merge: keep manifest rows for docs not present in this batch
-        if manifest.take(1):
-            kept_m = manifest.join(meta_slim.select("doc_id"), "doc_id", "left_anti")
-            new_manifest = kept_m.unionByName(new_manifest)
-        if self.hooks.after_save:
-            new_manifest = self.hooks.after_save(new_manifest)
-        _atomic_overwrite(new_manifest, self._p("doc_manifest"), spark)
-        stage_sec["manifest"] = time.time() - _t; _t = time.time()
+        side_tasks = [("gen_docs", t_gen_docs), ("doc_stats", t_doc_stats),
+                      ("fields_manifest", t_fields_manifest)]
+        if self.store_content:
+            side_tasks.append(("doc_store", t_doc_store))
+        with ThreadPoolExecutor(max_workers=len(side_tasks)) as pool:
+            futs = [
+                pool.submit(_timed, name, fn) for name, fn in side_tasks
+            ]
+            if n_changed:
+                _timed("encode_segments", t_encode)
+            for f in futs:
+                f.result()
+        for publish in deferred:
+            publish()
+        stage_sec["overlap_group_wall"] = round(time.time() - _t, 3)
+        stage_sec.update(par_sec)
+        _t = time.time()
+        self._stats_cache = None  # N/avgdl changed
 
         # ---- commit generation --------------------------------------------
         self._seq = next_seq
@@ -947,23 +1027,51 @@ class ExtractorEngine:
 
     def _dead_docs(self) -> DeadDocs:
         if self._dead_cache is None:
-            tomb = self._read_or_none("tombstones")
+            p = self._p("tombstones")
             pairs: dict[int, int] = {}
-            if tomb is not None:
-                for r in (
-                    tomb.groupBy("doc_id").agg(F.max("seq").alias("seq")).collect()
-                ):
-                    pairs[int(r["doc_id"])] = int(r["seq"])
+            if self.fs.is_local:
+                # the tombstone map was always driver-held (DeadDocs);
+                # pyarrow reads the same rows without a Spark job
+                if self.fs.exists(p):
+                    from ckanext_extractor_spark.operators.segread import (
+                        read_small_table,
+                    )
+
+                    for r in read_small_table(p, columns=["doc_id", "seq"]):
+                        d, s = int(r["doc_id"]), int(r["seq"])
+                        if pairs.get(d, -1) < s:
+                            pairs[d] = s
+            else:
+                tomb = self._read_or_none("tombstones")
+                if tomb is not None:
+                    for r in (
+                        tomb.groupBy("doc_id")
+                        .agg(F.max("seq").alias("seq"))
+                        .collect()
+                    ):
+                        pairs[int(r["doc_id"])] = int(r["seq"])
             self._dead_cache = DeadDocs(pairs)
         return self._dead_cache
 
     def _tombstone_count(self) -> int:
-        """Number of tombstone rows — a cheap Spark count (cached), never
-        a driver materialization. Drives the closure-vs-join routing of
-        the distributed paths and the broadcast hint on kills joins."""
+        """Number of tombstone rows — parquet metadata locally (zero data
+        read), else a cheap Spark count; cached either way. Drives the
+        closure-vs-join routing of the distributed paths and the
+        broadcast hint on kills joins."""
         if self._tomb_count is None:
-            tomb = self._read_or_none("tombstones")
-            self._tomb_count = int(tomb.count()) if tomb is not None else 0
+            p = self._p("tombstones")
+            if self.fs.is_local:
+                if not self.fs.exists(p):
+                    self._tomb_count = 0
+                else:
+                    from ckanext_extractor_spark.operators.segread import (
+                        count_rows,
+                    )
+
+                    self._tomb_count = count_rows(p)
+            else:
+                tomb = self._read_or_none("tombstones")
+                self._tomb_count = int(tomb.count()) if tomb is not None else 0
         return self._tomb_count
 
     def _kills_df(self) -> DataFrame | None:
@@ -997,8 +1105,18 @@ class ExtractorEngine:
 
     def corpus_stats(self) -> dict:
         if self._stats_cache is None:
-            row = self.spark.read.parquet(self._p("corpus_stats")).collect()[0]
-            self._stats_cache = row.asDict()
+            p = self._p("corpus_stats")
+            if self.fs.is_local:
+                # 1-row table: a driver-side pyarrow read beats a Spark
+                # job by ~0.2 s on every cold query (optimization r6)
+                from ckanext_extractor_spark.operators.segread import (
+                    read_small_table,
+                )
+
+                self._stats_cache = read_small_table(p)[0]
+            else:
+                row = self.spark.read.parquet(p).collect()[0]
+                self._stats_cache = row.asDict()
         return self._stats_cache
 
     def index_stats(self) -> dict:
@@ -2463,11 +2581,16 @@ class ExtractorEngine:
         disk = self._segments_disk_bytes()
         preload_cap = min(self.RAW_PRELOAD_BYTES, budget)
         if disk <= preload_cap:
-            seg = self._segments_union()
             cache: dict[str, list] = {}
-            if seg is not None:
-                for r in seg.collect():
+            local = self._local_segment_rows(None)
+            if local is not None:
+                for r in local:
                     cache.setdefault(r["term"], []).append(r)
+            else:
+                seg = self._segments_union()
+                if seg is not None:
+                    for r in seg.collect():
+                        cache.setdefault(r["term"], []).append(r)
             self._rows_cache = cache
             self._lazy_serve = False
         else:
@@ -2558,10 +2681,57 @@ class ExtractorEngine:
                 segments, path, spark=self.spark, partition_by="term_bucket"
             )
 
+    #: canonical segment-row columns (pyarrow rows materialize all of
+    #: them, with None for columns a pre-block_offs generation lacks —
+    #: the allowMissingColumns contract of the Spark union path)
+    _SEGMENT_ROW_COLUMNS = (
+        "term", "salt_id", "n_postings", "blob", "block_last_doc",
+        "block_max_tfn", "block_offs", "term_bucket",
+    )
+
+    def _local_segment_rows(
+        self, terms: list[str] | None, columns: list[str] | None = None
+    ) -> "list[dict] | None":
+        """Every generation's (bucket/term-pruned) segment rows as dicts
+        via a driver-side pyarrow read — None when the index root is not
+        on a local filesystem (callers fall back to the Spark read).
+
+        Optimization r6 (guide §1/§5): these rows were ALWAYS driver-
+        collected point lookups (bounded by per-term df / preload byte
+        budgets); serving them with pyarrow reads the same files with the
+        same hive-partition + row-group pruning, minus a full Spark job
+        of overhead per lookup (~0.25 s on local[32] — measured as ~95%
+        of cold-query latency)."""
+        if not self.fs.is_local:
+            return None
+        from ckanext_extractor_spark.operators.segread import (
+            read_segment_rows,
+        )
+
+        out: list[dict] = []
+        want = columns if columns is not None else list(
+            self._SEGMENT_ROW_COLUMNS
+        )
+        for g in self._gens:
+            p = self._gen_segments_path(g)
+            if not self.fs.exists(p) or not self._has_part_files(p):
+                continue
+            out.extend(
+                read_segment_rows(
+                    p, terms, self.n_buckets, int(g["seq"]), columns=want
+                )
+            )
+        return out
+
     def _fetch_rows(self, terms: list[str]) -> dict[str, list]:
         """Cold bucket-pruned segment read for `terms` across generations."""
-        seg = self._segments_union(terms)
         out: dict[str, list] = {t: [] for t in terms}
+        local = self._local_segment_rows(terms)
+        if local is not None:
+            for r in local:
+                out.setdefault(r["term"], []).append(r)
+            return out
+        seg = self._segments_union(terms)
         if seg is None:
             return out
         for r in seg.collect():
@@ -3618,6 +3788,16 @@ class ExtractorEngine:
                 for t in terms
             }
         if len(terms) <= self.PREFIX_MAX_EXPANSIONS:
+            local = self._local_segment_rows(
+                list(terms), columns=["term", "n_postings"]
+            )
+            if local is not None:
+                out: dict[str, int] = {}
+                for r in local:
+                    out[r["term"]] = out.get(r["term"], 0) + int(
+                        r["n_postings"]
+                    )
+                return {t: out[t] for t in terms if t in out}
             seg = self._segments_union(list(terms))
             if seg is None:
                 return {}
@@ -7322,6 +7502,41 @@ def read_parquet_if(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _atomic_overwrite_staged(
+    df: DataFrame,
+    path: str,
+    spark: SparkSession,
+    partition_by: str | None = None,
+    fs: FsIO | None = None,
+    compression: str | None = None,
+):
+    """Write ``df`` to a temp dir NOW; return a callable that atomically
+    swaps it into place. Splitting write from publish lets the build's
+    overlapped stage group (guide §2.6) run the heavy write concurrently
+    with sibling jobs whose lazy plans still read the OLD table, and
+    perform the (millisecond) swap only after every sibling has joined —
+    publish order stays exactly the sequential build's."""
+    fs = fs or FsIO(spark, path)
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.parquet(tmp)
+
+    def publish() -> None:
+        old = path + ".old-" + uuid.uuid4().hex[:8]
+        fs.makedirs(os.path.dirname(path))
+        if fs.exists(path):
+            fs.rename(path, old)
+        fs.rename(tmp, path)
+        if fs.exists(old):
+            fs.rmtree(old)
+
+    return publish
+
+
 def _atomic_overwrite(
     df: DataFrame,
     path: str,
@@ -7334,18 +7549,7 @@ def _atomic_overwrite(
     exactly-once publish — readers never observe a half-written table).
     Rename-based through fsio (POSIX/HDFS atomic; see the module
     docstring's filesystem note for object stores)."""
-    fs = fs or FsIO(spark, path)
-    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(partition_by)
-    if compression:
-        w = w.option("compression", compression)
-    w.parquet(tmp)
-    old = path + ".old-" + uuid.uuid4().hex[:8]
-    fs.makedirs(os.path.dirname(path))
-    if fs.exists(path):
-        fs.rename(path, old)
-    fs.rename(tmp, path)
-    if fs.exists(old):
-        fs.rmtree(old)
+    _atomic_overwrite_staged(
+        df, path, spark, partition_by=partition_by, fs=fs,
+        compression=compression,
+    )()
