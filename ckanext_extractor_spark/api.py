@@ -302,6 +302,20 @@ class ExtractorEngine:
     # searcher, never as process-global id sets)
     FILTER_CLOSURE_MAX = 100_000
     KILLS_BROADCAST_MAX = 1_000_000
+    # tokenize-input spread (guide §2.2/§2.5, scale-adaptive): when the
+    # corpus arrives in fewer partitions than the cluster has cores (one
+    # 15 MB parquet file scans as ~2 splits under openCostInBytes packing,
+    # so the CPU-bound tokenize kernel would run 2-wide on a 32-core
+    # session), repartition the changed-docs slice so each task gets
+    # ~TOKENIZE_TASK_BYTES of content. Derived from measured bytes + live
+    # defaultParallelism, never a fixed local count: a 100 TB scan already
+    # has partitions >= cores, so the rule is a no-op there (no added
+    # exchange); it only fires when cores would otherwise sit idle, and
+    # the exchange it adds moves exactly the under-partitioned content
+    # once. Env-overridable for cluster profiles.
+    TOKENIZE_TASK_BYTES = int(
+        os.environ.get("SPARK_GRAFT_TOKENIZE_TASK_BYTES", str(256 << 10))
+    )
     # reserved qf pseudo-field targeting the main content index (Solr's
     # catch-all text field in an edismax qf, schema.xml:161)
     BODY_FIELD = "_text_"
@@ -589,10 +603,17 @@ class ExtractorEngine:
         stage_sec: dict[str, float] = {}
         _t = time.time()
         statused = compute_statuses(meta_slim, manifest, lang_ok, force=force)
-        counts = {
-            r["status"]: r["n"]
-            for r in statused.groupBy("status").agg(F.count("*").alias("n")).collect()
-        }
+        # one collect yields the status histogram AND the changed-bytes
+        # estimate the tokenize-spread rule needs (no extra job)
+        _sz = (
+            F.sum("size_bytes") if "size_bytes" in statused.columns
+            else F.lit(None)
+        )
+        _status_rows = statused.groupBy("status").agg(
+            F.count("*").alias("n"), _sz.alias("b")
+        ).collect()
+        counts = {r["status"]: r["n"] for r in _status_rows}
+        bytes_by_status = {r["status"]: r["b"] or 0 for r in _status_rows}
         stage_sec["status"] = time.time() - _t
         n_changed = counts.get(STATUS_NEW, 0) + counts.get(STATUS_UPDATE, 0)
         n_ignored = counts.get(STATUS_IGNORED, 0)
@@ -621,6 +642,22 @@ class ExtractorEngine:
             to_index = prepared.join(
                 to_index_ids, "doc_id", "left_semi"
             ).select("doc_id", "content", "lang")
+        # scale-adaptive tokenize spread (see TOKENIZE_TASK_BYTES): only
+        # fires when the input has fewer partitions than cores AND the
+        # changed bytes justify more tasks — at scale the scan partition
+        # count already exceeds parallelism and this is a no-op
+        changed_bytes = int(
+            bytes_by_status.get(STATUS_NEW, 0)
+            + bytes_by_status.get(STATUS_UPDATE, 0)
+        )
+        if changed_bytes:
+            target = self._tokenize_spread_target(
+                changed_bytes,
+                to_index.rdd.getNumPartitions(),
+                spark.sparkContext.defaultParallelism,
+            )
+            if target:
+                to_index = to_index.repartition(target)
 
         # ---- tokenize delta (resume-aware staging checkpoint) ------------
         staging_rel = os.path.join("staging", "raw_postings", build_id)
@@ -646,14 +683,32 @@ class ExtractorEngine:
             delta_postings = spark.read.parquet(
                 self._p(gen_postings_rel)
             ).where(F.col("term").isNotNull())
-        # ONE scan of the staging markers yields both the lineage rows
-        # (~one per tokenize task) and the delta size: n_delta_rows is
-        # their n_postings sum, and the lineage append re-writes the
-        # collected rows from the driver instead of re-scanning staging
-        # (optimization r6 — was two marker scans of the staging table)
+        # Delta sizing (feeds _encode_tasks, approximate by contract): on
+        # a local root the staging parquet FOOTERS give the row count with
+        # zero data pages and zero Spark jobs; the marker rows (~one per
+        # changed doc + one per task) are subtracted estimate-wise. The
+        # lineage collect itself moves into the overlapped group
+        # (t_gen_docs) — it was a serialized ~0.3-0.5 s job between
+        # tokenize and the group (optimization r6, guide §2.6).
         lin_schema = lineage.schema
-        lin_rows = lineage.collect()
-        n_delta_rows = int(sum(int(r["n_postings"] or 0) for r in lin_rows))
+        lin_rows: list | None = None
+        n_delta_rows: int | None = None
+        if self.fs.is_local:
+            try:
+                from ckanext_extractor_spark.operators.segread import (
+                    count_rows,
+                )
+
+                n_delta_rows = max(0, count_rows(staging) - int(n_changed))
+            except Exception:
+                n_delta_rows = None
+        if n_delta_rows is None:
+            # non-local root: one marker scan yields both the lineage
+            # rows and the exact delta size (pre-r6 behavior)
+            lin_rows = lineage.collect()
+            n_delta_rows = int(
+                sum(int(r["n_postings"] or 0) for r in lin_rows)
+            )
         stage_sec["lineage_markers"] = time.time() - _t; _t = time.time()
 
         next_seq = self._seq + 1
@@ -715,7 +770,10 @@ class ExtractorEngine:
         from ckanext_extractor_spark.manifest import doc_lens_from_raw
 
         avgdl_est = self._avgdl_estimate(meta_slim, lang_ok)
-        lin_df = spark.createDataFrame(lin_rows, lin_schema)
+        # whole batch changed: the to_index_ids semi-joins below are
+        # no-op filters — skip them (fresh-build fast path, same
+        # condition as the to_index branch above)
+        whole_batch = n_changed == sum(counts.values())
         ignored_ids = statused.where(
             F.col("status") == STATUS_IGNORED
         ).select("doc_id")
@@ -773,12 +831,15 @@ class ExtractorEngine:
                 to_index_ids.write.mode("overwrite").parquet(
                     self._p("gens", build_id, "docs")
                 )
-            append_lineage(lin_df, self.root)
+            rows = lin_rows if lin_rows is not None else lineage.collect()
+            append_lineage(
+                spark.createDataFrame(rows, lin_schema), self.root
+            )
 
         def t_doc_stats():
             # doc_stats: changed docs re-derived, unchanged rows kept;
             # doc_len from the kernel's per-doc marker rows (tiny scan)
-            changed_meta = meta_slim.join(
+            changed_meta = meta_slim if whole_batch else meta_slim.join(
                 to_index_ids, "doc_id", "left_semi"
             )
             batch_stats = build_doc_stats(
@@ -804,8 +865,10 @@ class ExtractorEngine:
                     build_field_postings,
                 )
 
-                changed_meta = meta_slim.join(
-                    to_index_ids, "doc_id", "left_semi"
+                changed_meta = (
+                    meta_slim if whole_batch else meta_slim.join(
+                        to_index_ids, "doc_id", "left_semi"
+                    )
                 )
                 batch_fp = build_field_postings(changed_meta)
                 # per-(doc, field) norms ride the same build (Lucene
@@ -861,8 +924,10 @@ class ExtractorEngine:
         def t_doc_store():
             # doc-store (fulltext kept, reference tasks.py:99-104): one
             # more pruned content scan, only when opted in
-            batch_store = prepared.join(
-                to_index_ids, "doc_id", "left_semi"
+            batch_store = (
+                prepared if whole_batch else prepared.join(
+                    to_index_ids, "doc_id", "left_semi"
+                )
             ).select("doc_id", "content")
             if self.store_offsets:
                 # position->char offsets ride the same scan (offsets.py;
@@ -932,6 +997,24 @@ class ExtractorEngine:
             compacted=compacted,
             stage_sec={k: round(v, 3) for k, v in stage_sec.items()},
         )
+
+    def _tokenize_spread_target(
+        self, changed_bytes: int, cur_partitions: int, parallelism: int
+    ) -> int | None:
+        """Task count for the tokenize kernel, or None to keep the input
+        partitioning (see TOKENIZE_TASK_BYTES). Fires only when the input
+        has fewer partitions than cores AND the bytes justify more tasks;
+        capped at one even wave (<= parallelism) — round-robin keeps the
+        bytes balanced, and a single wave measured faster than 2x-4x
+        oversubscription on this host (task overhead, no straggler to
+        hide)."""
+        if cur_partitions >= parallelism:
+            return None
+        target = min(
+            -(-changed_bytes // max(self.TOKENIZE_TASK_BYTES, 1)),
+            parallelism,
+        )
+        return int(target) if target > cur_partitions else None
 
     def _normalize_metadata(self, prepared: DataFrame) -> DataFrame:
         """EAV sidecar (reference ResourceMetadatum, model.py:117-127):
