@@ -420,7 +420,31 @@ def analyze_query(query: str, lang: str | None = None,
                   config: AnalyzerConfig = QUERY_CONFIG) -> list[str]:
     """Analyze a query string with the query-mode chain (catenation off,
     per the reference's query analyzer schema.xml:59-66). Returns the
-    term bag in order; duplicates preserved."""
-    langs = pd.Series([lang]) if lang is not None else None
-    toks = analyze_batch(pd.Series([query]), langs, config)
-    return toks["term"].tolist()
+    term bag in order; duplicates preserved.
+
+    Scalar path (optimization r6, guide §1.2): the batch analyzer's
+    pandas/numpy scaffolding (Series init, str.split, factorize,
+    DataFrame build) cost ~1.3 ms per call — ~50% of warm-serving query
+    latency for a 2-word query. One query is a handful of words, so the
+    chain runs directly: split -> _expand_word (the same T2+T3+T5 the
+    batch path memoizes per distinct word) -> per-lang stopping ->
+    stemming, in the batch path's exact filter order. Identity with the
+    batch analyzer is pinned by tests/test_analyze_query_scalar.py
+    (fuzz over modes x stem x langs)."""
+    toks: list[str] = []
+    for w in (query or "").split():
+        toks.extend(_expand_word(w, config)[0])
+    if (
+        config.remove_stopwords
+        and lang is not None
+        and config.stopwords
+        and toks
+    ):
+        stops = config.stopwords.get((lang or "").lower())
+        if stops:
+            toks = [t for t in toks if t not in stops]
+    if config.stem and toks:
+        from ckanext_extractor_spark.analysis.stem import porter_stem
+
+        toks = [porter_stem(t) for t in toks]
+    return toks

@@ -392,6 +392,9 @@ class ExtractorEngine:
         self._stats_cache: dict | None = None
         self._dead_cache: DeadDocs | None = None
         self._tomb_count: int | None = None
+        # memoized logical PLANS (no data) — see _live_postings()
+        self._live_postings_cache: DataFrame | None = None
+        self._dictionary_cache: DataFrame | None = None
         # memoized top-k results keyed (query, k, conjunctive, mode) —
         # Solr queryResultCache analog (solrconfig.xml queryResultCache);
         # cleared by cool() on every index mutation
@@ -1072,7 +1075,17 @@ class ExtractorEngine:
         """Union of all generations' postings (lineage markers filtered),
         tombstoned docs removed — the logical current postings table.
         Used by the slow/synonym query paths and compaction; hot query
-        paths read per-term segment blobs instead."""
+        paths read per-term segment blobs instead.
+
+        The returned PLAN is memoized (optimization r6, guide §1): each
+        spark.read.parquet re-lists files and re-reads footers (~0.2 s
+        per call on local[32]) for an identical logical plan. No data is
+        cached — every action still computes from the parquet files; the
+        memo is dropped by cool(), which every index mutation (extract
+        commit, delete, compaction, metadata update) already calls, so a
+        mutated index never serves a stale file listing."""
+        if self._live_postings_cache is not None:
+            return self._live_postings_cache
         dfs = []
         for g in self._gens:
             p = self._gen_postings_path(g)
@@ -1098,15 +1111,22 @@ class ExtractorEngine:
                 )
                 .drop("_kill_seq")
             )
-        return out.drop("gen_seq")
+        out = out.drop("gen_seq")
+        self._live_postings_cache = out
+        return out
 
     def _dictionary_df(self) -> DataFrame | None:
         """Live dictionary, derived on demand (the slow/oracle path's
-        input; the hot paths get df from decoded lists)."""
+        input; the hot paths get df from decoded lists). Plan memoized
+        alongside _live_postings (same cool()-scoped lifetime)."""
+        if self._dictionary_cache is not None:
+            return self._dictionary_cache
         postings = self._live_postings()
         if postings is None:
             return None
-        return build_dictionary(postings, self.n_buckets)
+        out = build_dictionary(postings, self.n_buckets)
+        self._dictionary_cache = out
+        return out
 
     def _dead_docs(self) -> DeadDocs:
         if self._dead_cache is None:
@@ -2553,6 +2573,13 @@ class ExtractorEngine:
                 and not conjunctive
                 and mode in ("auto", "maxscore")
                 and self._tombstone_count() == 0
+                # every term already decoded in the LRU: the eager
+                # kernel scores memoized arrays with zero decode —
+                # strictly cheaper than the lazy path's per-call block
+                # re-decode (measured 53 ms -> ~5 ms on the bench's warm
+                # 3-term OR; optimization r6). Cold queries still take
+                # the lazy path below — nothing is decoded yet.
+                and not all(t in self._decoded_cache for t in terms)
             ):
                 ltls = self._lazy_term_postings(terms, st)
                 if ltls is not None:
@@ -2687,6 +2714,13 @@ class ExtractorEngine:
             self._raw_budget = preload_cap
             self._lazy_serve = True
         self._dead_docs()  # prime the tombstone map
+        # pre-build the slow/oracle path's logical plans (Solr-style
+        # query warming, optimization r6): parquet file listing + schema
+        # analysis are driver work (~0.2 s) that otherwise lands on the
+        # first slow-path query; no data is read or cached — every
+        # action still computes from the parquet files
+        self._live_postings()
+        self._dictionary_df()
         return self
 
     def _segments_disk_bytes(self) -> int:
@@ -2703,6 +2737,8 @@ class ExtractorEngine:
         self._stats_cache = None
         self._dead_cache = None
         self._tomb_count = None
+        self._live_postings_cache = None
+        self._dictionary_cache = None
         self._query_cache.clear()
 
     # NOTE on Arrow batch size: 1024 (the session default) wins for the
@@ -4372,10 +4408,12 @@ class ExtractorEngine:
         prefix/wildcard/fuzzy do). Soundex preserves the first letter,
         so the scan is a StringStartsWith-PRUNED dictionary slice
         (row-group min/max on term), with the soundex filter applied
-        CLUSTER-side (one small python UDF over the single-initial
-        distinct-terms slice — a dictionary-sized op, never a postings
-        scan) and only the matching terms collected, capped at
-        maxClauseCount. Warm mode filters the cached term dictionary."""
+        CLUSTER-side as a pure Catalyst expression (soundex_col — no
+        Python UDF, no BatchEvalPython node; optimization r6) over the
+        single-initial distinct-terms slice — a dictionary-sized op,
+        never a postings scan — and only the matching terms collected,
+        capped at maxClauseCount. Warm mode filters the cached term
+        dictionary."""
         self._check_access("extractor_search")
         from ckanext_extractor_spark.analysis.phonetic import soundex
 
@@ -4402,12 +4440,15 @@ class ExtractorEngine:
             seg = self._segments_union()
             if seg is None:
                 return []
-            sx = F.udf(soundex, "string")
+            from ckanext_extractor_spark.analysis.phonetic import (
+                soundex_col,
+            )
+
             rows = (
                 seg.select("term")
                 .where(F.col("term").startswith(first))
                 .distinct()
-                .where(sx(F.col("term")) == code)
+                .where(soundex_col(F.col("term")) == code)
                 .orderBy("term")
                 .limit(cap + 1)
                 .collect()

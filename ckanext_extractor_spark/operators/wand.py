@@ -423,17 +423,36 @@ def exact_topk(
     if not term_lists:
         return []
     if conjunctive:
-        # progressive sorted intersection, smallest list first
-        lists = sorted(term_lists, key=lambda t: len(t.doc_ids))
+        # progressive sorted intersection, smallest list first.
+        # searchsorted, not np.isin: doc_ids are sorted-unique by the
+        # codec contract, and isin pays a concat + O((n+m) log(n+m))
+        # sort per step where a binary probe of the larger list is
+        # O(n log m). The probe positions double as each list's gather
+        # indices for scoring, so no list is probed twice
+        # (optimization r6, guide §1.2).
+        n = len(term_lists)
+        perm = sorted(range(n), key=lambda i: len(term_lists[i].doc_ids))
+        lists = [term_lists[i] for i in perm]
         cand = lists[0].doc_ids
+        sel = [np.arange(cand.size, dtype=np.int64)]
         for tp in lists[1:]:
-            cand = cand[np.isin(cand, tp.doc_ids, assume_unique=True)]
+            idx = np.searchsorted(tp.doc_ids, cand)
+            hit = np.zeros(cand.size, dtype=bool)
+            inb = idx < tp.doc_ids.size
+            hit[inb] = tp.doc_ids[idx[inb]] == cand[inb]
+            cand = cand[hit]
             if cand.size == 0:
                 return []
+            sel = [s[hit] for s in sel]
+            sel.append(idx[hit])
+        # float summation stays in term_lists order — bit-identical
+        # scores to the pre-r6 kernel (addition is not associative)
+        pos_of = [0] * n
+        for j, i in enumerate(perm):
+            pos_of[i] = j
         total = np.zeros(cand.size, dtype=np.float64)
-        for tp in term_lists:
-            idx = np.searchsorted(tp.doc_ids, cand)
-            total += _scores(tp, idx, avgdl, k1, b)
+        for i, tp in enumerate(term_lists):
+            total += _scores(tp, sel[pos_of[i]], avgdl, k1, b)
         docs = cand
     else:
         all_ids = np.concatenate([tp.doc_ids for tp in term_lists])

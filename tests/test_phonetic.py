@@ -96,3 +96,36 @@ def test_cli_phonetic(engine, capsys):
     lines = [json.loads(x) for x in
              capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == 3
+
+
+def test_soundex_col_matches_python(spark):
+    """The Catalyst soundex (r6: replaced the cold-path python UDF) must
+    equal the python reference on every term shape the dictionary can
+    hold: goldens, unicode, digits-only, empty, h/w clusters, runs."""
+    from ckanext_extractor_spark.analysis.phonetic import soundex_col
+
+    words = [
+        "smith", "smyth", "smote", "ashcraft", "ashcroft", "pfister",
+        "tymczak", "robert", "rupert", "honeyman", "wu", "h", "w",
+        "", "123", "a1b2", "naïve", "café", "Zürich", "hello_world",
+        "xxxxxx", "aeiou", "bfpv", "hwhwhw", "s2s", "o'brien",
+    ]
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789_éü"
+    words += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 12)))
+        for _ in range(200)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    got = {
+        r["term"]: r["sx"]
+        for r in df.select(
+            "term", soundex_col(F.col("term")).alias("sx")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == soundex(w), w
