@@ -2714,14 +2714,56 @@ class ExtractorEngine:
             self._raw_budget = preload_cap
             self._lazy_serve = True
         self._dead_docs()  # prime the tombstone map
-        # pre-build the slow/oracle path's logical plans (Solr-style
-        # query warming, optimization r6): parquet file listing + schema
-        # analysis are driver work (~0.2 s) that otherwise lands on the
-        # first slow-path query; no data is read or cached — every
-        # action still computes from the parquet files
-        self._live_postings()
-        self._dictionary_df()
+        # Slow-path warming (Solr firstSearcher analog, optimization
+        # r6): pre-build the oracle path's logical plans (parquet file
+        # listing + schema analysis, ~0.2 s driver work) and execute ONE
+        # zero-match query through the same physical shape so
+        # whole-stage codegen + AQE compile here instead of inside the
+        # first real query (~0.8 s measured). Nothing is cached but
+        # compiled code and plan objects — a real query still computes
+        # entirely from the parquet files (the warming terms match no
+        # document, and the result is discarded).
+        postings = self._live_postings()
+        dictionary = self._dictionary_df()
+        wt = self._warming_terms() if postings is not None else []
+        if postings is not None and dictionary is not None and wt:
+            try:
+                st = self.corpus_stats()
+                bm25_search(
+                    postings, dictionary, st["n_docs"], st["avgdl"],
+                    " ".join(wt), k=1, conjunctive=True,
+                    config=query_config_for(self.analyzer),
+                ).collect()
+            except Exception:  # noqa: BLE001 — warming must never fail warm()
+                pass
         return self
+
+    def _warming_terms(self) -> list[str]:
+        """Two real index terms with the smallest df, for the warm()
+        warming query: the intermediate stages must carry rows (an
+        all-miss query leaves AQE's downstream stages uncompiled — the
+        whole point of warming), and the smallest lists make the warming
+        execution as cheap as one scan + a handful of rows. Sources, in
+        order: the preloaded raw-rows cache; a pyarrow metadata-only
+        read of one term_bucket partition (term + n_postings columns —
+        zero blob pages) on local roots; else none (plan pre-build still
+        happened; non-local roots skip execution warming)."""
+        stats: dict[str, int] = {}
+        if self._rows_cache and not self._lazy_serve:
+            for t, rows in self._rows_cache.items():
+                stats[t] = sum(int(r["n_postings"] or 0) for r in rows)
+        elif self.fs.is_local:
+            from ckanext_extractor_spark.operators.segread import (
+                read_bucket_term_stats,
+            )
+
+            for g in self._gens:
+                p = self._gen_segments_path(g)
+                if not self.fs.exists(p) or not self._has_part_files(p):
+                    continue
+                for t, n in read_bucket_term_stats(p, bucket=0):
+                    stats[t] = stats.get(t, 0) + int(n)
+        return [t for t, _ in sorted(stats.items(), key=lambda kv: (kv[1], kv[0]))[:2]]
 
     def _segments_disk_bytes(self) -> int:
         return sum(

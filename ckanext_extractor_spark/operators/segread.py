@@ -95,6 +95,23 @@ def count_rows(path: str) -> int:
     )
 
 
+def read_bucket_term_stats(path: str, bucket: int = 0) -> list[tuple]:
+    """(term, n_postings) pairs of ONE term_bucket partition — metadata
+    columns only, zero blob pages (serves warm()'s warming-term pick)."""
+    import pyarrow.dataset as pads
+
+    lp = _local_path(path)
+    if not os.path.isdir(lp):
+        return []
+    dataset = pads.dataset(lp, format="parquet", partitioning="hive")
+    tbl = dataset.to_table(
+        filter=pads.field("term_bucket") == bucket,
+        columns=["term", "n_postings"],
+    )
+    return list(zip(tbl.column("term").to_pylist(),
+                    tbl.column("n_postings").to_pylist()))
+
+
 def read_small_table(path: str, columns: list[str] | None = None) -> list[dict]:
     """A whole (small) parquet table as dicts — corpus_stats, tombstones.
 
