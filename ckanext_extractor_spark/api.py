@@ -2394,6 +2394,29 @@ class ExtractorEngine:
         queryResultCache analog — and invalidated by any index mutation
         (extract/delete/compact all call cool())."""
         self._check_access("extractor_search")
+        # cache-hit fast path (optimization r6): a hit means this EXACT
+        # argument tuple already passed every validation below on its
+        # first (computing) call — the key covers all arguments that
+        # reach _search_uncached — so repeat queries skip straight to
+        # the memo. Unhashable/malformed arguments can't produce a key
+        # that exists in the cache; they fall through to the validators,
+        # which raise the same errors as before.
+        if synonyms is None and (
+            fq is None or (isinstance(fq, dict) and fq)
+        ):
+            # (a falsy non-None fq — {} or [] — must NOT alias the
+            # fq=None cache key; it falls through to the validator)
+            try:
+                _fast_ck = (
+                    query, k, conjunctive, mode, exclude, min_match,
+                    tuple(sorted(fq.items())) if fq else None, start,
+                )
+                hit = self._query_cache.get(_fast_ck)
+            except (TypeError, AttributeError):
+                hit = None
+            if hit is not None:
+                self._query_cache.move_to_end(_fast_ck)
+                return list(hit)
         _require_query(query)
         _require_k(k)
         _require_bool("conjunctive", conjunctive)

@@ -1009,3 +1009,18 @@ def test_cli_prefix_min_match_facets(engine, capsys):
                  "--fields", "source-name", "lang", "--buckets", "8"]) == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["source-name"][0] == {"value": "web", "count": 2}
+
+
+def test_cache_hit_fast_path_never_aliases_bad_args(engine):
+    """r6: the cache-hit fast path must not let malformed arguments
+    alias a cached valid key — a falsy fq ({} / []) shares the
+    fq=None key shape, and unhashable arguments must still reach the
+    validators (regression guard for the r6 fast-path)."""
+    # populate the cache with the fq=None form
+    good = engine.search("alpha", k=5)
+    assert engine.search("alpha", k=5) == good  # hit path
+    for bad_fq in ({}, [], "lang=en", {"lang": {"nested": 1}}):
+        with pytest.raises(ValidationError):
+            engine.search("alpha", k=5, fq=bad_fq)
+    with pytest.raises(ValidationError):
+        engine.search("alpha", k=[5])  # unhashable k -> validator error
